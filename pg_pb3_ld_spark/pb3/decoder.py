@@ -1,0 +1,589 @@
+"""Vectorized pg_pb3_ld wire-format **decoder** (consumer side).
+
+The productionized, columnar version of the reference's own test
+consumers (``tests/common.go:190-296`` SQL-pull parser and
+``tests/fuzzer/fuzzer.go:531-632`` streaming parser), designed for
+Spark's ``mapInArrow``: no per-row / per-message Python.
+
+Core idea — **lockstep parsing**: a protobuf stream must be read
+sequentially, but every *message* is an independent stream, and the
+frame header's offsets array (``pg_pb3.proto:15-18``) hands us all
+message start positions up front.  So we parse *all* messages of a
+batch simultaneously: one numpy cursor per message, advanced together,
+one tag/varint decode per iteration across every active stream.  The
+iteration count is bounded by the max field count per message (not by
+row count), so all heavy work is numpy array ops.  The same trick is
+applied recursively: frame headers are themselves parallel streams,
+and so are all the nested ``FieldSetDescription`` payloads.
+
+Frame layout (``decoder/utils.c:184-189``)::
+
+    varint(header_len) ++ WireMessageHeader ++ body
+
+with ``types[i]``/``offsets[i]`` parallel arrays in the header and
+message length inferred from the next offset / end of body
+(``tests/common.go:220-237``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from pg_pb3_ld_spark.config import EngineConfig, MODE_DISABLED, MODE_FULL, MODE_OMIT_NULLS
+from pg_pb3_ld_spark.pb3 import wire
+
+
+class WireFormatError(ValueError):
+    """Malformed pg_pb3_ld frame."""
+
+
+# --------------------------------------------------------------------------
+# numpy primitives
+# --------------------------------------------------------------------------
+
+def read_varints(data: np.ndarray, pos: np.ndarray):
+    """Decode unsigned LEB128 varints starting at each ``pos``.
+
+    Vectorized across positions: loops only over varint *bytes*
+    (≤10 iterations), each iteration a numpy op over all pending
+    positions.  Returns ``(values uint64, next_pos int64)``.
+    """
+    n = len(pos)
+    val = np.zeros(n, dtype=np.uint64)
+    shift = np.zeros(n, dtype=np.uint64)
+    cur = pos.astype(np.int64, copy=True)
+    pending = np.ones(n, dtype=bool)
+    size = len(data)
+    for _ in range(10):
+        if not pending.any():
+            break
+        idx = np.flatnonzero(pending)
+        c = cur[idx]
+        if (c >= size).any():
+            raise WireFormatError("varint runs past end of buffer")
+        b = data[c]
+        val[idx] |= (b & np.uint8(0x7F)).astype(np.uint64) << shift[idx]
+        cur[idx] = c + 1
+        shift[idx] += np.uint64(7)
+        done = (b & np.uint8(0x80)) == 0
+        pending[idx[done]] = False
+    if pending.any():
+        raise WireFormatError("varint longer than 10 bytes")
+    return val, cur
+
+
+def _cumcount(sorted_keys: np.ndarray) -> np.ndarray:
+    """Occurrence index within runs of equal values (input sorted)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    boundaries = np.empty(n, dtype=bool)
+    boundaries[0] = True
+    boundaries[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    run_starts = np.flatnonzero(boundaries)
+    idx = np.arange(n, dtype=np.int64)
+    return idx - np.repeat(run_starts, np.diff(np.append(run_starts, n)))
+
+
+def gather_slices(data: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Pack variable-length slices into one contiguous buffer.
+
+    Returns ``(packed uint8 array, offsets int64 array of len n+1)``.
+    Fully vectorized: a single fancy-index gather.
+    """
+    n = len(offs)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    total = out_offsets[-1]
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), out_offsets
+    idx = np.repeat(offs - out_offsets[:-1], lens) + np.arange(total)
+    return data[idx], out_offsets
+
+
+def _binary_array(data, offs, lens, mask=None, utf8=False):
+    """Build a pyarrow (32-bit) binary/string array from slices."""
+    packed, offsets = gather_slices(data, offs, lens)
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise WireFormatError("batch exceeds 2 GiB of packed values")
+    typ = pa.utf8() if utf8 else pa.binary()
+    validity = None
+    if mask is not None and not mask.all():
+        validity = pa.py_buffer(np.packbits(mask, bitorder="little"))
+    return pa.Array.from_buffers(
+        typ,
+        len(offs),
+        [validity, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(packed)],
+    )
+
+
+# --------------------------------------------------------------------------
+# lockstep protobuf stream parser
+# --------------------------------------------------------------------------
+
+@dataclass
+class FieldEntries:
+    """All occurrences of one field number across a set of streams,
+    sorted by (stream, in-stream order)."""
+
+    stream: np.ndarray   # int64 stream index
+    occ: np.ndarray      # int64 occurrence index within stream
+    value: np.ndarray    # uint64 (varint fields) — zeros for len fields
+    off: np.ndarray      # int64 payload offset (len fields)
+    length: np.ndarray   # int64 payload length (len fields)
+
+
+def parse_streams(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> dict[int, FieldEntries]:
+    """Parse N independent protobuf streams in lockstep.
+
+    Iterates over *field slots*, not rows: in iteration ``k`` every
+    still-active stream decodes its k-th field (tag + value/length)
+    with vectorized varint reads.  Unknown fields with wire types
+    1/5 are skipped; wire types 3/4 (groups) are rejected.
+    """
+    pos = starts.astype(np.int64, copy=True)
+    ends = ends.astype(np.int64, copy=False)
+    n = len(pos)
+    acc: dict[int, list] = {}
+    k = 0
+    active = np.flatnonzero(pos < ends)
+    while len(active):
+        tag, newpos = read_varints(data, pos[active])
+        field = (tag >> np.uint64(3)).astype(np.int64)
+        wtype = (tag & np.uint64(7)).astype(np.int64)
+        pos[active] = newpos
+
+        # wire type 0 — varint value
+        m0 = wtype == wire.WIRE_VARINT
+        if m0.any():
+            s = active[m0]
+            fm0 = field[m0]
+            vals, npos = read_varints(data, pos[s])
+            pos[s] = npos
+            for f in np.unique(fm0):
+                sel_local = fm0 == f
+                acc.setdefault(int(f), []).append(
+                    (s[sel_local], np.full(sel_local.sum(), k),
+                     vals[sel_local], None, None)
+                )
+
+        # wire type 2 — length-delimited payload
+        m2 = wtype == wire.WIRE_LEN
+        if m2.any():
+            s = active[m2]
+            lens, npos = read_varints(data, pos[s])
+            lens = lens.astype(np.int64)
+            offs = npos
+            pos[s] = npos + lens
+            for f in np.unique(field[m2]):
+                sel_local = field[m2] == f
+                acc.setdefault(int(f), []).append(
+                    (s[sel_local], np.full(sel_local.sum(), k), None,
+                     offs[sel_local], lens[sel_local])
+                )
+
+        # fixed-width skips
+        m64 = wtype == 1
+        if m64.any():
+            pos[active[m64]] += 8
+        m32 = wtype == 5
+        if m32.any():
+            pos[active[m32]] += 4
+        if ((wtype == 3) | (wtype == 4)).any():
+            raise WireFormatError("unsupported protobuf group wire type")
+
+        if (pos[active] > ends[active]).any():
+            raise WireFormatError("field payload overruns stream end")
+        k += 1
+        active = np.flatnonzero(pos < ends)
+        if k > 10_000_000:
+            raise WireFormatError("runaway stream parse")
+
+    out: dict[int, FieldEntries] = {}
+    for f, chunks in acc.items():
+        stream = np.concatenate([c[0] for c in chunks])
+        kk = np.concatenate([c[1] for c in chunks])
+        order = np.lexsort((kk, stream))
+        stream = stream[order]
+        value = (
+            np.concatenate([c[2] for c in chunks])[order]
+            if chunks[0][2] is not None
+            else np.zeros(len(order), dtype=np.uint64)
+        )
+        off = (
+            np.concatenate([c[3] for c in chunks])[order]
+            if chunks[0][3] is not None
+            else np.zeros(len(order), dtype=np.int64)
+        )
+        length = (
+            np.concatenate([c[4] for c in chunks])[order]
+            if chunks[0][4] is not None
+            else np.zeros(len(order), dtype=np.int64)
+        )
+        out[f] = FieldEntries(stream, _cumcount(stream), value, off, length)
+    return out
+
+
+def _scalar_per_stream(entries: FieldEntries | None, n: int, kind: str):
+    """Last-wins scalar field per stream (proto3 scalar semantics).
+
+    Returns (present bool[n], value/off/len arrays of length n).
+    """
+    present = np.zeros(n, dtype=bool)
+    val = np.zeros(n, dtype=np.uint64)
+    off = np.zeros(n, dtype=np.int64)
+    length = np.zeros(n, dtype=np.int64)
+    if entries is not None and len(entries.stream):
+        # entries sorted by (stream, occ): last occurrence wins
+        present[entries.stream] = True
+        val[entries.stream] = entries.value
+        off[entries.stream] = entries.off
+        length[entries.stream] = entries.length
+    return present, val, off, length
+
+
+# --------------------------------------------------------------------------
+# field-set decoding
+# --------------------------------------------------------------------------
+
+@dataclass
+class FieldSetColumns:
+    """Flattened columns of a batch of FieldSetDescriptions.
+
+    ``fsd_idx[i]`` says which field set the i-th column belongs to;
+    within one fsd, entries appear in wire order (column order).
+    """
+
+    n_fsds: int
+    fsd_idx: np.ndarray        # int64
+    col_counts: np.ndarray     # int64 per fsd
+    names: pa.Array            # utf8
+    values: pa.Array           # binary (empty for NULLs)
+    is_null: np.ndarray        # bool
+    type_oids: np.ndarray      # int64 (0 = unknown / disabled mode)
+    is_binary: np.ndarray      # bool
+
+
+def decode_field_sets(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    config: EngineConfig,
+) -> FieldSetColumns:
+    """Decode N FieldSetDescription payloads (parallel streams).
+
+    Handles the three ``type_oids`` / ``formats`` alignment modes
+    (``decoder/fsd.c:253-294``): in ``omit_nulls`` mode the oids and
+    format bytes align with the *non-null* columns only, so we
+    re-align them via a non-null occurrence index (vectorized
+    cumcount) — the realignment logic the reference forces onto every
+    consumer (README.md:51-93).
+    """
+    n = len(starts)
+    parsed = parse_streams(data, starts, ends)
+    names_e = parsed.get(wire.FSD_NAMES)
+    values_e = parsed.get(wire.FSD_VALUES)
+
+    if names_e is None or len(names_e.stream) == 0:
+        empty_str = pa.array([], type=pa.utf8())
+        empty_bin = pa.array([], type=pa.binary())
+        z = np.zeros(0, dtype=np.int64)
+        return FieldSetColumns(
+            n, z, np.zeros(n, dtype=np.int64), empty_str, empty_bin,
+            np.zeros(0, dtype=bool), z.copy(), np.zeros(0, dtype=bool),
+        )
+    if values_e is None or len(values_e.stream) != len(names_e.stream):
+        raise WireFormatError("names/values count mismatch in field set")
+    if (names_e.stream != values_e.stream).any() or (
+        names_e.occ != values_e.occ
+    ).any():
+        raise WireFormatError("names/values misaligned in field set")
+
+    fsd_idx = names_e.stream
+    col_counts = np.bincount(fsd_idx, minlength=n).astype(np.int64)
+    ncols_total = len(fsd_idx)
+
+    # nulls bitmap: one byte per column, always present (fsd.c:267-275)
+    nulls_p, _, nulls_off, nulls_len = _scalar_per_stream(
+        parsed.get(wire.FSD_NULLS), n, "bytes"
+    )
+    if (~nulls_p & (col_counts > 0)).any():
+        raise WireFormatError("field set missing nulls bitmap")
+    if (nulls_len[nulls_p] != col_counts[nulls_p]).any():
+        raise WireFormatError("nulls bitmap length != column count")
+    col_occ = names_e.occ
+    is_null = np.zeros(ncols_total, dtype=bool)
+    if ncols_total:
+        is_null = data[nulls_off[fsd_idx] + col_occ] != 0
+
+    # type_oids: full → all columns; omit_nulls → non-null columns only
+    type_oids = np.zeros(ncols_total, dtype=np.int64)
+    oids_e = parsed.get(wire.FSD_TYPE_OIDS)
+    if oids_e is not None and len(oids_e.stream):
+        oid_counts = np.bincount(oids_e.stream, minlength=n)
+        full_mask = oid_counts[fsd_idx] == col_counts[fsd_idx]
+        # columns whose fsd carries a full oid vector: align by col_occ
+        # (also covers omit_nulls fsds with zero NULLs)
+        nn_occ = _cumcount_masked(fsd_idx, ~is_null)
+        starts_per_fsd = np.zeros(n, dtype=np.int64)
+        starts_per_fsd[1:] = np.cumsum(oid_counts)[:-1]
+        oid_vals = oids_e.value.astype(np.int64)
+        take_idx = np.where(
+            full_mask, col_occ, np.where(is_null, -1, nn_occ)
+        )
+        sel = take_idx >= 0
+        type_oids[sel] = oid_vals[starts_per_fsd[fsd_idx[sel]] + take_idx[sel]]
+
+    # formats bitmap (fsd.c:277-294)
+    is_binary = np.zeros(ncols_total, dtype=bool)
+    fmts_p, _, fmts_off, fmts_len = _scalar_per_stream(
+        parsed.get(wire.FSD_FORMATS), n, "bytes"
+    )
+    if fmts_p.any():
+        full_mask = fmts_len[fsd_idx] == col_counts[fsd_idx]
+        nn_occ = _cumcount_masked(fsd_idx, ~is_null)
+        take_idx = np.where(
+            full_mask, col_occ, np.where(is_null, -1, nn_occ)
+        )
+        sel = (take_idx >= 0) & fmts_p[fsd_idx]
+        is_binary[sel] = data[fmts_off[fsd_idx[sel]] + take_idx[sel]] != 0
+    elif config.binary_oid_ranges:
+        # formats disabled: consumer resolves per the producer's
+        # configured binary_oid_ranges (fsd.c:150-156 decision inverse)
+        for lo, hi in config._parsed_ranges:
+            is_binary |= (type_oids >= lo) & (type_oids <= hi)
+        is_binary &= ~is_null
+
+    names = _binary_array(data, names_e.off, names_e.length, utf8=True)
+    values = _binary_array(data, values_e.off, values_e.length)
+    return FieldSetColumns(
+        n, fsd_idx, col_counts, names, values, is_null, type_oids, is_binary
+    )
+
+
+def _cumcount_masked(sorted_keys: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Occurrence index among masked entries within runs of equal keys.
+
+    Entries where ``mask`` is False get the count of preceding True
+    entries in their run (i.e. the next masked slot) — adequate since
+    callers only read positions where mask is True.
+    """
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    inc = mask.astype(np.int64)
+    cum = np.cumsum(inc)
+    boundaries = np.empty(n, dtype=bool)
+    boundaries[0] = True
+    boundaries[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    run_starts = np.flatnonzero(boundaries)
+    run_lens = np.diff(np.append(run_starts, n))
+    base = np.repeat(cum[run_starts] - inc[run_starts], run_lens)
+    return cum - inc - base
+
+
+# --------------------------------------------------------------------------
+# frame → change-record batch
+# --------------------------------------------------------------------------
+
+GENERIC_ARROW_SCHEMA = pa.schema(
+    [
+        ("frame_seq", pa.int64()),
+        ("lsn", pa.int64()),
+        ("offset_idx", pa.int32()),
+        ("op", pa.utf8()),
+        ("schema_name", pa.utf8()),
+        ("table_name", pa.utf8()),
+        ("table_oid", pa.int64()),
+        ("key_names", pa.list_(pa.utf8())),
+        ("key_values", pa.list_(pa.binary())),
+        ("key_nulls", pa.list_(pa.bool_())),
+        ("key_oids", pa.list_(pa.int64())),
+        ("key_formats", pa.list_(pa.bool_())),
+        ("new_names", pa.list_(pa.utf8())),
+        ("new_values", pa.list_(pa.binary())),
+        ("new_nulls", pa.list_(pa.bool_())),
+        ("new_oids", pa.list_(pa.int64())),
+        ("new_formats", pa.list_(pa.bool_())),
+    ]
+)
+
+
+def _list_array(n_msgs, msg_of_entry, child, dtype=None):
+    """Wrap flat per-entry child arrays into a per-message ListArray."""
+    counts = np.bincount(msg_of_entry, minlength=n_msgs)
+    offsets = np.zeros(n_msgs + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    if not isinstance(child, pa.Array):
+        child = pa.array(child, type=dtype)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+
+
+def decode_frames(
+    frames: list[bytes],
+    lsns: np.ndarray,
+    frame_seqs: np.ndarray,
+    config: EngineConfig | None = None,
+) -> pa.RecordBatch:
+    """Decode a batch of wire frames into a columnar change batch.
+
+    Every stage is vectorized across frames / messages / columns via
+    the lockstep parser; per-frame Python is limited to the initial
+    ``b"".join`` concat.
+    """
+    config = config or EngineConfig()
+    n_frames = len(frames)
+    if n_frames == 0:
+        return pa.RecordBatch.from_pylist([], schema=GENERIC_ARROW_SCHEMA)
+    blob = b"".join(frames)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    frame_lens = np.fromiter(
+        (len(f) for f in frames), dtype=np.int64, count=n_frames
+    )
+    frame_starts = np.zeros(n_frames, dtype=np.int64)
+    np.cumsum(frame_lens[:-1], out=frame_starts[1:])
+    frame_ends = frame_starts + frame_lens
+
+    # 1. header-length varints at each frame start (common.go:193-205)
+    hdr_lens, hdr_starts = read_varints(data, frame_starts)
+    hdr_lens = hdr_lens.astype(np.int64)
+    body_starts = hdr_starts + hdr_lens
+    if (body_starts > frame_ends).any():
+        raise WireFormatError("header overruns frame")
+
+    # 2. headers are parallel streams: types[] + offsets[]
+    hdr = parse_streams(data, hdr_starts, body_starts)
+    types_e = hdr.get(wire.WHDR_TYPES)
+    offsets_e = hdr.get(wire.WHDR_OFFSETS)
+    if types_e is None or offsets_e is None:
+        raise WireFormatError("frame header missing types/offsets")
+    if len(types_e.stream) != len(offsets_e.stream):
+        raise WireFormatError("header types/offsets length mismatch")
+
+    msg_frame = types_e.stream                  # frame idx per message
+    msg_type = types_e.value.astype(np.int64)
+    msg_rel_off = offsets_e.value.astype(np.int64)
+    offset_idx = types_e.occ.astype(np.int32)   # position within frame
+    n_msgs = len(msg_frame)
+
+    # 3. message byte ranges: [offset[i], offset[i+1]) within frame body
+    msg_start = body_starts[msg_frame] + msg_rel_off
+    msg_end = np.empty(n_msgs, dtype=np.int64)
+    msg_end[:-1] = msg_start[1:]
+    if n_msgs:
+        msg_end[-1] = frame_ends[msg_frame[-1]]
+    # last message of each frame ends at frame end
+    frame_last = np.flatnonzero(
+        np.append(msg_frame[1:] != msg_frame[:-1], True)
+    )
+    msg_end[frame_last] = frame_ends[msg_frame[frame_last]]
+    if (msg_end < msg_start).any():
+        raise WireFormatError("negative message extent")
+
+    # 4. change messages (INSERT/UPDATE/DELETE) → nested submessages
+    is_change = msg_type >= wire.WMSG_INSERT
+    chg_ids = np.flatnonzero(is_change)
+    n_chg = len(chg_ids)
+    chg = parse_streams(data, msg_start[chg_ids], msg_end[chg_ids])
+    # field 1 = table desc in all three kinds; 3 = key_fields (U/D)
+    # or new_values (INSERT); 5 = new_values (UPDATE)
+    td_p, _, td_off, td_len = _scalar_per_stream(chg.get(1), n_chg, "b")
+    f3_p, _, f3_off, f3_len = _scalar_per_stream(chg.get(3), n_chg, "b")
+    f5_p, _, f5_off, f5_len = _scalar_per_stream(chg.get(5), n_chg, "b")
+    chg_type = msg_type[chg_ids]
+    ins = chg_type == wire.WMSG_INSERT
+    upd = chg_type == wire.WMSG_UPDATE
+    dele = chg_type == wire.WMSG_DELETE
+    # new_values: INSERT field 3 / UPDATE field 5
+    nv_p = np.where(ins, f3_p, np.where(upd, f5_p, False))
+    nv_off = np.where(ins, f3_off, f5_off)
+    nv_len = np.where(ins, f3_len, f5_len)
+    # key_fields: UPDATE/DELETE field 3 (absent if no replica identity)
+    kf_p = np.where(ins, False, f3_p)
+    kf_off = f3_off
+    kf_len = f3_len
+
+    # 5. table descriptions (always present on change messages)
+    if not td_p.all():
+        raise WireFormatError("change message missing TableDescription")
+    td = parse_streams(data, td_off, td_off + td_len)
+    sn_p, _, sn_off, sn_len = _scalar_per_stream(td.get(wire.TD_SCHEMANAME), n_chg, "b")
+    tn_p, _, tn_off, tn_len = _scalar_per_stream(td.get(wire.TD_TABLENAME), n_chg, "b")
+    toid_p, toid_v, _, _ = _scalar_per_stream(td.get(wire.TD_TABLEOID), n_chg, "v")
+    sn_len = np.where(sn_p, sn_len, 0)
+    tn_len = np.where(tn_p, tn_len, 0)
+
+    # 6. nested field sets, all parsed as one stream batch
+    kf_ids = np.flatnonzero(kf_p)
+    nv_ids = np.flatnonzero(nv_p)
+    kf_cols = decode_field_sets(
+        data, kf_off[kf_ids], kf_off[kf_ids] + kf_len[kf_ids], config
+    )
+    nv_cols = decode_field_sets(
+        data, nv_off[nv_ids], nv_off[nv_ids] + nv_len[nv_ids], config
+    )
+
+    # 7. assemble arrow arrays (full message list incl. BEGIN/COMMIT)
+    op_dict = pa.array(
+        [wire.WMSG_NAMES.get(int(t), "UNKNOWN") for t in msg_type],
+        type=pa.utf8(),
+    )  # 5 distinct values; list comp over message kinds is fine for
+    #    the op label — this is O(n_msgs) tiny-string lookups; swap to
+    #    dictionary encode if it ever shows up in profiles
+
+    def scatter_str(off, lens, present_local):
+        """Per-change string → full message list (null elsewhere)."""
+        full_off = np.zeros(n_msgs, dtype=np.int64)
+        full_len = np.zeros(n_msgs, dtype=np.int64)
+        mask = np.zeros(n_msgs, dtype=bool)
+        sel = chg_ids[present_local]
+        full_off[sel] = off[present_local]
+        full_len[sel] = lens[present_local]
+        mask[sel] = True
+        return _binary_array(data, full_off, full_len, mask=mask, utf8=True)
+
+    schema_name_arr = scatter_str(sn_off, sn_len, sn_p)
+    table_name_arr = scatter_str(tn_off, tn_len, tn_p)
+    table_oid_full = np.full(n_msgs, -1, dtype=np.int64)
+    table_oid_full[chg_ids[toid_p]] = toid_v[toid_p].astype(np.int64)
+    toid_mask = table_oid_full >= 0
+    table_oid_arr = pa.array(
+        np.where(toid_mask, table_oid_full, 0), type=pa.int64(),
+        mask=~toid_mask,
+    )
+
+    def fsd_lists(cols: FieldSetColumns, stream_ids: np.ndarray):
+        """FieldSetColumns → five per-message ListArrays."""
+        msg_of_entry = stream_ids[cols.fsd_idx] if len(cols.fsd_idx) else cols.fsd_idx
+        return (
+            _list_array(n_msgs, msg_of_entry, cols.names),
+            _list_array(n_msgs, msg_of_entry, cols.values),
+            _list_array(n_msgs, msg_of_entry, pa.array(cols.is_null, pa.bool_())),
+            _list_array(n_msgs, msg_of_entry, pa.array(cols.type_oids, pa.int64())),
+            _list_array(n_msgs, msg_of_entry, pa.array(cols.is_binary, pa.bool_())),
+        )
+
+    k_names, k_values, k_nulls, k_oids, k_formats = fsd_lists(
+        kf_cols, chg_ids[kf_ids]
+    )
+    n_names, n_values, n_nulls, n_oids, n_formats = fsd_lists(
+        nv_cols, chg_ids[nv_ids]
+    )
+
+    arrays = [
+        pa.array(frame_seqs[msg_frame], pa.int64()),
+        pa.array(lsns[msg_frame], pa.int64()),
+        pa.array(offset_idx, pa.int32()),
+        op_dict,
+        schema_name_arr,
+        table_name_arr,
+        table_oid_arr,
+        k_names, k_values, k_nulls, k_oids, k_formats,
+        n_names, n_values, n_nulls, n_oids, n_formats,
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=GENERIC_ARROW_SCHEMA)
