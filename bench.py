@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: change-events/sec applied end-to-end (encode cache →
+decode → txn gate → fold → COW MERGE commit), per BASELINE.md.  Also
+times every driver-contract query at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]       (default 32)
+  SPARK_GRAFT_BENCH_CONVS / _TXNS     stream size (default 800/4000)
+  SPARK_GRAFT_BENCH_BATCHES           apply batches (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "800"))
+N_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "4000"))
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
+
+
+def cached_stream():
+    """Deterministic bench stream, generated once and cached."""
+    from pg_pb3_ld_spark.generator import generate_stream, write_frames_parquet
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tag = f"s42_c{N_CONVS}_t{N_TXNS}"
+    path = os.path.join(CACHE_DIR, f"frames_{tag}.parquet")
+    meta = os.path.join(CACHE_DIR, f"frames_{tag}.json")
+    if os.path.exists(path) and os.path.exists(meta):
+        with open(meta) as f:
+            return path, json.load(f)
+    stream = generate_stream(
+        seed=42, n_convs=N_CONVS, max_turns=24, n_extra_txns=N_TXNS,
+        hot_fraction=0.3,
+    )
+    write_frames_parquet(stream, path)
+    info = {
+        "n_changes": stream.n_changes,
+        "n_txns": stream.n_txns,
+        "n_frames": len(stream.frames),
+        "bytes": sum(len(f[2]) for f in stream.frames),
+    }
+    with open(meta, "w") as f:
+        json.dump(info, f)
+    return path, info
+
+
+def bench_cdc_apply(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    frames_path, info = cached_stream()
+    workdir = tempfile.mkdtemp(prefix="pb3ld_bench_")
+    try:
+        store = SnapshotStore.create(
+            spark, os.path.join(workdir, "table"), transcripts_schema(),
+            num_buckets=max(CPUS, 8),
+        )
+        cfg = EngineConfig(
+            type_oids_mode="omit_nulls", formats_mode="disabled",
+            binary_oid_ranges="20-23,1184",
+        )
+        pipe = IngestPipeline(spark, store, cfg)
+        frames = spark.read.parquet(frames_path)
+        n_frames = info["n_frames"]
+        t0 = time.time()
+        if N_BATCHES <= 1:
+            pipe.apply_frames(frames, batch_id=1)
+        else:
+            step = (n_frames + N_BATCHES - 1) // N_BATCHES
+            for b in range(N_BATCHES):
+                pipe.apply_frames(
+                    frames.where(
+                        (F.col("frame_seq") >= b * step)
+                        & (F.col("frame_seq") < (b + 1) * step)
+                    ),
+                    batch_id=b + 1,
+                )
+        elapsed = time.time() - t0
+        return {
+            "elapsed_sec": round(elapsed, 2),
+            "events_per_sec": round(info["n_changes"] / elapsed, 1),
+            "n_changes": info["n_changes"],
+            "n_frames": n_frames,
+            "wire_bytes": info["bytes"],
+            "final_rows": store.read_table().count(),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def bench_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    from pg_pb3_ld_spark.session import build_session
+
+    spark = build_session(
+        app_name="pb3ld-bench", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    try:
+        cdc = bench_cdc_apply(spark)
+        queries = {"cdc_apply": cdc["elapsed_sec"]}
+        queries.update(bench_queries(spark))
+        result = {
+            "metric": "change-events/sec applied (MERGE throughput)",
+            "value": cdc["events_per_sec"],
+            "unit": "events/sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "detail": cdc,
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""D3 — transaction assembly and commit gating, shuffle-light.
+
+The wire stream demarcates transactions with BEGIN/COMMIT marker
+messages (``decoder/pg_pb3_ld.c:230-272``); a transaction may span
+many frames (mid-txn flush at the 4 MiB target,
+``pg_pb3_ld.c:417-422``) but a frame never spans a commit.  The
+consumer must assign every change to a transaction and apply only
+changes whose COMMIT has arrived (the reference applies callbacks at
+commit time — PG's reorder buffer guarantees it producer-side; a
+resumable consumer must re-check on its side of the transport).
+
+``txn_id`` = global running count of BEGIN messages at-or-before the
+change, in ``(frame_seq, offset_idx)`` order.  A naive global window
+would serialize onto one task; instead we do the classic two-level
+scan, which survives any frame count:
+
+1. per-*chunk* BEGIN counts (chunk = ``frame_seq >> chunk_shift``;
+   map-side partial agg, tiny shuffle) — the driver sees
+   O(#frames / 2^shift) longs, never row-level data;
+2. ordered prefix sum over chunk counts on the driver;
+3. broadcast the chunk bases back, then a window partitioned **by
+   chunk** (parallel; bounded rows per chunk since one 4 MiB frame
+   holds a bounded message count) adds the intra-chunk running count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def assign_txn_ids(changes: DataFrame, chunk_shift: int = 8) -> DataFrame:
+    """Add ``txn_id`` (cumulative BEGIN count) to every message row.
+
+    Falls back to ``txn_id = NULL`` for streams produced with
+    ``begin_messages=false`` (pg_pb3_ld.c:127-132) — gating is then a
+    no-op and every change applies.
+    """
+    spark = changes.sparkSession
+    is_begin = F.when(F.col("op") == "BEGIN", 1).otherwise(0)
+    chunk = F.shiftright(F.col("frame_seq"), chunk_shift)
+    per_chunk = (
+        changes.groupBy(chunk.alias("chunk"))
+        .agg(F.sum(is_begin).alias("n_begin"))
+        .collect()
+    )
+    if not per_chunk or all(r["n_begin"] == 0 for r in per_chunk):
+        return changes.withColumn("txn_id", F.lit(None).cast("long"))
+    per_chunk.sort(key=lambda r: r["chunk"])
+    base = 0
+    rows = []
+    for r in per_chunk:
+        rows.append((r["chunk"], base))
+        base += r["n_begin"]
+    base_df = spark.createDataFrame(rows, "chunk long, txn_base long")
+    w = (
+        Window.partitionBy("chunk")
+        .orderBy("frame_seq", "offset_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        changes.withColumn("chunk", chunk)
+        .join(F.broadcast(base_df), "chunk", "left")
+        .withColumn("txn_id", F.col("txn_base") + F.sum(is_begin).over(w))
+        .drop("chunk", "txn_base")
+    )
+
+
+def gate_committed(changes_with_txn: DataFrame) -> DataFrame:
+    """Keep only changes belonging to committed transactions (T2).
+
+    A COMMIT row shares the txn_id of its transaction (it follows the
+    changes, before the next BEGIN).  Changes in transactions without
+    a COMMIT in this batch are held back — the streaming runner keeps
+    re-reading them with the next micro-batch; the reference's
+    commit-time callback ordering makes an uncommitted tail only
+    possible at the very end of a batch.  Streams without BEGIN
+    markers (txn_id NULL) pass through ungated.
+    """
+    committed = (
+        changes_with_txn.where(F.col("op") == "COMMIT")
+        .select("txn_id")
+        .distinct()
+    )
+    data = changes_with_txn.where(
+        F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    )
+    gated = data.where(F.col("txn_id").isNotNull()).join(
+        committed, "txn_id", "left_semi"
+    )
+    ungated = data.where(F.col("txn_id").isNull())
+    return gated.unionByName(ungated)

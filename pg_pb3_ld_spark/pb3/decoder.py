@@ -430,13 +430,8 @@ def decode_frames(
     frame_seqs: np.ndarray,
     config: EngineConfig | None = None,
 ) -> pa.RecordBatch:
-    """Decode a batch of wire frames into a columnar change batch.
-
-    Every stage is vectorized across frames / messages / columns via
-    the lockstep parser; per-frame Python is limited to the initial
-    ``b"".join`` concat.
-    """
-    config = config or EngineConfig()
+    """Decode a list of wire frames (convenience wrapper over
+    ``decode_frame_buffer`` — concat is the only per-frame step)."""
     n_frames = len(frames)
     if n_frames == 0:
         return pa.RecordBatch.from_pylist([], schema=GENERIC_ARROW_SCHEMA)
@@ -447,7 +442,56 @@ def decode_frames(
     )
     frame_starts = np.zeros(n_frames, dtype=np.int64)
     np.cumsum(frame_lens[:-1], out=frame_starts[1:])
-    frame_ends = frame_starts + frame_lens
+    return decode_frame_buffer(
+        data, frame_starts, frame_starts + frame_lens, lsns, frame_seqs,
+        config,
+    )
+
+
+def decode_frame_arrow(
+    frame_col: pa.Array,
+    lsns: np.ndarray,
+    frame_seqs: np.ndarray,
+    config: EngineConfig | None = None,
+) -> pa.RecordBatch:
+    """Zero-copy entry: decode directly from an Arrow binary column's
+    (offsets, data) buffers — the ``mapInArrow`` hot path."""
+    if isinstance(frame_col, pa.ChunkedArray):
+        frame_col = frame_col.combine_chunks()
+    n = len(frame_col)
+    if n == 0:
+        return pa.RecordBatch.from_pylist([], schema=GENERIC_ARROW_SCHEMA)
+    if frame_col.null_count:
+        raise WireFormatError("null frame in input")
+    buffers = frame_col.buffers()
+    width = 8 if pa.types.is_large_binary(frame_col.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(
+        buffers[1], dtype=odt, count=n + 1 + frame_col.offset
+    )[frame_col.offset:].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return decode_frame_buffer(
+        data, offsets[:-1], offsets[1:], lsns, frame_seqs, config
+    )
+
+
+def decode_frame_buffer(
+    data: np.ndarray,
+    frame_starts: np.ndarray,
+    frame_ends: np.ndarray,
+    lsns: np.ndarray,
+    frame_seqs: np.ndarray,
+    config: EngineConfig | None = None,
+) -> pa.RecordBatch:
+    """Decode a batch of wire frames into a columnar change batch.
+
+    Every stage is vectorized across frames / messages / columns via
+    the lockstep parser — no per-frame or per-message Python.
+    """
+    config = config or EngineConfig()
+    n_frames = len(frame_starts)
+    if n_frames == 0:
+        return pa.RecordBatch.from_pylist([], schema=GENERIC_ARROW_SCHEMA)
 
     # 1. header-length varints at each frame start (common.go:193-205)
     hdr_lens, hdr_starts = read_varints(data, frame_starts)

@@ -1,0 +1,87 @@
+"""Target-table schema model.
+
+The engine's sink is the BASELINE.json input_hint table::
+
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+keyed ``(conv_id, turn_idx)``.  Schemas are *dynamic* in the wire
+format — every message carries its own column names
+(``pg_pb3.proto:48-54``; the reference's fuzzer generates 1-511-column
+tables, ``tests/fuzzer/fuzzy.go:36-63``) — so ``TargetSchema`` is a
+runtime value the store evolves additively (new wire field name →
+new column), not a compile-time constant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pg_pb3_ld_spark.pb3 import wire
+
+
+@dataclass(frozen=True)
+class TargetColumn:
+    name: str
+    type_oid: int
+    spark_type: str          # Spark SQL DDL type string
+    is_key: bool = False
+
+
+@dataclass
+class TargetSchema:
+    table: str
+    columns: list[TargetColumn]
+
+    @property
+    def key_columns(self) -> list[TargetColumn]:
+        return [c for c in self.columns if c.is_key]
+
+    @property
+    def value_columns(self) -> list[TargetColumn]:
+        return [c for c in self.columns if not c.is_key]
+
+    def column(self, name: str) -> TargetColumn:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+    def with_column(self, col: TargetColumn) -> "TargetSchema":
+        if any(c.name == col.name for c in self.columns):
+            return self
+        return TargetSchema(self.table, [*self.columns, col])
+
+    def ddl(self) -> str:
+        return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
+
+
+# spark type ⇐ pg oid, for additive evolution of unseen wire columns
+OID_TO_SPARK = {
+    wire.OID_BOOL: "boolean",
+    wire.OID_BYTEA: "binary",
+    wire.OID_NAME: "string",
+    wire.OID_INT2: "smallint",
+    wire.OID_INT4: "int",
+    wire.OID_INT8: "bigint",
+    wire.OID_TEXT: "string",
+    wire.OID_FLOAT4: "float",
+    wire.OID_FLOAT8: "double",
+    wire.OID_VARCHAR: "string",
+    wire.OID_TIMESTAMP: "timestamp_ntz",
+    wire.OID_TIMESTAMPTZ: "timestamp",
+}
+
+
+def transcripts_schema() -> TargetSchema:
+    return TargetSchema(
+        "transcripts",
+        [
+            TargetColumn("conv_id", wire.OID_TEXT, "string", is_key=True),
+            TargetColumn("turn_idx", wire.OID_INT4, "int", is_key=True),
+            TargetColumn("role", wire.OID_TEXT, "string"),
+            TargetColumn("text", wire.OID_TEXT, "string"),
+            TargetColumn("tool", wire.OID_TEXT, "string"),
+            TargetColumn("ts", wire.OID_TIMESTAMPTZ, "timestamp"),
+        ],
+    )

@@ -1,0 +1,47 @@
+"""SparkSession builder with the engine's scale-tuned defaults.
+
+Local-mode shape for the sandbox; on a real cluster the same configs
+ride ``spark-submit --py-files`` unchanged.  AQE is on for runtime
+partition coalescing and skew-join splitting (SURVEY.md §4); session
+timezone is pinned UTC so timestamptz values round-trip exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "pg_pb3_ld_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    if shuffle_partitions is None:
+        cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep Python decode batches bounded: frames are ≤~4 MiB each
+        # (pg_pb3_ld.c:96-97), so 256 frames ≈ ≤1 GiB worst case and
+        # ~dozens of MiB typical per Arrow batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

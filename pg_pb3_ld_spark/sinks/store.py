@@ -1,0 +1,359 @@
+"""D5 + D6 + D7 — transactional bucketed snapshot store.
+
+The production sink for this engine is an Iceberg table
+(``MERGE INTO … ON t.conv_id=s.conv_id AND t.turn_idx=s.turn_idx``)
+partitioned ``bucket(N, conv_id)``.  The sandbox has no Iceberg
+runtime jar, so ``SnapshotStore`` implements the same contract with
+the same mechanics Iceberg uses — copy-on-write MERGE over hash
+buckets, snapshot manifests, atomic pointer swap — on plain parquet:
+
+* data files live under ``snapshots/<id>/data/_bucket=K/``; a
+  snapshot's manifest maps every bucket to a file directory, and
+  **unaffected buckets are carried by reference** to the parent
+  snapshot's files — a MERGE rewrites only the buckets its keys
+  touch (Iceberg COW semantics; at 10^10 rows the per-batch write
+  cost is proportional to touched buckets, not table size);
+* the LSN high-watermark and per-bucket lineage (applied LSN range,
+  row/upsert/delete counts) live **in the snapshot manifest**, so
+  data + watermark + lineage commit in one atomic pointer swap
+  (``os.replace``) — the exactly-once story (T4: the reference's
+  fuzzer replays by dropping messages below a minimum LSN,
+  ``tests/fuzzer/fuzzer.go:389-391``; our watermark generalizes that
+  to crash-consistent resume);
+* replaying any frame range against any snapshot is idempotent: the
+  watermark filter drops already-applied frames, and the MERGE fold
+  is last-write-wins per key.
+
+Merge semantics per source row kind (from the D4 fold):
+
+=========  =============================================================
+DELETE     drop the target row (``WHEN MATCHED AND op='D' THEN DELETE``)
+REPLACE    full row rebuild (INSERT barrier — new values win, columns
+           absent since the barrier become NULL)
+PATCH      partial update: only wire-present columns overwrite target
+           values (TOAST omission, ``decoder/fsd.c:163-175``); missing
+           target row → upsert with absent columns NULL
+=========  =============================================================
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg_pb3_ld_spark.schema import TargetColumn, TargetSchema
+
+MANIFEST = "manifest.json"
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._meta = self._load_meta()
+
+    # ------------------------------------------------------------ setup
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: TargetSchema,
+        num_buckets: int = 32,
+    ) -> "SnapshotStore":
+        os.makedirs(os.path.join(root, "snapshots", "000000"), exist_ok=True)
+        meta = {
+            "snapshot_id": 0,
+            "parent": None,
+            "table": schema.table,
+            "columns": [
+                {
+                    "name": c.name,
+                    "type_oid": c.type_oid,
+                    "spark_type": c.spark_type,
+                    "is_key": c.is_key,
+                }
+                for c in schema.columns
+            ],
+            "num_buckets": num_buckets,
+            "files": {},           # bucket -> dir relpath; absent = empty
+            "hwm": {"lsn": -1, "frame_seq": -1},
+            "lineage": {},
+            "committed_at": time.time(),
+        }
+        cls._write_meta(root, meta)
+        cls._swap_pointer(root, 0)
+        return cls(spark, root)
+
+    @staticmethod
+    def _write_meta(root: str, meta: dict) -> None:
+        snap_dir = os.path.join(root, "snapshots", f"{meta['snapshot_id']:06d}")
+        os.makedirs(snap_dir, exist_ok=True)
+        with open(os.path.join(snap_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+
+    @staticmethod
+    def _swap_pointer(root: str, snapshot_id: int) -> None:
+        tmp = os.path.join(root, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": snapshot_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, MANIFEST))
+
+    def _load_meta(self) -> dict:
+        with open(os.path.join(self.root, MANIFEST)) as f:
+            snap = json.load(f)["snapshot"]
+        with open(
+            os.path.join(self.root, "snapshots", f"{snap:06d}", "meta.json")
+        ) as f:
+            return json.load(f)
+
+    def refresh(self) -> None:
+        self._meta = self._load_meta()
+
+    # ------------------------------------------------------- properties
+
+    @property
+    def schema(self) -> TargetSchema:
+        return TargetSchema(
+            self._meta["table"],
+            [
+                TargetColumn(
+                    c["name"], c["type_oid"], c["spark_type"], c["is_key"]
+                )
+                for c in self._meta["columns"]
+            ],
+        )
+
+    @property
+    def num_buckets(self) -> int:
+        return self._meta["num_buckets"]
+
+    @property
+    def snapshot_id(self) -> int:
+        return self._meta["snapshot_id"]
+
+    def hwm(self) -> tuple[int, int]:
+        """(lsn, frame_seq) high-watermark of applied frames."""
+        return (self._meta["hwm"]["lsn"], self._meta["hwm"]["frame_seq"])
+
+    def lineage(self) -> dict:
+        return self._meta["lineage"]
+
+    # ------------------------------------------------------------- read
+
+    def bucket_expr(self, col: str = "conv_id") -> F.Column:
+        # bucket(N, conv_id) — xxhash64 is seed-stable across sessions
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.num_buckets)).cast(
+            "int"
+        )
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state (optionally bucket-pruned) + ``_bucket``.
+
+        ``_bucket`` is recomputed from ``conv_id`` (deterministic
+        xxhash64), so data files stay partition-layout-agnostic.
+        Files written under different snapshots may carry different
+        column sets (additive evolution); the explicit schema fills
+        missing columns with NULLs.
+        """
+        schema = self.schema
+        files = self._meta["files"]
+        sel = {
+            int(b): path
+            for b, path in files.items()
+            if buckets is None or int(b) in buckets
+        }
+        key0 = schema.key_columns[0].name
+        if not sel:
+            df = self.spark.createDataFrame([], schema.ddl())
+        else:
+            paths = [os.path.join(self.root, p) for p in sel.values()]
+            df = (
+                self.spark.read.schema(schema.ddl())
+                # explicit dirs, no partition inference on _bucket=K names
+                .option("recursiveFileLookup", "true")
+                .parquet(*paths)
+            )
+        return df.withColumn("_bucket", self.bucket_expr(key0))
+
+    def read_table(self) -> DataFrame:
+        return self.read().drop("_bucket")
+
+    # ------------------------------------------------------------ evolve
+
+    def evolved_schema(
+        self, observed: list[tuple[int, str]] | list[tuple[str, int]]
+    ) -> TargetSchema:
+        """Additive evolution: unseen wire columns become new columns."""
+        from pg_pb3_ld_spark.schema import OID_TO_SPARK
+
+        schema = self.schema
+        for name, oid in observed:
+            if any(c.name == name for c in schema.columns):
+                continue
+            spark_type = OID_TO_SPARK.get(int(oid), "string")
+            schema = schema.with_column(
+                TargetColumn(name, int(oid), spark_type)
+            )
+        return schema
+
+    # ------------------------------------------------------------ merge
+
+    def merge(
+        self,
+        folded: DataFrame,
+        schema: TargetSchema | None = None,
+        batch_id: int | None = None,
+    ) -> dict:
+        """Apply one folded change batch as a COW MERGE; commit a new
+        snapshot atomically.  Returns the batch metrics dict.
+
+        ``schema`` may be an evolved superset of the store schema
+        (D7); the new snapshot records the evolved columns.
+        """
+        schema = schema or self.schema
+        keys = [c.name for c in schema.key_columns]
+        vals = [c.name for c in schema.value_columns]
+
+        src = folded.withColumn("_bucket", self.bucket_expr(keys[0]))
+        src = src.persist()
+        try:
+            # batch stats: tiny agg (drives hwm + affected buckets)
+            stats = src.groupBy("_bucket").agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("kind") == "DELETE", 1).otherwise(0)).alias("n_del"),
+                F.sum("n_changes").alias("n_changes"),
+                F.min("last_lsn").alias("lsn_min"),
+                F.max("last_lsn").alias("lsn_max"),
+                F.max("last_frame_seq").alias("frame_max"),
+            ).collect()
+            if not stats:
+                return {"applied_keys": 0, "skipped": True}
+            affected = sorted(int(r["_bucket"]) for r in stats)
+
+            tgt = self.read(buckets=affected)
+            # align target to (possibly evolved) schema
+            for c in schema.columns:
+                if c.name not in tgt.columns:
+                    tgt = tgt.withColumn(
+                        c.name, F.lit(None).cast(c.spark_type)
+                    )
+
+            s = src.drop("_bucket").alias("s")
+            t = tgt.drop("_bucket").alias("t")
+            joined = t.join(s, on=keys, how="full_outer")
+            no_src = F.col("s.kind").isNull()
+            # recompute the bucket from the (coalesced) join key
+            merged_cols = [self.bucket_expr(keys[0]).alias("_bucket")]
+            for k in keys:
+                merged_cols.append(F.col(k))
+            for c in vals:
+                merged_cols.append(
+                    F.when(no_src, F.col(f"t.{c}"))
+                    .when(F.col("s.kind") == "REPLACE", F.col(f"s.{c}"))
+                    .when(
+                        F.col(f"s.{c}_set"), F.col(f"s.{c}")
+                    )  # PATCH, column present on the wire
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            result = joined.where(
+                no_src | (F.col("s.kind") != "DELETE")
+            ).select(*merged_cols)
+
+            new_id = self.snapshot_id + 1
+            snap_rel = os.path.join("snapshots", f"{new_id:06d}")
+            data_rel = os.path.join(snap_rel, "data")
+            data_dir = os.path.join(self.root, data_rel)
+            if os.path.exists(data_dir):
+                shutil.rmtree(data_dir)  # orphan from a crashed commit
+
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge_{new_id}")
+            result = result.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_written"),
+            )
+            (
+                result.repartition(max(len(affected), 1), F.col("_bucket"))
+                .sortWithinPartitions(*keys)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(data_dir)
+            )
+            rows_written = obs.get["rows_written"]
+
+            # files map: affected buckets → new dirs; others inherited.
+            # partitionBy writes _bucket=K dirs, but as a *partition*
+            # column — rewrite relpaths and rely on read()'s explicit
+            # schema, so re-inject _bucket as a data column by listing
+            files = dict(self._meta["files"])
+            written = {
+                int(d.split("=")[1]): os.path.join(data_rel, d)
+                for d in os.listdir(data_dir)
+                if d.startswith("_bucket=")
+            }
+            for b in affected:
+                if b in written:
+                    files[str(b)] = written[b]
+                else:
+                    files.pop(str(b), None)  # bucket emptied by deletes
+
+            old_lsn, old_frame = self.hwm()
+            batch_lsn = max(int(r["lsn_max"]) for r in stats)
+            batch_frame = max(int(r["frame_max"]) for r in stats)
+            lineage = dict(self._meta["lineage"])
+            for r in stats:
+                lineage[str(int(r["_bucket"]))] = {
+                    "last_batch": batch_id,
+                    "keys": int(r["n_keys"]),
+                    "deletes": int(r["n_del"]),
+                    "changes": int(r["n_changes"]),
+                    "lsn_range": [int(r["lsn_min"]), int(r["lsn_max"])],
+                }
+            meta = {
+                **self._meta,
+                "snapshot_id": new_id,
+                "parent": self.snapshot_id,
+                "columns": [
+                    {
+                        "name": c.name,
+                        "type_oid": c.type_oid,
+                        "spark_type": c.spark_type,
+                        "is_key": c.is_key,
+                    }
+                    for c in schema.columns
+                ],
+                "files": files,
+                "hwm": {
+                    "lsn": max(old_lsn, batch_lsn),
+                    "frame_seq": max(old_frame, batch_frame),
+                },
+                "lineage": lineage,
+                "committed_at": time.time(),
+            }
+            meta.pop("total_rows", None)
+            self._write_meta(self.root, meta)
+            self._swap_pointer(self.root, new_id)
+            self._meta = meta
+
+            return {
+                "snapshot_id": new_id,
+                "applied_keys": int(sum(r["n_keys"] for r in stats)),
+                "applied_changes": int(sum(r["n_changes"] for r in stats)),
+                "deletes": int(sum(r["n_del"] for r in stats)),
+                "buckets_rewritten": len(affected),
+                "rows_written": int(rows_written),
+                "hwm_lsn": meta["hwm"]["lsn"],
+                "hwm_frame_seq": meta["hwm"]["frame_seq"],
+            }
+        finally:
+            src.unpersist()

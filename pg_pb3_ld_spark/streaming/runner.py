@@ -1,0 +1,68 @@
+"""Structured Streaming runner — S1/S7 consumer wiring.
+
+``readStream`` over the raw frame table → ``foreachBatch`` applying
+the batch pipeline transactionally per micro-batch (S5: the epoch
+analog of ``pb3ld_commit_txn``'s flush-at-commit).  Offset tracking
+is layered:
+
+* Spark's checkpoint tracks *source* offsets (which frame files a
+  micro-batch covers) — at-least-once on restart;
+* the store's LSN high-watermark (committed atomically with each
+  snapshot) upgrades that to exactly-once: a replayed micro-batch's
+  frames are all ≤ hwm and fall out of the pipeline's first filter,
+  exactly like the reference fuzzer dropping messages below its
+  minimum LSN on reconnect (``tests/fuzzer/fuzzer.go:389-391``).
+
+In production the source would be Kafka (`value` = frame bytes,
+offset = LSN) or a cloud-storage landing zone; the parquet file
+source keeps the sandbox self-contained with identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from pg_pb3_ld_spark.config import EngineConfig
+from pg_pb3_ld_spark.pipeline import IngestPipeline
+from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+FRAME_DDL = "frame_seq long, lsn long, frame binary"
+
+
+def run_stream(
+    spark: SparkSession,
+    frames_dir: str,
+    store: SnapshotStore,
+    config: EngineConfig | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    salt: int = 0,
+    collect_metrics: list | None = None,
+):
+    """Consume all available frame files, then stop (availableNow).
+
+    Returns the list of per-batch metrics dicts (also appended to
+    ``collect_metrics`` if given, for callers that want live access).
+    """
+    metrics = collect_metrics if collect_metrics is not None else []
+    pipe = IngestPipeline(spark, store, config or EngineConfig(), salt=salt)
+
+    def apply_batch(df, batch_id: int):
+        m = pipe.apply_frames(df, batch_id=batch_id)
+        m["batch_id"] = batch_id
+        metrics.append(m)
+
+    reader = spark.readStream.schema(FRAME_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(frames_dir)
+    writer = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return metrics
