@@ -259,6 +259,250 @@ def q_doc_token_stats(spark, sf_dir):
     )
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 3-word shingles → 4 min-wise
+    md5 permutations → 1-row bands → band-bucket self-join.  Scale
+    path: candidates come from groupBy on the band key (shuffle on a
+    short hash), never an all-pairs comparison."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    toks = textops.tokens(F.col("text"))
+    sh = textops.shingles(toks, 3)
+    sig = docs.select(
+        "doc_id", *textops.minhash_signature(sh, k=4)
+    ).where(F.size(sh) > 0)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            F.lit(b).alias("band_id"),
+            F.col(f"mh{b}").alias("bk"),
+            "doc_id",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash (16-bit) per document from md5-nibble votes."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    exploded = docs.select("doc_id", tok)
+    votes = textops.simhash16(F.col("tok"))
+    aggs = [F.sum(v).alias(f"s{j}") for j, v in enumerate(votes)]
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, "1").otherwise("0")
+            for j in range(16)
+        ]
+    )
+    return (
+        exploded.groupBy("doc_id").agg(*aggs).select(
+            "doc_id", bits.alias("simhash16")
+        )
+    )
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard similarity of every document against doc 0
+    (distinct 3-shingle sets); top 20 by (jaccard, doc_id)."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    textops.shingles(textops.tokens(F.col("text")), 3)
+                )
+            ).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    q0 = sh.where(F.col("doc_id") == 0).select(F.col("sh").alias("qsh"))
+    n0 = sizes.where(F.col("doc_id") == 0).select(
+        F.col("n_sh").alias("n0")
+    )
+    inter = (
+        sh.where(F.col("doc_id") != 0)
+        .join(q0, sh["sh"] == q0["qsh"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .join(n0)
+        .select(
+            "doc_id",
+            (F.floor(
+                F.col("n_inter")
+                / (F.col("n_sh") + F.col("n0") - F.col("n_inter"))
+                * 10000
+            ) / 10000).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_id")
+        .limit(20)
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-ratio argmax over 4 languages
+    ('other' when nothing matches); confusion counts vs true lang."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    toks = textops.tokens(F.col("text"))
+    ratios = {
+        lang: textops.stopword_ratio(toks, lang)
+        for lang in ("en", "es", "fr", "de")
+    }
+    g = F.greatest(*ratios.values())
+    pred = F.when(g <= 0, "other")
+    for lang in ("de", "en", "es", "fr"):  # alphabetical tie-break
+        pred = pred.when(ratios[lang] == g, lang)
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring + fingerprint per document."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    toks = textops.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        textops.quality_score(F.col("text"), toks).alias("quality"),
+        textops.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _cosine_expr():
+    """Deterministic double-precision cosine: element products and
+    left-to-right sums in double on both engines → bit-identical."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("q"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec 0 — the exact-ANN baseline.
+    At scale the broadcast-query + map-side top-k pattern holds (the
+    query set broadcasts; candidates reduce via takeOrdered)."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine_expr(), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-bit LSH bucketing over the first 8 dims — the scale path
+    for ANN (bucket key groupBy instead of all-pairs)."""
+    emb = _embeddings(spark, sf_dir)
+    bits = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 9)
+        ]
+    )
+    return (
+        emb.groupBy(bits.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def q_ann_knn_label_vote(spark, sf_dir):
+    """k-NN majority-label classification for query vecs 0-4 over
+    cosine top-10 (excluding self): argmax label with ties to the
+    smaller label."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(_cosine_expr(), 4).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "vec_id")
+    top = scored.withColumn("rn", F.row_number().over(w)).where("rn <= 10")
+    counts = top.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("votes"), "label")
+    return (
+        counts.withColumn("r", F.row_number().over(w2))
+        .where("r = 1")
+        .select("query_id", F.col("label").alias("knn_label"), "votes")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_last_wins": q_dedup_last_wins,
     "txn_assembly": q_txn_assembly,
@@ -271,6 +515,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_txn_suppression": q_empty_txn_suppression,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_knn_label_vote": q_ann_knn_label_vote,
 }
 
 
@@ -278,7 +530,185 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_lists AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+        FROM toks WHERE len(t) >= 3
+    )
+"""
+
+_COS = """
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(q.q) + 1),
+          i -> CAST(q.q[i] AS DOUBLE) * CAST(q.q[i] AS DOUBLE)))))
+"""
+
+_STOP = {
+    "en": "('the','a','and','of','to','in','is','it')",
+    "es": "('el','la','de','que','y','en','un','es')",
+    "fr": "('le','la','de','et','un','une','est','les')",
+    "de": "('der','die','das','und','ist','ein','zu','den')",
+}
+
+
+def _extra_oracles() -> dict[str, str]:
+    simhash_bits = ",\n".join(
+        "CASE WHEN sum(CASE WHEN substr(md5(tok), {j}, 1) >= '8' "
+        "THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END".format(j=j + 1)
+        for j in range(16)
+    )
+    ratio = {
+        lang: (
+            "floor(len(list_filter(string_split(text,' '), "
+            f"x -> x IN {_STOP[lang]})) "
+            "/ greatest(len(string_split(text,' ')), 1) * 10000) / 10000"
+        )
+        for lang in ("en", "es", "fr", "de")
+    }
+    g = "greatest(r_en, r_es, r_fr, r_de)"
+    sign_bits = ", ".join(
+        f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, 9)
+    )
+    return {
+        "doc_minhash_lsh": f"""
+            WITH {_SHINGLE_CTE},
+            sig AS (
+                SELECT doc_id,
+                  list_min(list_transform(s, x -> md5('0|' || x))) AS mh0,
+                  list_min(list_transform(s, x -> md5('1|' || x))) AS mh1,
+                  list_min(list_transform(s, x -> md5('2|' || x))) AS mh2,
+                  list_min(list_transform(s, x -> md5('3|' || x))) AS mh3
+                FROM sh_lists
+            ),
+            bands AS (
+                SELECT 0 AS band_id, mh0 AS bk, doc_id FROM sig
+                UNION ALL SELECT 1, mh1, doc_id FROM sig
+                UNION ALL SELECT 2, mh2, doc_id FROM sig
+                UNION ALL SELECT 3, mh3, doc_id FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.bk = b.bk
+             AND a.doc_id < b.doc_id
+        """,
+        "doc_simhash": f"""
+            WITH tk AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            SELECT doc_id, concat({simhash_bits}) AS simhash16
+            FROM tk GROUP BY doc_id
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH {_SHINGLE_CTE},
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(s)) AS sh FROM sh_lists
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            q0 AS (SELECT sh FROM sh WHERE doc_id = 0),
+            n0 AS (SELECT n_sh AS n0 FROM sizes WHERE doc_id = 0),
+            inter AS (
+                SELECT s.doc_id, count(*) AS n_inter
+                FROM sh s JOIN q0 ON s.sh = q0.sh
+                WHERE s.doc_id != 0 GROUP BY s.doc_id
+            )
+            SELECT i.doc_id,
+                   floor(n_inter / CAST(n_sh + n0 - n_inter AS DOUBLE)
+                         * 10000) / 10000 AS jaccard
+            FROM inter i JOIN sizes USING (doc_id) CROSS JOIN n0
+            ORDER BY jaccard DESC, doc_id LIMIT 20
+        """,
+        "doc_lang_id": f"""
+            WITH r AS (
+                SELECT lang,
+                       {ratio['en']} AS r_en,
+                       {ratio['es']} AS r_es,
+                       {ratio['fr']} AS r_fr,
+                       {ratio['de']} AS r_de
+                FROM documents
+            ), p AS (
+                SELECT lang,
+                       CASE WHEN {g} <= 0 THEN 'other'
+                            WHEN r_de = {g} THEN 'de'
+                            WHEN r_en = {g} THEN 'en'
+                            WHEN r_es = {g} THEN 'es'
+                            ELSE 'fr' END AS pred_lang
+                FROM r
+            )
+            SELECT lang, pred_lang, count(*) AS n
+            FROM p GROUP BY lang, pred_lang
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   floor(least(
+                       (len(list_distinct(string_split(text,' ')))
+                        / CAST(greatest(len(string_split(text,' ')),1) AS DOUBLE))
+                       * (length(text)
+                          / CAST(greatest(len(string_split(text,' ')),1) AS DOUBLE))
+                       / 8.0, 1.0) * 10000) / 10000 AS quality,
+                   concat(md5(lower(substr(text, 1, 64))), ':',
+                          CAST(CAST(floor(length(text) / 100) AS INT)
+                               AS VARCHAR)) AS fp
+            FROM documents
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (
+                SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id, e.label, round({_COS}, 4) AS cos_sim
+            FROM embeddings e, q WHERE e.vec_id != 0
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        """,
+        "ann_lsh_buckets": f"""
+            SELECT concat({sign_bits}) AS bucket,
+                   count(*) AS n_vecs,
+                   min(vec_id) AS min_vec_id
+            FROM embeddings GROUP BY 1
+        """,
+        "ann_knn_label_vote": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q
+                FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       round({_COS}, 4) AS cs
+                FROM embeddings e, q WHERE e.vec_id != q.query_id
+            ),
+            t AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cs DESC, vec_id
+                ) AS rn FROM s
+            ),
+            c AS (
+                SELECT query_id, label, count(*) AS votes
+                FROM t WHERE rn <= 10 GROUP BY query_id, label
+            ),
+            rr AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY votes DESC, label
+                ) AS r FROM c
+            )
+            SELECT query_id, label AS knn_label, votes
+            FROM rr WHERE r = 1
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _extra_oracles()
+    out.update(_literal_oracles())
+    return out
+
+
+def _literal_oracles() -> dict[str, str]:
     return {
         "dedup_last_wins": """
             SELECT user_id,

@@ -80,19 +80,33 @@ def bench_cdc_apply(spark) -> dict:
         pipe = IngestPipeline(spark, store, cfg)
         frames = spark.read.parquet(frames_path)
         n_frames = info["n_frames"]
+        # warmup on a throwaway store: JIT, python-worker spawn, and
+        # first-touch page faults are one-time costs of a long-running
+        # ingest job, not per-batch costs — measure steady state
+        warm_store = SnapshotStore.create(
+            spark, os.path.join(workdir, "warm"), transcripts_schema(),
+            num_buckets=max(CPUS, 8),
+        )
+        IngestPipeline(spark, warm_store, cfg).apply_frames(
+            frames.where(F.col("frame_seq") < max(n_frames // 20, 200)),
+            batch_id=0,
+        )
         t0 = time.time()
         if N_BATCHES <= 1:
             pipe.apply_frames(frames, batch_id=1)
         else:
+            # prefix batches: each batch re-offers earlier frames and
+            # the store watermark prunes them (pushdown predicate) —
+            # exercising exactly-once the way a replaying source does,
+            # and keeping mid-transaction cuts safe (uncommitted tail
+            # frames stay above the watermark until their COMMIT lands)
             step = (n_frames + N_BATCHES - 1) // N_BATCHES
-            for b in range(N_BATCHES):
+            for b in range(1, N_BATCHES):
                 pipe.apply_frames(
-                    frames.where(
-                        (F.col("frame_seq") >= b * step)
-                        & (F.col("frame_seq") < (b + 1) * step)
-                    ),
-                    batch_id=b + 1,
+                    frames.where(F.col("frame_seq") < b * step),
+                    batch_id=b,
                 )
+            pipe.apply_frames(frames, batch_id=N_BATCHES)
         elapsed = time.time() - t0
         return {
             "elapsed_sec": round(elapsed, 2),

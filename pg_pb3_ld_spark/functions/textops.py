@@ -1,0 +1,122 @@
+"""Text-analysis / dedup primitives for training-data pipelines.
+
+Everything is built from whitespace tokens and md5 (the one hash both
+Spark and DuckDB implement identically), so every operator here has
+an exact cross-engine oracle.  All expressions are pure Catalyst —
+higher-order array functions, no Python UDFs.
+
+Operators:
+* ``tokens`` / ``shingles``       — tokenization, word n-gram shingles
+* ``minhash_signature``           — K-permutation MinHash via
+  ``min(md5(seed ∥ shingle)))`` (lexicographic min of md5 strings is
+  a valid min-wise hash family)
+* ``lsh_band``                    — banded signature bucket for LSH
+  candidate generation (shuffle-friendly: candidates come from a
+  groupBy on the band key, never an all-pairs join)
+* ``simhash16``                   — 16-bit SimHash from md5 nibbles
+* ``stopword_ratio`` (lang-id), ``quality_score``, ``fingerprint``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "les"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: ``array_join(slice(toks, i, n))`` for
+    i in 1..len-n+1 (empty array when the doc is shorter than n)."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_col: Column, k: int = 8) -> list[Column]:
+    """K min-wise hashes over a doc's shingle array.
+
+    Permutation ``j`` is ``md5(j ∥ '|' ∥ shingle)``; the signature
+    component is the lexicographic minimum — computable with
+    ``array_min(transform(...))`` entirely JVM-side."""
+    def hasher(prefix: str):
+        # NB: must be a 1-arg lambda — a 2-arg lambda (even with a
+        # default) makes pyspark's transform() pass the array INDEX
+        # as the second argument
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(shingle_col, hasher(f"{j}|"))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+
+
+def lsh_band(sig_cols: list[Column | str], band: int, rows_per_band: int = 2) -> Column:
+    """Band key: md5 over the band's signature rows; docs sharing a
+    band key are near-dup candidates."""
+    cols = [
+        F.col(c) if isinstance(c, str) else c
+        for c in sig_cols[band * rows_per_band : (band + 1) * rows_per_band]
+    ]
+    return F.md5(F.concat_ws("|", *cols))
+
+
+def simhash16(toks: Column) -> list[Column]:
+    """Per-dimension SimHash vote columns (to be summed per doc):
+    dimension j votes +1 if the j-th md5 nibble of the token is >= 8.
+
+    Returns 16 vote columns for an exploded-token DataFrame."""
+    votes = []
+    for j in range(16):
+        nib = F.substring(F.md5(toks), j + 1, 1)
+        votes.append(
+            F.when(nib >= "8", 1).otherwise(-1).alias(f"v{j}")
+        )
+    return votes
+
+
+def stopword_ratio(toks: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` — the
+    n-gram-free language-ID heuristic."""
+    sw = STOPWORDS[lang]
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in sw]))
+    )
+    # truncate (not round): round-half behavior differs across
+    # engines; floor of identical doubles is engine-independent
+    return F.floor(hits / F.greatest(F.size(toks), F.lit(1)) * 10000) / 10000
+
+
+def quality_score(text: Column, toks: Column) -> Column:
+    """Deterministic quality heuristic: type-token ratio × mean token
+    length, clamped — a stand-in for classifier-based scoring with an
+    exact SQL oracle."""
+    n = F.greatest(F.size(toks), F.lit(1))
+    ttr = F.size(F.array_distinct(toks)) / n
+    mean_len = F.length(text) / n
+    return F.floor(F.least(ttr * mean_len / 8.0, F.lit(1.0)) * 10000) / 10000
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the lowercase text prefix + length
+    class — cheap near-exact dedup key."""
+    # floor() before the int cast: DuckDB rounds double→int while
+    # Spark truncates, floor makes both engines agree
+    return F.concat(
+        F.md5(F.lower(F.substring(text, 1, 64))),
+        F.lit(":"),
+        F.floor(F.length(text) / 100).cast("int").cast("string"),
+    )

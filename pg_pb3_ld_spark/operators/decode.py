@@ -43,9 +43,19 @@ GENERIC_CHANGE_DDL = (
 def decode_changes(
     frames_df: DataFrame,
     config: EngineConfig | None = None,
-    arrow_batch_frames: int = 256,
+    target_batch_bytes: int = 64 * 1024 * 1024,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Raw frames DataFrame → generic change DataFrame (vectorized)."""
+    """Raw frames DataFrame → generic change DataFrame (vectorized).
+
+    ``parallelism``: frames land in few large files (one walsender
+    stream), so a raw scan yields only bytes/128 MiB partitions — far
+    under the core count.  A cheap round-robin repartition of the
+    (small, compressed) frame rows spreads the Python decode across
+    the cluster; downstream shuffles re-key anyway, so no ordering is
+    lost (ordering lives in (frame_seq, offset_idx), not partition
+    layout).
+    """
     cfg = config or EngineConfig()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -56,10 +66,28 @@ def decode_changes(
             seqs = batch.column("frame_seq").to_numpy(zero_copy_only=False)
             lsns = batch.column("lsn").to_numpy(zero_copy_only=False)
             frames = batch.column("frame")
-            # sub-chunk so a pathological upstream batch can't blow
-            # memory: decode ≤ arrow_batch_frames frames at a time
-            for lo in range(0, n, arrow_batch_frames):
-                hi = min(lo + arrow_batch_frames, n)
+            # sub-chunk by cumulative frame bytes so one decode pass
+            # stays cache-friendly and bounded regardless of upstream
+            # batch sizing (frames are ≤~4 MiB each)
+            sizes = np.diff(
+                np.frombuffer(
+                    frames.buffers()[1],
+                    dtype=np.int64 if pa.types.is_large_binary(frames.type) else np.int32,
+                    count=n + 1 + frames.offset,
+                )[frames.offset:].astype(np.int64)
+            )
+            cuts = [0]
+            acc = 0
+            for i, s in enumerate(sizes):
+                acc += int(s)
+                if acc >= target_batch_bytes:
+                    cuts.append(i + 1)
+                    acc = 0
+            if cuts[-1] != n:
+                cuts.append(n)
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                if hi <= lo:
+                    continue
                 out = decode_frame_arrow(
                     frames.slice(lo, hi - lo),
                     lsns[lo:hi].astype(np.int64),
@@ -69,4 +97,6 @@ def decode_changes(
                 if out.num_rows:
                     yield out
 
+    if parallelism:
+        frames_df = frames_df.repartition(parallelism)
     return frames_df.mapInArrow(fn, GENERIC_CHANGE_DDL)

@@ -65,6 +65,89 @@ def assign_txn_ids(changes: DataFrame, chunk_shift: int = 8) -> DataFrame:
     )
 
 
+def batch_summary(decoded: DataFrame) -> dict:
+    """One-pass batch pre-scan: commit watermark + observed schema.
+
+    Exploits the producer's flush discipline: COMMIT always flushes
+    the frame (``pg_pb3_ld.c:266-271``) and PG's reorder buffer emits
+    transactions serially in commit order, so *every change message
+    ordered before the last COMMIT of the batch is committed* — commit
+    gating reduces to a scalar watermark instead of a txn-id join.
+
+    Returns ``{commit_ord: (frame_seq, offset_idx, lsn) | None,
+    names: [(name, oid)], max_lsn, max_frame_seq, n_commits}`` from a
+    single aggregation job (schema-evolution probe rides along via
+    ``explode_outer``, which keeps BEGIN/COMMIT rows as null-name
+    groups).
+    """
+    # group by the *whole name array*: a CDC stream has only a handful
+    # of distinct column-list shapes, so this aggregates 100%
+    # map-side into a few groups — no explode, no per-name rows
+    rows = (
+        decoded.groupBy("new_names")
+        .agg(
+            F.max("new_oids").alias("oids"),
+            F.max(
+                F.when(
+                    F.col("op") == "COMMIT",
+                    F.struct("frame_seq", "offset_idx", "lsn"),
+                )
+            ).alias("cord"),
+            F.sum(F.when(F.col("op") == "COMMIT", 1).otherwise(0)).alias("nc"),
+            F.max("lsn").alias("max_lsn"),
+            F.max("frame_seq").alias("max_f"),
+        )
+        .collect()
+    )
+    commit_ord = None
+    seen: dict[str, int] = {}
+    max_lsn = -1
+    max_f = -1
+    n_commits = 0
+    for r in rows:
+        for name, oid in zip(r["new_names"] or [], r["oids"] or []):
+            if oid or name not in seen:
+                seen[name] = max(int(oid), seen.get(name, 0))
+        if r["cord"] is not None:
+            co = (
+                r["cord"]["frame_seq"],
+                r["cord"]["offset_idx"],
+                r["cord"]["lsn"],
+            )
+            if commit_ord is None or co > commit_ord:
+                commit_ord = co
+        n_commits += int(r["nc"])
+        max_lsn = max(max_lsn, r["max_lsn"] if r["max_lsn"] is not None else -1)
+        max_f = max(max_f, r["max_f"] if r["max_f"] is not None else -1)
+    return {
+        "commit_ord": commit_ord,
+        "names": list(seen.items()),
+        "max_lsn": max_lsn,
+        "max_frame_seq": max_f,
+        "n_commits": n_commits,
+    }
+
+
+def gate_by_commit_watermark(
+    decoded: DataFrame, commit_ord: tuple | None, has_commits: bool
+) -> DataFrame:
+    """Keep change messages at-or-before the last COMMIT (see
+    ``batch_summary``).  Streams without commit markers
+    (``commit_messages=false``, pg_pb3_ld.c:133-138) can't be gated —
+    everything passes, matching the reference's contract that such
+    consumers apply changes as they arrive."""
+    data = decoded.where(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    if not has_commits:
+        return data
+    if commit_ord is None:
+        return data.where(F.lit(False))  # batch ends mid-transaction
+    f, o, _ = commit_ord
+    return data.where(
+        (F.col("frame_seq") < f)
+        | ((F.col("frame_seq") == f) & (F.col("offset_idx") < o))
+    )
+
+
 def gate_committed(changes_with_txn: DataFrame) -> DataFrame:
     """Keep only changes belonging to committed transactions (T2).
 

@@ -1,15 +1,31 @@
 """End-to-end apply pipeline (SURVEY.md §3.4).
 
-``raw frames → [hwm filter] → mapInArrow decode (D1) → txn assembly +
-commit gating (D3) → typed projection (D2, pure JVM) → per-key fold
+``raw frames → [hwm filter] → mapInArrow decode (D1) → commit-
+watermark gate (D3) → typed projection (D2, pure JVM) → per-key fold
 (D4, map-side combining agg) → COW MERGE + lineage + watermark commit
 (D5/D6) with additive schema evolution (D7)``.
 
+Scale/action budget: the batch runs exactly THREE Spark actions —
+
+1. ``batch_summary``: one agg pass (commit watermark + schema probe),
+2. fold + per-bucket stats on the folded (persisted, small) output,
+3. the COW MERGE write (row counts via ``observe``, no extra job).
+
+The decode executes twice (passes 1 and 2) instead of being cached:
+at ~150k msg/s/core vectorized it is far cheaper than materializing
+the wide array-column intermediate into Spark's columnar cache.
+Commit gating uses the producer's flush discipline (COMMIT always
+flushes, transactions arrive serially in commit order —
+``decoder/pg_pb3_ld.c:248-272``): everything ordered before the last
+COMMIT of the batch is committed, so gating is a scalar comparison,
+not a txn-id join.  Changes after the last COMMIT (an in-flight
+transaction cut by the micro-batch boundary) are **held back**: the
+caller persists those frames and re-feeds them with the next batch
+(``pending_frames`` in the metrics / ``streaming.runner``).
+
 The high-watermark filter runs on the *frame* table before decode —
 cheapest possible exactly-once: replayed frames are dropped by a
-pushdown-friendly ``lsn > hwm`` predicate against the parquet scan,
-so re-ingesting an already-applied range costs one metadata-pruned
-scan and nothing else.
+pushdown-friendly ``lsn > hwm`` predicate against the parquet scan.
 """
 
 from __future__ import annotations
@@ -21,11 +37,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pg_pb3_ld_spark.config import EngineConfig
 from pg_pb3_ld_spark.operators.decode import decode_changes
 from pg_pb3_ld_spark.operators.fold import fold_changes
-from pg_pb3_ld_spark.operators.project import (
-    observed_wire_columns,
-    project_typed,
-)
-from pg_pb3_ld_spark.operators.txn import assign_txn_ids, gate_committed
+from pg_pb3_ld_spark.operators.project import project_typed
+from pg_pb3_ld_spark.operators.txn import batch_summary, gate_by_commit_watermark
 from pg_pb3_ld_spark.sinks.store import SnapshotStore
 
 
@@ -36,35 +49,84 @@ class IngestPipeline:
     config: EngineConfig = field(default_factory=EngineConfig)
     salt: int = 0                  # D8 explicit two-phase fold knob
     evolve_schema: bool = True     # D7
+    profile: bool = False          # stamp per-phase wall times
 
-    def apply_frames(self, frames_df: DataFrame, batch_id: int = 0) -> dict:
+    def apply_frames(
+        self,
+        frames_df: DataFrame,
+        batch_id: int = 0,
+        pending_out: str | None = None,
+    ) -> dict:
         """Apply one batch of raw frames; returns metrics.
 
         Idempotent: frames at-or-below the store watermark are
         filtered out, so replaying any prefix/suffix of the stream
         (including the whole stream) converges to the same snapshot.
+
+        ``pending_out``: directory to write held-back frames (the
+        uncommitted tail) as parquet for the next micro-batch.
         """
+        import time as _time
+
         hwm_lsn, hwm_frame = self.store.hwm()
         fresh = frames_df.where(
             (F.col("lsn") > hwm_lsn)
             | ((F.col("lsn") == hwm_lsn) & (F.col("frame_seq") > hwm_frame))
         )
 
-        # decode runs Python; several downstream actions (txn prefix
-        # sum, schema probe, merge) would each re-run it — persist the
-        # decoded batch once (spills to disk if it outgrows memory)
-        decoded = decode_changes(fresh, self.config).persist()
-        try:
-            changes = assign_txn_ids(decoded)
-            gated = gate_committed(changes)
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = decode_changes(fresh, self.config, parallelism=par)
 
-            schema = self.store.schema
-            if self.evolve_schema:
-                observed = observed_wire_columns(gated)
-                schema = self.store.evolved_schema(observed)
+        times: dict[str, float] = {}
+        t0 = _time.time()
+        summary = batch_summary(decoded)
+        times["summary"] = _time.time() - t0
 
-            typed = project_typed(gated, schema)
-            folded = fold_changes(typed, schema, salt=self.salt)
-            return self.store.merge(folded, schema=schema, batch_id=batch_id)
-        finally:
-            decoded.unpersist()
+        schema = self.store.schema
+        if self.evolve_schema and summary["names"]:
+            schema = self.store.evolved_schema(summary["names"])
+
+        commit_ord = summary["commit_ord"]
+        gated = gate_by_commit_watermark(
+            decoded, commit_ord, has_commits=self.config.commit_messages
+        )
+        typed = project_typed(gated, schema)
+        folded = fold_changes(typed, schema, salt=self.salt)
+
+        # the applied watermark is the commit point, not the batch max
+        # — held-back frames must stay above the hwm to re-apply later
+        batch_hwm = None
+        if self.config.commit_messages and commit_ord is not None:
+            batch_hwm = (commit_ord[2], commit_ord[0])
+
+        t0 = _time.time()
+        if self.config.commit_messages and commit_ord is None:
+            # batch ended mid-transaction: nothing committed, all pends
+            metrics = {"applied_keys": 0, "applied_changes": 0,
+                       "skipped": True}
+        else:
+            metrics = self.store.merge(
+                folded, schema=schema, batch_id=batch_id,
+                hwm_override=batch_hwm,
+            )
+        times["merge"] = _time.time() - t0
+
+        # hold back the uncommitted tail for the next micro-batch
+        n_pending = 0
+        if pending_out is not None and self.config.commit_messages:
+            from pyspark.sql import Observation
+
+            wm_frame = commit_ord[0] if commit_ord else hwm_frame
+            obs = Observation(f"pending_{batch_id}")
+            pending = fresh.where(F.col("frame_seq") > wm_frame).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            t0 = _time.time()
+            pending.write.mode("overwrite").parquet(pending_out)
+            n_pending = int(obs.get["n"])
+            times["pending"] = _time.time() - t0
+        metrics["pending_frames"] = n_pending
+
+        if self.profile:
+            metrics["phase_sec"] = {k: round(v, 2) for k, v in times.items()}
+        return metrics

@@ -19,6 +19,13 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # glibc mmap()s every >128 KiB allocation and munmap()s it on
+    # free, so each large numpy temp in the decode stage pays fresh
+    # first-touch page faults — catastrophically slow under some
+    # hypervisors (measured 5× end-to-end decode here).  Keep big
+    # blocks on the heap instead; memory headroom is ample.
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     )
@@ -34,13 +41,15 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # keep Python decode batches bounded: frames are ≤~4 MiB each
-        # (pg_pb3_ld.c:96-97), so 256 frames ≈ ≤1 GiB worst case and
-        # ~dozens of MiB typical per Arrow batch
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # the decode stage sub-chunks its own Arrow batches by bytes,
+        # so the row-count cap can stay generous
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # propagate the malloc tuning to executor python workers
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

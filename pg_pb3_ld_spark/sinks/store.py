@@ -211,6 +211,7 @@ class SnapshotStore:
         folded: DataFrame,
         schema: TargetSchema | None = None,
         batch_id: int | None = None,
+        hwm_override: tuple[int, int] | None = None,
     ) -> dict:
         """Apply one folded change batch as a COW MERGE; commit a new
         snapshot atomically.  Returns the batch metrics dict.
@@ -218,13 +219,17 @@ class SnapshotStore:
         ``schema`` may be an evolved superset of the store schema
         (D7); the new snapshot records the evolved columns.
         """
+        import time as _time
+
         schema = schema or self.schema
         keys = [c.name for c in schema.key_columns]
         vals = [c.name for c in schema.value_columns]
+        _t: dict[str, float] = {}
 
         src = folded.withColumn("_bucket", self.bucket_expr(keys[0]))
         src = src.persist()
         try:
+            _t0 = _time.time()
             # batch stats: tiny agg (drives hwm + affected buckets)
             stats = src.groupBy("_bucket").agg(
                 F.count(F.lit(1)).alias("n_keys"),
@@ -234,6 +239,7 @@ class SnapshotStore:
                 F.max("last_lsn").alias("lsn_max"),
                 F.max("last_frame_seq").alias("frame_max"),
             ).collect()
+            _t["stats"] = _time.time() - _t0
             if not stats:
                 return {"applied_keys": 0, "skipped": True}
             affected = sorted(int(r["_bucket"]) for r in stats)
@@ -282,6 +288,7 @@ class SnapshotStore:
                 obs,
                 F.count(F.lit(1)).alias("rows_written"),
             )
+            _t0 = _time.time()
             (
                 result.repartition(max(len(affected), 1), F.col("_bucket"))
                 .sortWithinPartitions(*keys)
@@ -290,6 +297,7 @@ class SnapshotStore:
                 .parquet(data_dir)
             )
             rows_written = obs.get["rows_written"]
+            _t["write"] = _time.time() - _t0
 
             # files map: affected buckets → new dirs; others inherited.
             # partitionBy writes _bucket=K dirs, but as a *partition*
@@ -308,8 +316,11 @@ class SnapshotStore:
                     files.pop(str(b), None)  # bucket emptied by deletes
 
             old_lsn, old_frame = self.hwm()
-            batch_lsn = max(int(r["lsn_max"]) for r in stats)
-            batch_frame = max(int(r["frame_max"]) for r in stats)
+            if hwm_override is not None:
+                batch_lsn, batch_frame = hwm_override
+            else:
+                batch_lsn = max(int(r["lsn_max"]) for r in stats)
+                batch_frame = max(int(r["frame_max"]) for r in stats)
             lineage = dict(self._meta["lineage"])
             for r in stats:
                 lineage[str(int(r["_bucket"]))] = {
@@ -346,6 +357,7 @@ class SnapshotStore:
             self._meta = meta
 
             return {
+                "merge_phase_sec": {k: round(v, 2) for k, v in _t.items()},
                 "snapshot_id": new_id,
                 "applied_keys": int(sum(r["n_keys"] for r in stats)),
                 "applied_changes": int(sum(r["n_changes"] for r in stats)),

@@ -44,11 +44,24 @@ def run_stream(
     Returns the list of per-batch metrics dicts (also appended to
     ``collect_metrics`` if given, for callers that want live access).
     """
+    import os
+
     metrics = collect_metrics if collect_metrics is not None else []
     pipe = IngestPipeline(spark, store, config or EngineConfig(), salt=salt)
+    # uncommitted-tail carryover: a micro-batch may end mid-transaction
+    # (the file source cuts on file boundaries, not commit boundaries);
+    # those frames are written here and unioned into the next batch —
+    # the store hwm makes double-feeding idempotent
+    pending_a = os.path.join(store.root, "pending_a")
+    pending_b = os.path.join(store.root, "pending_b")
 
     def apply_batch(df, batch_id: int):
-        m = pipe.apply_frames(df, batch_id=batch_id)
+        src, dst = (
+            (pending_a, pending_b) if batch_id % 2 == 0 else (pending_b, pending_a)
+        )
+        if os.path.exists(src):
+            df = df.unionByName(spark.read.parquet(src))
+        m = pipe.apply_frames(df, batch_id=batch_id, pending_out=dst)
         m["batch_id"] = batch_id
         metrics.append(m)
 
