@@ -126,6 +126,10 @@ class EngineConfig:
     shuffle_partitions: int = 32
     salt_partitions: int = 8     # two-phase fold fan-out for hot keys
     arrow_max_records: int = 65536
+    # require dense frame_seq above the watermark per batch — catches
+    # out-of-order sources (which would silently lose data under an
+    # LSN watermark) at apply time
+    strict_frame_order: bool = True
 
     _parsed_ranges: list[tuple[int, int]] = field(
         default_factory=list, repr=False

@@ -80,6 +80,7 @@ def generate_stream(
     evolve_at: float = 0.6,
     empty_txn_every: int = 17,
     binary_values: bool = True,
+    conv_prefix: str = "conv",
 ) -> GeneratedStream:
     """Deterministic CDC stream over the transcripts table.
 
@@ -107,7 +108,7 @@ def generate_stream(
     n_changes = 0
     n_txns = 0
 
-    conv_ids = [f"conv-{i:05d}" for i in range(n_convs)]
+    conv_ids = [f"{conv_prefix}-{i:05d}" for i in range(n_convs)]
     hot = conv_ids[0]
 
     def fv(name: str, value, oid: int) -> FieldValue:
@@ -292,6 +293,52 @@ def generate_stream(
     return GeneratedStream(frames, oracle, schema, n_changes, n_txns)
 
 
+def _gen_shard(args: tuple) -> GeneratedStream:
+    shard, kwargs = args
+    return generate_stream(
+        seed=kwargs.pop("seed", 42) + shard * 1009,
+        conv_prefix=f"c{shard:02d}",
+        **kwargs,
+    )
+
+
+def generate_stream_sharded(
+    n_shards: int = 8, seed: int = 42, **kwargs
+) -> GeneratedStream:
+    """Parallel generation: shards own disjoint conv-id spaces, their
+    frame sequences are concatenated with re-based frame_seq/LSN
+    (conversation interleaving across shards isn't needed — different
+    convs never share keys, so apply semantics are unaffected)."""
+    import multiprocessing as mp
+
+    jobs = [(s, {"seed": seed, **kwargs}) for s in range(n_shards)]
+    if n_shards <= 1:
+        shards = [_gen_shard(jobs[0])]
+    else:
+        with mp.Pool(min(n_shards, mp.cpu_count())) as pool:
+            shards = pool.map(_gen_shard, jobs)
+    frames: list[tuple[int, int, bytes]] = []
+    oracle: dict = {}
+    schema = shards[0].schema
+    n_changes = 0
+    n_txns = 0
+    lsn_base = 0
+    seq = 0
+    for st in shards:
+        top = 0
+        for _, lsn, frame in st.frames:
+            frames.append((seq, lsn + lsn_base, frame))
+            seq += 1
+            top = max(top, lsn + len(frame) + 1)
+        lsn_base += top + 1000
+        oracle.update(st.oracle)
+        n_changes += st.n_changes
+        n_txns += st.n_txns
+        for c in st.schema.columns:
+            schema = schema.with_column(c)
+    return GeneratedStream(frames, oracle, schema, n_changes, n_txns)
+
+
 def _frames_table(frames: list[tuple[int, int, bytes]]):
     import pyarrow as pa
 
@@ -324,18 +371,24 @@ def write_frames_parquet_dir(
 
     import pyarrow.parquet as pq
 
+    import time as _time
+
     os.makedirs(dirpath, exist_ok=True)
     n = len(stream.frames)
     per = (n + n_files - 1) // n_files
     end_file = n_files if end_file is None else end_file
     written = 0
+    # strictly increasing mtimes: Spark's file source orders batches
+    # by modification time with arbitrary tie-breaks; a real landing
+    # zone produces files over time, so emulate that — the pipeline's
+    # LSN watermark requires in-order delivery (strict_frame_order)
+    base = _time.time() - 86_400
     for i in range(start_file, min(end_file, n_files)):
         chunk = stream.frames[i * per : (i + 1) * per]
         if not chunk:
             continue
-        pq.write_table(
-            _frames_table(chunk),
-            os.path.join(dirpath, f"frames-{i:04d}.parquet"),
-        )
+        path = os.path.join(dirpath, f"frames-{i:04d}.parquet")
+        pq.write_table(_frames_table(chunk), path)
+        os.utime(path, (base + i, base + i))
         written += 1
     return written

@@ -33,9 +33,15 @@ from pg_pb3_ld_spark.schema import TargetSchema
 
 ORD = ("frame_seq", "offset_idx")
 
+# WAL order packed into ONE long: a 4 MiB frame can't hold 2^20
+# messages (min message size ≫ 4 bytes), so (frame_seq << 20 | offset)
+# is totally ordered and makes every fold aggregate compare a flat
+# int64 instead of a nested struct — the fold is the hottest shuffle
+ORD_SHIFT = 20
+
 
 def _ord() -> F.Column:
-    return F.struct(*[F.col(c) for c in ORD])
+    return F.shiftleft(F.col("frame_seq"), ORD_SHIFT) + F.col("offset_idx")
 
 
 def fold_changes(
@@ -113,7 +119,9 @@ def fold_changes(
         )
     out_cols += [
         F.col("_last_lsn").getField("lsn").alias("last_lsn"),
-        F.col("_last").getField("o").getField("frame_seq").alias("last_frame_seq"),
+        F.shiftright(
+            F.col("_last").getField("o"), ORD_SHIFT
+        ).alias("last_frame_seq"),
         F.col("n_changes"),
     ]
     return agg.select(*out_cols)

@@ -74,6 +74,29 @@ class IngestPipeline:
             | ((F.col("lsn") == hwm_lsn) & (F.col("frame_seq") > hwm_frame))
         )
 
+        # Transport-order guard.  The LSN watermark is only sound if
+        # the source hands frames over in order (the reference's
+        # replication stream guarantees it; Kafka per partition and a
+        # name-ordered landing zone do too).  Spark's file source
+        # orders by modification time with ties broken arbitrarily —
+        # if a batch skips frames, later frames would silently land
+        # below the advanced watermark and be dropped as replays.
+        # Fail fast instead: above-watermark frame_seqs must be dense.
+        if self.config.strict_frame_order:
+            g = fresh.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("frame_seq").alias("lo"),
+                F.max("frame_seq").alias("hi"),
+            ).collect()[0]
+            if g["n"] and g["n"] != g["hi"] - g["lo"] + 1:
+                raise RuntimeError(
+                    "out-of-order frame delivery: batch covers "
+                    f"frame_seq [{g['lo']}, {g['hi']}] but holds only "
+                    f"{g['n']} frames — the source must deliver frames "
+                    "in LSN order (fix the landing-zone ordering or "
+                    "disable config.strict_frame_order)"
+                )
+
         par = self.spark.sparkContext.defaultParallelism
         decoded = decode_changes(fresh, self.config, parallelism=par)
 

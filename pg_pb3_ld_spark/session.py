@@ -32,6 +32,13 @@ def build_session(
     if shuffle_partitions is None:
         cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+    try:
+        n_cores = int(master[master.find("[") + 1 : master.find("]")])
+    except (ValueError, IndexError):
+        n_cores = os.cpu_count() or 8
+    # heap must scale with cores or GC becomes the scalability ceiling
+    # (single-JVM local mode shares one heap across all task threads)
+    default_mem = f"{max(8, 2 * n_cores)}g"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,12 +52,20 @@ def build_session(
         # so the row-count cap can stay generous
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
         # propagate the malloc tuning to executor python workers
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
+    # shuffle spill on the sandbox's ~200 MB/s virtual disk serializes
+    # every stage; a real cluster has per-node NVMe. tmpfs restores an
+    # I/O bandwidth that scales with cores.
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        local_dir = os.path.join(shm, "spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
