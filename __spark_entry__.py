@@ -503,6 +503,25 @@ def q_ann_knn_label_vote(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes treated as opaque media
+    blobs → Arrow-batched mapInPandas feature extraction (stubbed
+    decoders with deterministic fakes; real schema/batching/error
+    capture — see functions/multimodal.py)."""
+    from pg_pb3_ld_spark.functions.multimodal import extract_media_features
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    out = extract_media_features(docs, deterministic_fake=True)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "kind", "n_bytes",
+        "sample0", "sample1", "sample2", "sample3", "digest",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_last_wins": q_dedup_last_wins,
     "txn_assembly": q_txn_assembly,
@@ -523,6 +542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_knn_label_vote": q_ann_knn_label_vote,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -671,6 +691,18 @@ def _extra_oracles() -> dict[str, str]:
                    count(*) AS n_vecs,
                    min(vec_id) AS min_vec_id
             FROM embeddings GROUP BY 1
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image'
+                        ELSE 'audio' END AS kind,
+                   CAST(length(text) AS INT) AS n_bytes,
+                   ascii(substr(text, CAST((length(text)-1)*0/4 AS INT) + 1, 1)) AS sample0,
+                   ascii(substr(text, CAST(floor((length(text)-1)*1/4.0) AS INT) + 1, 1)) AS sample1,
+                   ascii(substr(text, CAST(floor((length(text)-1)*2/4.0) AS INT) + 1, 1)) AS sample2,
+                   ascii(substr(text, CAST(floor((length(text)-1)*3/4.0) AS INT) + 1, 1)) AS sample3,
+                   md5(text) AS digest
+            FROM documents
         """,
         "ann_knn_label_vote": f"""
             WITH q AS (

@@ -100,3 +100,71 @@ def decode_changes(
     if parallelism:
         frames_df = frames_df.repartition(parallelism)
     return frames_df.mapInArrow(fn, GENERIC_CHANGE_DDL)
+
+
+def decode_typed_changes(
+    frames_df: DataFrame,
+    schema,
+    config: EngineConfig | None = None,
+    target_batch_bytes: int = 64 * 1024 * 1024,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """D1+D2 fused: frames → typed change rows in ONE Arrow stage.
+
+    The merge hot path: value casting happens vectorized inside the
+    Python stage (see ``pb3.decoder.decode_frame_typed``), so the
+    shuffle carries narrow typed rows instead of wide array columns,
+    and no JVM re-shaping (array_position / hex / conv) runs at all.
+    """
+    from pg_pb3_ld_spark.pb3.decoder import decode_frame_typed, typed_arrow_schema
+
+    cfg = config or EngineConfig()
+    out_ddl = (
+        "frame_seq long, lsn long, offset_idx int, op string, "
+        "table_name string, "
+        + ", ".join(
+            f"{c.name} {c.spark_type}, {c.name}_set boolean"
+            for c in schema.columns
+        )
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            seqs = batch.column("frame_seq").to_numpy(zero_copy_only=False)
+            lsns = batch.column("lsn").to_numpy(zero_copy_only=False)
+            frames = batch.column("frame")
+            sizes = np.diff(
+                np.frombuffer(
+                    frames.buffers()[1],
+                    dtype=np.int64 if pa.types.is_large_binary(frames.type) else np.int32,
+                    count=n + 1 + frames.offset,
+                )[frames.offset:].astype(np.int64)
+            )
+            cuts = [0]
+            acc = 0
+            for i, s in enumerate(sizes):
+                acc += int(s)
+                if acc >= target_batch_bytes:
+                    cuts.append(i + 1)
+                    acc = 0
+            if cuts[-1] != n:
+                cuts.append(n)
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                if hi <= lo:
+                    continue
+                out = decode_frame_typed(
+                    frames.slice(lo, hi - lo),
+                    lsns[lo:hi].astype(np.int64),
+                    seqs[lo:hi].astype(np.int64),
+                    schema,
+                    cfg,
+                )
+                if out.num_rows:
+                    yield out
+
+    if parallelism:
+        frames_df = frames_df.repartition(parallelism)
+    return frames_df.mapInArrow(fn, out_ddl)

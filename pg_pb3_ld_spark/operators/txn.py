@@ -135,16 +135,32 @@ def gate_by_commit_watermark(
     ``batch_summary``).  Streams without commit markers
     (``commit_messages=false``, pg_pb3_ld.c:133-138) can't be gated —
     everything passes, matching the reference's contract that such
-    consumers apply changes as they arrive."""
+    consumers apply changes as they arrive.
+
+    The watermark is delivered through a broadcast one-row DataFrame,
+    NOT a literal: Catalyst inlines literals into generated Java, so
+    a per-batch literal would force a whole-stage-codegen recompile
+    (multi-second, serial, on the driver) of the entire downstream
+    project/fold/merge plan every micro-batch.  With the value in
+    data, the generated source — and the Janino cache entry — is
+    stable across batches.
+    """
+    from pg_pb3_ld_spark.operators.fold import ORD_SHIFT
+
     data = decoded.where(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     if not has_commits:
         return data
     if commit_ord is None:
         return data.where(F.lit(False))  # batch ends mid-transaction
     f, o, _ = commit_ord
-    return data.where(
-        (F.col("frame_seq") < f)
-        | ((F.col("frame_seq") == f) & (F.col("offset_idx") < o))
+    wm = data.sparkSession.createDataFrame(
+        [((f << ORD_SHIFT) + o,)], "_wm long"
+    )
+    packed = F.shiftleft(F.col("frame_seq"), ORD_SHIFT) + F.col("offset_idx")
+    return (
+        data.join(F.broadcast(wm))
+        .where(packed < F.col("_wm"))
+        .drop("_wm")
     )
 
 

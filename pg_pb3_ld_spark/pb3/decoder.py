@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pg_pb3_ld_spark.config import EngineConfig, MODE_DISABLED, MODE_FULL, MODE_OMIT_NULLS
 from pg_pb3_ld_spark.pb3 import wire
@@ -475,6 +476,32 @@ def decode_frame_arrow(
     )
 
 
+@dataclass
+class DecodedCore:
+    """Steps 1-6 of the decode: everything both finishers need."""
+
+    data: np.ndarray
+    n_msgs: int
+    msg_frame: np.ndarray
+    msg_type: np.ndarray
+    offset_idx: np.ndarray
+    chg_ids: np.ndarray
+    kf_ids: np.ndarray          # local (within chg) msgs with key_fields
+    nv_ids: np.ndarray          # local msgs with new_values
+    kf_cols: "FieldSetColumns"
+    nv_cols: "FieldSetColumns"
+    sn_p: np.ndarray
+    sn_off: np.ndarray
+    sn_len: np.ndarray
+    tn_p: np.ndarray
+    tn_off: np.ndarray
+    tn_len: np.ndarray
+    toid_p: np.ndarray
+    toid_v: np.ndarray
+    lsns: np.ndarray
+    frame_seqs: np.ndarray
+
+
 def decode_frame_buffer(
     data: np.ndarray,
     frame_starts: np.ndarray,
@@ -483,7 +510,23 @@ def decode_frame_buffer(
     frame_seqs: np.ndarray,
     config: EngineConfig | None = None,
 ) -> pa.RecordBatch:
-    """Decode a batch of wire frames into a columnar change batch.
+    """Decode a batch of wire frames into the generic columnar change
+    batch (parallel-array FieldSets)."""
+    core = _decode_core(data, frame_starts, frame_ends, lsns, frame_seqs, config)
+    if core is None:
+        return pa.RecordBatch.from_pylist([], schema=GENERIC_ARROW_SCHEMA)
+    return _finish_generic(core)
+
+
+def _decode_core(
+    data: np.ndarray,
+    frame_starts: np.ndarray,
+    frame_ends: np.ndarray,
+    lsns: np.ndarray,
+    frame_seqs: np.ndarray,
+    config: EngineConfig | None = None,
+) -> DecodedCore | None:
+    """Steps 1-6: frames → messages → submessages → field sets.
 
     Every stage is vectorized across frames / messages / columns via
     the lockstep parser — no per-frame or per-message Python.
@@ -491,7 +534,7 @@ def decode_frame_buffer(
     config = config or EngineConfig()
     n_frames = len(frame_starts)
     if n_frames == 0:
-        return pa.RecordBatch.from_pylist([], schema=GENERIC_ARROW_SCHEMA)
+        return None
 
     # 1. header-length varints at each frame start (common.go:193-205)
     hdr_lens, hdr_starts = read_varints(data, frame_starts)
@@ -571,30 +614,44 @@ def decode_frame_buffer(
     nv_cols = decode_field_sets(
         data, nv_off[nv_ids], nv_off[nv_ids] + nv_len[nv_ids], config
     )
+    return DecodedCore(
+        data=data, n_msgs=n_msgs, msg_frame=msg_frame, msg_type=msg_type,
+        offset_idx=offset_idx, chg_ids=chg_ids, kf_ids=kf_ids,
+        nv_ids=nv_ids, kf_cols=kf_cols, nv_cols=nv_cols,
+        sn_p=sn_p, sn_off=sn_off, sn_len=sn_len,
+        tn_p=tn_p, tn_off=tn_off, tn_len=tn_len,
+        toid_p=toid_p, toid_v=toid_v, lsns=lsns, frame_seqs=frame_seqs,
+    )
 
-    # 7. assemble arrow arrays (full message list incl. BEGIN/COMMIT)
-    op_dict = pa.array(
+
+def _op_array(msg_type: np.ndarray) -> pa.Array:
+    # 5 distinct values; list comp over message kinds is fine for the
+    # op label — O(n_msgs) tiny-string lookups
+    return pa.array(
         [wire.WMSG_NAMES.get(int(t), "UNKNOWN") for t in msg_type],
         type=pa.utf8(),
-    )  # 5 distinct values; list comp over message kinds is fine for
-    #    the op label — this is O(n_msgs) tiny-string lookups; swap to
-    #    dictionary encode if it ever shows up in profiles
+    )
 
-    def scatter_str(off, lens, present_local):
-        """Per-change string → full message list (null elsewhere)."""
-        full_off = np.zeros(n_msgs, dtype=np.int64)
-        full_len = np.zeros(n_msgs, dtype=np.int64)
-        mask = np.zeros(n_msgs, dtype=bool)
-        sel = chg_ids[present_local]
-        full_off[sel] = off[present_local]
-        full_len[sel] = lens[present_local]
-        mask[sel] = True
-        return _binary_array(data, full_off, full_len, mask=mask, utf8=True)
 
-    schema_name_arr = scatter_str(sn_off, sn_len, sn_p)
-    table_name_arr = scatter_str(tn_off, tn_len, tn_p)
+def _scatter_str(core: DecodedCore, off, lens, present_local):
+    """Per-change string → full message list (null elsewhere)."""
+    full_off = np.zeros(core.n_msgs, dtype=np.int64)
+    full_len = np.zeros(core.n_msgs, dtype=np.int64)
+    mask = np.zeros(core.n_msgs, dtype=bool)
+    sel = core.chg_ids[present_local]
+    full_off[sel] = off[present_local]
+    full_len[sel] = lens[present_local]
+    mask[sel] = True
+    return _binary_array(core.data, full_off, full_len, mask=mask, utf8=True)
+
+
+def _finish_generic(core: DecodedCore) -> pa.RecordBatch:
+    """Step 7 (generic): parallel-array FieldSet list columns."""
+    n_msgs = core.n_msgs
+    schema_name_arr = _scatter_str(core, core.sn_off, core.sn_len, core.sn_p)
+    table_name_arr = _scatter_str(core, core.tn_off, core.tn_len, core.tn_p)
     table_oid_full = np.full(n_msgs, -1, dtype=np.int64)
-    table_oid_full[chg_ids[toid_p]] = toid_v[toid_p].astype(np.int64)
+    table_oid_full[core.chg_ids[core.toid_p]] = core.toid_v[core.toid_p].astype(np.int64)
     toid_mask = table_oid_full >= 0
     table_oid_arr = pa.array(
         np.where(toid_mask, table_oid_full, 0), type=pa.int64(),
@@ -613,17 +670,17 @@ def decode_frame_buffer(
         )
 
     k_names, k_values, k_nulls, k_oids, k_formats = fsd_lists(
-        kf_cols, chg_ids[kf_ids]
+        core.kf_cols, core.chg_ids[core.kf_ids]
     )
     n_names, n_values, n_nulls, n_oids, n_formats = fsd_lists(
-        nv_cols, chg_ids[nv_ids]
+        core.nv_cols, core.chg_ids[core.nv_ids]
     )
 
     arrays = [
-        pa.array(frame_seqs[msg_frame], pa.int64()),
-        pa.array(lsns[msg_frame], pa.int64()),
-        pa.array(offset_idx, pa.int32()),
-        op_dict,
+        pa.array(core.frame_seqs[core.msg_frame], pa.int64()),
+        pa.array(core.lsns[core.msg_frame], pa.int64()),
+        pa.array(core.offset_idx, pa.int32()),
+        _op_array(core.msg_type),
         schema_name_arr,
         table_name_arr,
         table_oid_arr,
@@ -631,3 +688,134 @@ def decode_frame_buffer(
         n_names, n_values, n_nulls, n_oids, n_formats,
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=GENERIC_ARROW_SCHEMA)
+
+
+def typed_arrow_schema(schema) -> pa.Schema:
+    """Arrow schema of the typed decode output for a TargetSchema."""
+    from pg_pb3_ld_spark.pb3.pgtypes import _arrow_type
+
+    fields = [
+        ("frame_seq", pa.int64()),
+        ("lsn", pa.int64()),
+        ("offset_idx", pa.int32()),
+        ("op", pa.utf8()),
+        ("table_name", pa.utf8()),
+    ]
+    for c in schema.columns:
+        fields.append((c.name, _arrow_type(c.spark_type)))
+        fields.append((f"{c.name}_set", pa.bool_()))
+    return pa.schema(fields)
+
+
+def decode_frame_typed(
+    frame_col: pa.Array,
+    lsns: np.ndarray,
+    frame_seqs: np.ndarray,
+    schema,
+    config: EngineConfig | None = None,
+) -> pa.RecordBatch:
+    """D1+D2 fused: frames → TYPED change rows in one vectorized pass.
+
+    The hot-path variant: instead of materializing the generic
+    parallel-array columns and re-shaping them with JVM expressions
+    (≈50 µs/row of array_position/conv/hex work), each target column
+    is extracted and cast **inside the Arrow stage** with numpy /
+    pyarrow compute (≈1-2 µs/row), so the rows entering the shuffle
+    are already narrow and typed.  Key columns resolve from
+    ``key_fields`` when present (UPDATE/DELETE,
+    ``fsd_populate_via_index`` — decoder/fsd.c:82-113) and fall back
+    to ``new_values`` (INSERT carries no key fields,
+    ``pg_pb3_ld.c:340-356``); value columns come from ``new_values``
+    with TOAST-omission preserved via the ``<col>_set`` flags
+    (absent ≠ NULL, decoder/fsd.c:163-175).
+    """
+    from pg_pb3_ld_spark.pb3.pgtypes import _arrow_type, decode_column
+
+    arrow_schema = typed_arrow_schema(schema)
+    if isinstance(frame_col, pa.ChunkedArray):
+        frame_col = frame_col.combine_chunks()
+    n = len(frame_col)
+    if n == 0:
+        return pa.RecordBatch.from_pylist([], schema=arrow_schema)
+    buffers = frame_col.buffers()
+    width = 8 if pa.types.is_large_binary(frame_col.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(
+        buffers[1], dtype=odt, count=n + 1 + frame_col.offset
+    )[frame_col.offset:].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    core = _decode_core(data, offsets[:-1], offsets[1:], lsns, frame_seqs, config)
+    if core is None:
+        return pa.RecordBatch.from_pylist([], schema=arrow_schema)
+    n_msgs = core.n_msgs
+
+    def column_from(cols: FieldSetColumns, msg_of_fsd: np.ndarray, name: str):
+        """Extract one named column across all messages of a fsd set.
+
+        Returns (msg_ids, values sub-array, is_null, is_binary, oids)
+        with last-wins on duplicate names (entries are in wire order).
+        """
+        if len(cols.fsd_idx) == 0:
+            empty = np.zeros(0, dtype=np.int64)
+            return empty, cols.values.slice(0, 0), np.zeros(0, bool), np.zeros(0, bool)
+        mask = pc.equal(cols.names, name)
+        idx = np.flatnonzero(
+            mask.to_numpy(zero_copy_only=False).astype(bool)
+        )
+        if len(idx) == 0:
+            empty = np.zeros(0, dtype=np.int64)
+            return empty, cols.values.slice(0, 0), np.zeros(0, bool), np.zeros(0, bool)
+        msg_ids = msg_of_fsd[cols.fsd_idx[idx]]
+        # last occurrence per message wins: entries sorted by
+        # (fsd, col order), keep the final one
+        keep = np.append(msg_ids[1:] != msg_ids[:-1], True)
+        idx = idx[keep]
+        msg_ids = msg_ids[keep]
+        vals = cols.values.take(pa.array(idx, pa.int64()))
+        return msg_ids, vals, cols.is_null[idx], cols.is_binary[idx]
+
+    def typed_full(msg_ids, sub_typed: pa.Array, n_rows: int) -> pa.Array:
+        """Scatter a decoded sub-array to the full message axis."""
+        pos = np.full(n_rows, -1, dtype=np.int64)
+        pos[msg_ids] = np.arange(len(sub_typed))
+        return sub_typed.take(pa.array(pos, pa.int64(), mask=pos < 0))
+
+    kf_msgs = core.chg_ids[core.kf_ids]
+    nv_msgs = core.chg_ids[core.nv_ids]
+
+    arrays = [
+        pa.array(core.frame_seqs[core.msg_frame], pa.int64()),
+        pa.array(core.lsns[core.msg_frame], pa.int64()),
+        pa.array(core.offset_idx, pa.int32()),
+        _op_array(core.msg_type),
+        _scatter_str(core, core.tn_off, core.tn_len, core.tn_p),
+    ]
+    for col in schema.columns:
+        atype = _arrow_type(col.spark_type)
+        m_nv, v_nv, null_nv, bin_nv = column_from(
+            core.nv_cols, nv_msgs, col.name
+        )
+        t_nv = decode_column(v_nv, null_nv, bin_nv, col.type_oid, col.spark_type)
+        present = np.zeros(n_msgs, dtype=bool)
+        present[m_nv] = True
+        if col.is_key:
+            # key fields win when the message carries them (U/D)
+            m_kf, v_kf, null_kf, bin_kf = column_from(
+                core.kf_cols, kf_msgs, col.name
+            )
+            t_kf = decode_column(
+                v_kf, null_kf, bin_kf, col.type_oid, col.spark_type
+            )
+            combined = typed_full(m_nv, t_nv, n_msgs)
+            kf_full = typed_full(m_kf, t_kf, n_msgs)
+            kf_mask = np.zeros(n_msgs, dtype=bool)
+            kf_mask[m_kf] = True
+            combined = pc.if_else(
+                pa.array(kf_mask), kf_full, combined
+            )
+            present |= kf_mask
+            arrays.append(combined.cast(atype))
+        else:
+            arrays.append(typed_full(m_nv, t_nv, n_msgs).cast(atype))
+        arrays.append(pa.array(present))
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)

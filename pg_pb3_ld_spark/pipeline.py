@@ -35,9 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg_pb3_ld_spark.config import EngineConfig
-from pg_pb3_ld_spark.operators.decode import decode_changes
+from pg_pb3_ld_spark.operators.decode import decode_changes, decode_typed_changes
 from pg_pb3_ld_spark.operators.fold import fold_changes
-from pg_pb3_ld_spark.operators.project import project_typed
 from pg_pb3_ld_spark.operators.txn import batch_summary, gate_by_commit_watermark
 from pg_pb3_ld_spark.sinks.store import SnapshotStore
 
@@ -110,11 +109,15 @@ class IngestPipeline:
             schema = self.store.evolved_schema(summary["names"])
 
         commit_ord = summary["commit_ord"]
+        # hot path: typed decode (D1+D2 fused in the Arrow stage) —
+        # the shuffle sees narrow typed rows, no JVM re-shaping
+        typed_all = decode_typed_changes(
+            fresh, schema, self.config, parallelism=par
+        ).where(F.col("table_name") == schema.table)
         gated = gate_by_commit_watermark(
-            decoded, commit_ord, has_commits=self.config.commit_messages
+            typed_all, commit_ord, has_commits=self.config.commit_messages
         )
-        typed = project_typed(gated, schema)
-        folded = fold_changes(typed, schema, salt=self.salt)
+        folded = fold_changes(gated, schema, salt=self.salt)
 
         # the applied watermark is the commit point, not the batch max
         # — held-back frames must stay above the hwm to re-apply later
