@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "3000"))
-N_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "120000"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "16000"))
+N_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "640000"))
 N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
 N_SHARDS = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "8"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
