@@ -87,7 +87,21 @@ def cached_frames() -> tuple[str, dict]:
     return path, info
 
 
+def wait_for_quiet(threshold: float = 2.0, max_wait: int = 900) -> float:
+    """The sandbox shares its host with foreign load that swings runs
+    2-3×; start measured runs only in quiet windows."""
+    waited = 0
+    while waited < max_wait:
+        load = os.getloadavg()[0]
+        if load < threshold:
+            return load
+        time.sleep(15)
+        waited += 15
+    return os.getloadavg()[0]
+
+
 def run_level(cores: int, frames_path: str) -> float:
+    wait_for_quiet()
     code = _RUN_CODE.format(repo=REPO, cores=cores, frames=frames_path)
     out = subprocess.run(
         [sys.executable, "-c", code],

@@ -102,6 +102,41 @@ def decode_changes(
     return frames_df.mapInArrow(fn, GENERIC_CHANGE_DDL)
 
 
+SUMMARY_DDL = (
+    "frame_seq long, lsn long, offset_idx int, op string, "
+    "new_names array<string>, new_oids array<long>"
+)
+
+
+def decode_summary_changes(
+    frames_df: DataFrame,
+    config: EngineConfig | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Light decode for the batch pre-scan (commit watermark + schema
+    probe): ops, ordering, column names — value bytes never gathered."""
+    from pg_pb3_ld_spark.pb3.decoder import decode_frame_summary
+
+    cfg = config or EngineConfig()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            out = decode_frame_summary(
+                batch.column("frame"),
+                batch.column("lsn").to_numpy(zero_copy_only=False).astype(np.int64),
+                batch.column("frame_seq").to_numpy(zero_copy_only=False).astype(np.int64),
+                cfg,
+            )
+            if out.num_rows:
+                yield out
+
+    if parallelism:
+        frames_df = frames_df.repartition(parallelism)
+    return frames_df.mapInArrow(fn, SUMMARY_DDL)
+
+
 def decode_typed_changes(
     frames_df: DataFrame,
     schema,

@@ -275,6 +275,7 @@ def decode_field_sets(
     starts: np.ndarray,
     ends: np.ndarray,
     config: EngineConfig,
+    want_values: bool = True,
 ) -> FieldSetColumns:
     """Decode N FieldSetDescription payloads (parallel streams).
 
@@ -361,7 +362,11 @@ def decode_field_sets(
         is_binary &= ~is_null
 
     names = _binary_array(data, names_e.off, names_e.length, utf8=True)
-    values = _binary_array(data, values_e.off, values_e.length)
+    values = (
+        _binary_array(data, values_e.off, values_e.length)
+        if want_values
+        else pa.array([], type=pa.binary())
+    )
     return FieldSetColumns(
         n, fsd_idx, col_counts, names, values, is_null, type_oids, is_binary
     )
@@ -525,6 +530,7 @@ def _decode_core(
     lsns: np.ndarray,
     frame_seqs: np.ndarray,
     config: EngineConfig | None = None,
+    light: bool = False,
 ) -> DecodedCore | None:
     """Steps 1-6: frames → messages → submessages → field sets.
 
@@ -608,11 +614,16 @@ def _decode_core(
     # 6. nested field sets, all parsed as one stream batch
     kf_ids = np.flatnonzero(kf_p)
     nv_ids = np.flatnonzero(nv_p)
+    if light:
+        # summary pre-scan: skip key-field decode and value gathering
+        kf_ids = np.zeros(0, dtype=np.int64)
     kf_cols = decode_field_sets(
-        data, kf_off[kf_ids], kf_off[kf_ids] + kf_len[kf_ids], config
+        data, kf_off[kf_ids], kf_off[kf_ids] + kf_len[kf_ids], config,
+        want_values=not light,
     )
     nv_cols = decode_field_sets(
-        data, nv_off[nv_ids], nv_off[nv_ids] + nv_len[nv_ids], config
+        data, nv_off[nv_ids], nv_off[nv_ids] + nv_len[nv_ids], config,
+        want_values=not light,
     )
     return DecodedCore(
         data=data, n_msgs=n_msgs, msg_frame=msg_frame, msg_type=msg_type,
@@ -688,6 +699,64 @@ def _finish_generic(core: DecodedCore) -> pa.RecordBatch:
         n_names, n_values, n_nulls, n_oids, n_formats,
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=GENERIC_ARROW_SCHEMA)
+
+
+SUMMARY_ARROW_SCHEMA = pa.schema(
+    [
+        ("frame_seq", pa.int64()),
+        ("lsn", pa.int64()),
+        ("offset_idx", pa.int32()),
+        ("op", pa.utf8()),
+        ("new_names", pa.list_(pa.utf8())),
+        ("new_oids", pa.list_(pa.int64())),
+    ]
+)
+
+
+def decode_frame_summary(
+    frame_col: pa.Array,
+    lsns: np.ndarray,
+    frame_seqs: np.ndarray,
+    config: EngineConfig | None = None,
+) -> pa.RecordBatch:
+    """Light decode for the batch pre-scan: ops, order, column names —
+    skips gathering any value bytes (the bulk of the generic pass)."""
+    if isinstance(frame_col, pa.ChunkedArray):
+        frame_col = frame_col.combine_chunks()
+    n = len(frame_col)
+    if n == 0:
+        return pa.RecordBatch.from_pylist([], schema=SUMMARY_ARROW_SCHEMA)
+    buffers = frame_col.buffers()
+    width = 8 if pa.types.is_large_binary(frame_col.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(
+        buffers[1], dtype=odt, count=n + 1 + frame_col.offset
+    )[frame_col.offset:].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    core = _decode_core(
+        data, offsets[:-1], offsets[1:], lsns, frame_seqs, config,
+        light=True,
+    )
+    if core is None:
+        return pa.RecordBatch.from_pylist([], schema=SUMMARY_ARROW_SCHEMA)
+    nv_msgs = core.chg_ids[core.nv_ids]
+    msg_of_entry = (
+        nv_msgs[core.nv_cols.fsd_idx]
+        if len(core.nv_cols.fsd_idx)
+        else core.nv_cols.fsd_idx
+    )
+    arrays = [
+        pa.array(core.frame_seqs[core.msg_frame], pa.int64()),
+        pa.array(core.lsns[core.msg_frame], pa.int64()),
+        pa.array(core.offset_idx, pa.int32()),
+        _op_array(core.msg_type),
+        _list_array(core.n_msgs, msg_of_entry, core.nv_cols.names),
+        _list_array(
+            core.n_msgs, msg_of_entry,
+            pa.array(core.nv_cols.type_oids, pa.int64()),
+        ),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=SUMMARY_ARROW_SCHEMA)
 
 
 def typed_arrow_schema(schema) -> pa.Schema:

@@ -35,7 +35,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg_pb3_ld_spark.config import EngineConfig
-from pg_pb3_ld_spark.operators.decode import decode_changes, decode_typed_changes
+from pg_pb3_ld_spark.operators.decode import (
+    decode_summary_changes,
+    decode_typed_changes,
+)
 from pg_pb3_ld_spark.operators.fold import fold_changes
 from pg_pb3_ld_spark.operators.txn import batch_summary, gate_by_commit_watermark
 from pg_pb3_ld_spark.sinks.store import SnapshotStore
@@ -97,11 +100,11 @@ class IngestPipeline:
                 )
 
         par = self.spark.sparkContext.defaultParallelism
-        decoded = decode_changes(fresh, self.config, parallelism=par)
+        pre = decode_summary_changes(fresh, self.config, parallelism=par)
 
         times: dict[str, float] = {}
         t0 = _time.time()
-        summary = batch_summary(decoded)
+        summary = batch_summary(pre)
         times["summary"] = _time.time() - t0
 
         schema = self.store.schema
