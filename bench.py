@@ -148,6 +148,13 @@ def bench_queries(spark) -> dict:
 def main():
     from pg_pb3_ld_spark.session import build_session
 
+    # the sandbox shares its host with foreign load that swings runs
+    # 2-3x; wait briefly for a quiet window before measuring
+    waited = 0
+    while os.getloadavg()[0] > 2.0 and waited < 240:
+        time.sleep(15)
+        waited += 15
+
     spark = build_session(
         app_name="pb3ld-bench", master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
