@@ -29,15 +29,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pg_pb3_ld_spark.pb3 import wire
 from pg_pb3_ld_spark.schema import TargetSchema
 
 ORD = ("frame_seq", "offset_idx")
 
-# WAL order packed into ONE long: a 4 MiB frame can't hold 2^20
-# messages (min message size ≫ 4 bytes), so (frame_seq << 20 | offset)
-# is totally ordered and makes every fold aggregate compare a flat
-# int64 instead of a nested struct — the fold is the hottest shuffle
-ORD_SHIFT = 20
+# WAL order packed into ONE long: (frame_seq << SHIFT | offset_idx) is
+# totally ordered and makes every fold aggregate compare a flat int64
+# instead of a nested struct — the fold is the hottest shuffle.  The
+# bound is enforced end-to-end: the encoder flushes at the cap and the
+# decoder rejects over-long frames (wire.MAX_FRAME_MESSAGES).
+ORD_SHIFT = wire.MAX_FRAME_MESSAGES_SHIFT
 
 
 def _ord() -> F.Column:

@@ -45,7 +45,9 @@ def _signed_be(value: Column, bits: int) -> Column:
     """Big-endian two's-complement bytes → long, JVM-side.
 
     64-bit: ``conv(hex, 16, -10)`` is the signed interpretation;
-    32-bit: unsigned conv then wrap at 2^31.
+    16/32-bit: unsigned conv then wrap at 2^(bits-1) — the wrap width
+    must match the wire width (int2 sends 2 bytes, so 0xFFFF is -1,
+    not 65535).
     """
     if bits == 64:
         return F.conv(F.hex(value), 16, -10).cast("long")
@@ -67,8 +69,10 @@ def typed_column(lk: dict[str, Column], spark_type: str) -> Column:
             F.unhex(F.substring(v.cast("string"), 3, 2_000_000_000))
         )
     elif spark_type in ("int", "smallint"):
+        # binary int2 is 2 bytes on the wire, int4 is 4 — wrap at the
+        # matching width (fsd.c:150-199 send-function forms)
         out = (
-            F.when(is_bin, _signed_be(v, 32))
+            F.when(is_bin, _signed_be(v, 16 if spark_type == "smallint" else 32))
             .otherwise(v.cast("string").cast("long"))
             .cast(spark_type)
         )

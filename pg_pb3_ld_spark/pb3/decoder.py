@@ -563,6 +563,7 @@ def _decode_core(
     msg_rel_off = offsets_e.value.astype(np.int64)
     offset_idx = types_e.occ.astype(np.int32)   # position within frame
     n_msgs = len(msg_frame)
+    _check_offset_bound(offset_idx)
 
     # 3. message byte ranges: [offset[i], offset[i+1]) within frame body
     msg_start = body_starts[msg_frame] + msg_rel_off
@@ -633,6 +634,19 @@ def _decode_core(
         tn_p=tn_p, tn_off=tn_off, tn_len=tn_len,
         toid_p=toid_p, toid_v=toid_v, lsns=lsns, frame_seqs=frame_seqs,
     )
+
+
+def _check_offset_bound(offset_idx: np.ndarray) -> None:
+    """Fail fast if a frame carries more messages than the WAL-order
+    packing can represent (fold packs offset_idx into
+    ``wire.MAX_FRAME_MESSAGES_SHIFT`` bits — silent wrap would corrupt
+    fold ordering and the commit-watermark comparison)."""
+    if len(offset_idx) and int(offset_idx.max()) >= wire.MAX_FRAME_MESSAGES:
+        raise WireFormatError(
+            f"frame holds more than {wire.MAX_FRAME_MESSAGES} messages; "
+            "the producer must flush at the message-count cap "
+            "(see wire.MAX_FRAME_MESSAGES)"
+        )
 
 
 def _op_array(msg_type: np.ndarray) -> pa.Array:
@@ -859,6 +873,16 @@ def decode_frame_typed(
         _op_array(core.msg_type),
         _scatter_str(core, core.tn_off, core.tn_len, core.tn_p),
     ]
+    # key-change detection (UPDATE moving a row to a new key): the
+    # reference emits the OLD key in key_fields and the NEW key in
+    # new_values (fsd_populate_via_index on the old tuple,
+    # pg_pb3_ld.c:370-380).  Preferring key_fields alone would silently
+    # drop the key change, so such UPDATEs split into
+    # DELETE(old key) + INSERT(new key) — see the append block below.
+    is_upd = core.msg_type == wire.WMSG_UPDATE
+    key_changed = np.zeros(n_msgs, dtype=bool)
+    new_key_cols: dict[str, pa.Array] = {}
+    col_present: dict[str, np.ndarray] = {}
     for col in schema.columns:
         atype = _arrow_type(col.spark_type)
         m_nv, v_nv, null_nv, bin_nv = column_from(
@@ -875,16 +899,90 @@ def decode_frame_typed(
             t_kf = decode_column(
                 v_kf, null_kf, bin_kf, col.type_oid, col.spark_type
             )
-            combined = typed_full(m_nv, t_nv, n_msgs)
-            kf_full = typed_full(m_kf, t_kf, n_msgs)
+            nv_full = typed_full(m_nv, t_nv, n_msgs).cast(atype)
+            kf_full = typed_full(m_kf, t_kf, n_msgs).cast(atype)
             kf_mask = np.zeros(n_msgs, dtype=bool)
             kf_mask[m_kf] = True
-            combined = pc.if_else(
-                pa.array(kf_mask), kf_full, combined
-            )
+            both = kf_mask & present & is_upd
+            if both.any():
+                neq = pc.fill_null(
+                    pc.not_equal(kf_full, nv_full), False
+                ).to_numpy(zero_copy_only=False).astype(bool)
+                null_mismatch = (
+                    pc.is_null(kf_full).to_numpy(zero_copy_only=False)
+                    ^ pc.is_null(nv_full).to_numpy(zero_copy_only=False)
+                )
+                key_changed |= (neq | null_mismatch) & both
+            combined = pc.if_else(pa.array(kf_mask), kf_full, nv_full)
             present |= kf_mask
-            arrays.append(combined.cast(atype))
+            new_key_cols[col.name] = nv_full
+            arrays.append(combined)
         else:
             arrays.append(typed_full(m_nv, t_nv, n_msgs).cast(atype))
+        col_present[col.name] = present
         arrays.append(pa.array(present))
-    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    split_idx = np.flatnonzero(key_changed)
+    if len(split_idx) == 0:
+        return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+    return _split_key_updates(
+        arrays, arrow_schema, schema, split_idx, new_key_cols, col_present
+    )
+
+
+def _split_key_updates(
+    arrays: list[pa.Array],
+    arrow_schema: pa.Schema,
+    schema,
+    split_idx: np.ndarray,
+    new_key_cols: dict[str, pa.Array],
+    col_present: dict[str, np.ndarray],
+) -> pa.RecordBatch:
+    """Rewrite key-changing UPDATE rows as DELETE(old key) and append
+    INSERT(new key) rows.
+
+    Both halves share the original row's (frame_seq, offset_idx) WAL
+    order — safe because they target *different* fold keys.  The
+    INSERT half carries the wire-present value columns; columns the
+    UPDATE omitted (TOAST) become NULL under the fold's INSERT-barrier
+    rebuild — the old-key row's values are unknowable here, matching
+    how a row movement materializes without reading the target.
+    """
+    take = pa.array(split_idx, pa.int64())
+    names = arrow_schema.names
+    by_name = dict(zip(names, arrays))
+    key_names = {c.name for c in schema.key_columns}
+
+    # original rows: demote split UPDATEs to DELETE and clear their
+    # value-set flags (a DELETE carries no value claims for the fold)
+    ops = by_name["op"].to_pylist()
+    for i in split_idx:
+        ops[int(i)] = "DELETE"
+    by_name["op"] = pa.array(ops, pa.utf8())
+    clear = np.zeros(len(arrays[0]), dtype=bool)
+    clear[split_idx] = True
+    for c in schema.columns:
+        if c.name not in key_names:
+            flags = by_name[f"{c.name}_set"].to_numpy(zero_copy_only=False)
+            by_name[f"{c.name}_set"] = pa.array(flags & ~clear)
+
+    # appended INSERT rows at the new key
+    extra: dict[str, pa.Array] = {}
+    for n in ("frame_seq", "lsn", "offset_idx", "table_name"):
+        extra[n] = arrays[names.index(n)].take(take)
+    extra["op"] = pa.array(["INSERT"] * len(split_idx), pa.utf8())
+    for c in schema.columns:
+        if c.name in key_names:
+            extra[c.name] = new_key_cols[c.name].take(take)
+            extra[f"{c.name}_set"] = pa.array(
+                np.ones(len(split_idx), dtype=bool)
+            )
+        else:
+            extra[c.name] = arrays[names.index(c.name)].take(take)
+            extra[f"{c.name}_set"] = pa.array(
+                col_present[c.name][split_idx]
+            )
+    out = [
+        pa.concat_arrays([by_name[n], extra[n]]) for n in names
+    ]
+    return pa.RecordBatch.from_arrays(out, schema=arrow_schema)

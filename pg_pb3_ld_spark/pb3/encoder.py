@@ -174,6 +174,7 @@ class WireBatcher:
         self.config = config or EngineConfig()
         self._header = bytearray()
         self._body = bytearray()
+        self._n_msgs = 0
         self._frames: list[tuple[int, bytes]] = []
         self._lsn = 1000  # arbitrary nonzero start, like a real WAL position
         self._in_txn = False
@@ -185,7 +186,16 @@ class WireBatcher:
         append_varint_kv(self._header, wire.WHDR_TYPES, msgtype)
         append_varint_kv(self._header, wire.WHDR_OFFSETS, len(self._body))
         self._body += body
-        if len(self._body) > self.config.wire_message_target_size:
+        self._n_msgs += 1
+        # flush at the byte target (pg_pb3_ld.c:417-422) OR at the
+        # message-count cap: the consumer packs offset_idx into
+        # MAX_FRAME_MESSAGES_SHIFT bits of the WAL-order long, so a
+        # frame must never carry more messages than that, regardless
+        # of how large wire_message_target_size is configured
+        if (
+            len(self._body) > self.config.wire_message_target_size
+            or self._n_msgs >= wire.MAX_FRAME_MESSAGES
+        ):
             self._flush()
 
     def begin_txn(self) -> None:
@@ -222,6 +232,7 @@ class WireBatcher:
         self._lsn += len(frame) + 1  # fuzzer.go:526 LSN advance idiom
         self._header.clear()
         self._body.clear()
+        self._n_msgs = 0
 
     def frames(self) -> list[tuple[int, bytes]]:
         if self._in_txn:

@@ -197,6 +197,7 @@ def _arrow_type(spark_type: str) -> pa.DataType:
     return {
         "string": pa.string(),
         "binary": pa.binary(),
+        "smallint": pa.int16(),
         "int": pa.int32(),
         "bigint": pa.int64(),
         "float": pa.float32(),

@@ -53,6 +53,14 @@ FSD_FORMATS = 6
 WIRE_VARINT = 0
 WIRE_LEN = 2
 
+# Engine-wide bound on messages per frame.  The fold packs WAL order
+# into one long as (frame_seq << SHIFT | offset_idx), so offset_idx
+# must fit in SHIFT bits; the encoder force-flushes at the cap and the
+# decoder rejects frames that exceed it (fail fast instead of silent
+# ordering corruption when wire_message_target_size is raised).
+MAX_FRAME_MESSAGES_SHIFT = 20
+MAX_FRAME_MESSAGES = 1 << MAX_FRAME_MESSAGES_SHIFT
+
 # Common PostgreSQL type OIDs (pg_type.dat; exercised by the
 # reference's tests — tests/common.go:20, tests/fuzzer/fuzzer.go:27-102)
 OID_BOOL = 16

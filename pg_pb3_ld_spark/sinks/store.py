@@ -94,8 +94,14 @@ class SnapshotStore:
     def _write_meta(root: str, meta: dict) -> None:
         snap_dir = os.path.join(root, "snapshots", f"{meta['snapshot_id']:06d}")
         os.makedirs(snap_dir, exist_ok=True)
+        # fsync meta.json BEFORE the pointer swap publishes it: a power
+        # loss right after the swap must never leave the manifest
+        # pointing at a torn/empty meta.json (the commit protocol is
+        # write data → write+fsync meta → fsync+rename pointer)
         with open(os.path.join(snap_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
 
     @staticmethod
     def _swap_pointer(root: str, snapshot_id: int) -> None:
@@ -109,10 +115,25 @@ class SnapshotStore:
     def _load_meta(self) -> dict:
         with open(os.path.join(self.root, MANIFEST)) as f:
             snap = json.load(f)["snapshot"]
-        with open(
-            os.path.join(self.root, "snapshots", f"{snap:06d}", "meta.json")
-        ) as f:
-            return json.load(f)
+        # belt-and-braces recovery: meta.json is fsynced before the
+        # pointer swap, but if a snapshot's meta is still unreadable
+        # (torn write on a non-ordering filesystem, manual damage),
+        # fall back to the newest earlier snapshot with a readable
+        # meta rather than bricking the table — replay from the older
+        # watermark is idempotent by construction
+        for sid in range(snap, -1, -1):
+            path = os.path.join(
+                self.root, "snapshots", f"{sid:06d}", "meta.json"
+            )
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+        raise RuntimeError(
+            f"no readable snapshot meta under {self.root!r} "
+            f"(manifest points at snapshot {snap})"
+        )
 
     def refresh(self) -> None:
         self._meta = self._load_meta()
