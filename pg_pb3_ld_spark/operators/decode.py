@@ -102,41 +102,6 @@ def decode_changes(
     return frames_df.mapInArrow(fn, GENERIC_CHANGE_DDL)
 
 
-SUMMARY_DDL = (
-    "frame_seq long, lsn long, offset_idx int, op string, "
-    "new_names array<string>, new_oids array<long>"
-)
-
-
-def decode_summary_changes(
-    frames_df: DataFrame,
-    config: EngineConfig | None = None,
-    parallelism: int | None = None,
-) -> DataFrame:
-    """Light decode for the batch pre-scan (commit watermark + schema
-    probe): ops, ordering, column names — value bytes never gathered."""
-    from pg_pb3_ld_spark.pb3.decoder import decode_frame_summary
-
-    cfg = config or EngineConfig()
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            out = decode_frame_summary(
-                batch.column("frame"),
-                batch.column("lsn").to_numpy(zero_copy_only=False).astype(np.int64),
-                batch.column("frame_seq").to_numpy(zero_copy_only=False).astype(np.int64),
-                cfg,
-            )
-            if out.num_rows:
-                yield out
-
-    if parallelism:
-        frames_df = frames_df.repartition(parallelism)
-    return frames_df.mapInArrow(fn, SUMMARY_DDL)
-
-
 def decode_typed_changes(
     frames_df: DataFrame,
     schema,
@@ -150,6 +115,10 @@ def decode_typed_changes(
     Python stage (see ``pb3.decoder.decode_frame_typed``), so the
     shuffle carries narrow typed rows instead of wide array columns,
     and no JVM re-shaping (array_position / hex / conv) runs at all.
+    The ``_x_names``/``_x_oids`` probe columns (null unless a message
+    carries columns outside ``schema``) let the pipeline derive the
+    commit watermark AND the schema-evolution probe from this one
+    stage — the frame stream is decoded exactly once per batch.
     """
     from pg_pb3_ld_spark.pb3.decoder import decode_frame_typed, typed_arrow_schema
 
@@ -161,6 +130,9 @@ def decode_typed_changes(
             f"{c.name} {c.spark_type}, {c.name}_set boolean"
             for c in schema.columns
         )
+        + ", _x_names array<string>, _x_oids array<long>"
+        + ", _x_values array<binary>, _x_nulls array<boolean>"
+        + ", _x_formats array<boolean>"
     )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -137,6 +137,47 @@ def project_typed(changes: DataFrame, schema: TargetSchema) -> DataFrame:
     return df.select(*cols)
 
 
+def project_evolved_from_probe(
+    typed: DataFrame, new_cols: list
+) -> DataFrame:
+    """Derive newly-evolved columns from the typed decode's probe
+    arrays (``_x_names``/``_x_values``/``_x_nulls``/``_x_formats``) —
+    pure JVM expressions over the already-persisted typed rows, so an
+    evolution batch costs zero extra frame decodes.
+
+    ``new_cols``: TargetColumns absent from the schema the batch was
+    decoded with.  Caller must verify JVM decodability first
+    (``can_project_from_probe``).
+    """
+    for c in new_cols:
+        pos = F.array_position(F.col("_x_names"), c.name)
+        present = pos > 0
+        ipos = pos.cast("int")
+        lk = {
+            "present": present,
+            "value": F.when(present, F.element_at("_x_values", ipos)),
+            "is_null": F.when(present, F.element_at("_x_nulls", ipos)),
+            "is_bin": F.when(present, F.element_at("_x_formats", ipos)),
+        }
+        typed = typed.withColumn(
+            c.name, typed_column(lk, c.spark_type)
+        ).withColumn(f"{c.name}_set", present)
+    return typed
+
+
+def can_project_from_probe(new_cols: list, config) -> bool:
+    """True when every new column's wire form is JVM-decodable.
+
+    The only gap is binary-form float4/float8 (no IEEE-bitcast
+    builtin); such streams fall back to a full re-decode with the
+    evolved schema — rare × rare."""
+    return not any(
+        c.spark_type in ("float", "double")
+        and config.binary_output_for(c.type_oid)
+        for c in new_cols
+    )
+
+
 def observed_wire_columns(changes: DataFrame) -> list[tuple[str, int]]:
     """Distinct (name, type_oid) pairs seen in new_values — the D7
     schema-evolution probe.  Cheap: map-side explode + partial agg of

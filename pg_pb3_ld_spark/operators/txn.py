@@ -128,6 +128,89 @@ def batch_summary(decoded: DataFrame) -> dict:
     }
 
 
+def summary_agg_df(typed: DataFrame) -> DataFrame:
+    """The (uncollected) pre-scan aggregation over typed decode output
+    — exposed so the plan audit can assert its HashAggregate shape."""
+    from pg_pb3_ld_spark.operators.fold import ORD_SHIFT
+
+    is_commit = F.col("op") == "COMMIT"
+    packed = F.shiftleft(F.col("frame_seq"), ORD_SHIFT) + F.col("offset_idx")
+    return (
+        typed.select(
+            F.explode_outer(
+                F.arrays_zip(
+                    F.col("_x_names").alias("n"), F.col("_x_oids").alias("o")
+                )
+            ).alias("x"),
+            "op", "lsn", "frame_seq",
+            packed.alias("_packed"),
+        )
+        .groupBy(F.col("x.n").alias("name"))
+        .agg(
+            F.max("x.o").alias("oid"),
+            F.max(F.when(is_commit, F.col("_packed"))).alias("cpacked"),
+            F.max(F.when(is_commit, F.col("lsn"))).alias("clsn"),
+            F.sum(F.when(is_commit, 1).otherwise(0)).alias("nc"),
+            F.max("lsn").alias("max_lsn"),
+            F.max("frame_seq").alias("max_f"),
+        )
+    )
+
+
+def batch_summary_typed(typed: DataFrame) -> dict:
+    """Batch pre-scan over the TYPED decode output (single-pass plan).
+
+    Same contract as ``batch_summary`` but reads the commit watermark
+    and schema-evolution probe off ``decode_typed_changes``'s columns
+    (``_x_names``/``_x_oids`` carry only the UNKNOWN wire columns, so
+    the frame stream is decoded once per batch — the pipeline persists
+    the typed rows and this aggregation materializes the cache).
+
+    Plan shape: the commit ordinate is packed into ONE long and the
+    probe is exploded to (name, oid) pairs, so every aggregation
+    buffer is fixed-width ⇒ pure HashAggregate with map-side combine
+    (no SortAggregate over the full batch).  The commit LSN rides a
+    separate ``max`` — sound because commits are LSN-ordered, so the
+    max-LSN commit IS the max-ord commit (transport invariant,
+    tests/fuzzer/fuzzer.go:506-526; enforced by strict_frame_order).
+    """
+    from pg_pb3_ld_spark.operators.fold import ORD_SHIFT
+
+    rows = summary_agg_df(typed).collect()
+    names: dict[str, int] = {}
+    cpacked = clsn = None
+    max_lsn = -1
+    max_f = -1
+    n_commits = 0
+    for r in rows:
+        if r["name"] is not None:
+            oid = int(r["oid"] or 0)
+            names[r["name"]] = max(oid, names.get(r["name"], 0))
+        if r["cpacked"] is not None and (
+            cpacked is None or r["cpacked"] > cpacked
+        ):
+            cpacked = r["cpacked"]
+        if r["clsn"] is not None and (clsn is None or r["clsn"] > clsn):
+            clsn = r["clsn"]
+        n_commits += int(r["nc"])
+        max_lsn = max(max_lsn, r["max_lsn"] if r["max_lsn"] is not None else -1)
+        max_f = max(max_f, r["max_f"] if r["max_f"] is not None else -1)
+    commit_ord = None
+    if cpacked is not None:
+        commit_ord = (
+            cpacked >> ORD_SHIFT,
+            cpacked & ((1 << ORD_SHIFT) - 1),
+            clsn,
+        )
+    return {
+        "commit_ord": commit_ord,
+        "names": list(names.items()),
+        "max_lsn": max_lsn,
+        "max_frame_seq": max_f,
+        "n_commits": n_commits,
+    }
+
+
 def gate_by_commit_watermark(
     decoded: DataFrame, commit_ord: tuple | None, has_commits: bool
 ) -> DataFrame:

@@ -530,7 +530,6 @@ def _decode_core(
     lsns: np.ndarray,
     frame_seqs: np.ndarray,
     config: EngineConfig | None = None,
-    light: bool = False,
 ) -> DecodedCore | None:
     """Steps 1-6: frames → messages → submessages → field sets.
 
@@ -615,16 +614,11 @@ def _decode_core(
     # 6. nested field sets, all parsed as one stream batch
     kf_ids = np.flatnonzero(kf_p)
     nv_ids = np.flatnonzero(nv_p)
-    if light:
-        # summary pre-scan: skip key-field decode and value gathering
-        kf_ids = np.zeros(0, dtype=np.int64)
     kf_cols = decode_field_sets(
-        data, kf_off[kf_ids], kf_off[kf_ids] + kf_len[kf_ids], config,
-        want_values=not light,
+        data, kf_off[kf_ids], kf_off[kf_ids] + kf_len[kf_ids], config
     )
     nv_cols = decode_field_sets(
-        data, nv_off[nv_ids], nv_off[nv_ids] + nv_len[nv_ids], config,
-        want_values=not light,
+        data, nv_off[nv_ids], nv_off[nv_ids] + nv_len[nv_ids], config
     )
     return DecodedCore(
         data=data, n_msgs=n_msgs, msg_frame=msg_frame, msg_type=msg_type,
@@ -715,66 +709,15 @@ def _finish_generic(core: DecodedCore) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=GENERIC_ARROW_SCHEMA)
 
 
-SUMMARY_ARROW_SCHEMA = pa.schema(
-    [
-        ("frame_seq", pa.int64()),
-        ("lsn", pa.int64()),
-        ("offset_idx", pa.int32()),
-        ("op", pa.utf8()),
-        ("new_names", pa.list_(pa.utf8())),
-        ("new_oids", pa.list_(pa.int64())),
-    ]
-)
-
-
-def decode_frame_summary(
-    frame_col: pa.Array,
-    lsns: np.ndarray,
-    frame_seqs: np.ndarray,
-    config: EngineConfig | None = None,
-) -> pa.RecordBatch:
-    """Light decode for the batch pre-scan: ops, order, column names —
-    skips gathering any value bytes (the bulk of the generic pass)."""
-    if isinstance(frame_col, pa.ChunkedArray):
-        frame_col = frame_col.combine_chunks()
-    n = len(frame_col)
-    if n == 0:
-        return pa.RecordBatch.from_pylist([], schema=SUMMARY_ARROW_SCHEMA)
-    buffers = frame_col.buffers()
-    width = 8 if pa.types.is_large_binary(frame_col.type) else 4
-    odt = np.int64 if width == 8 else np.int32
-    offsets = np.frombuffer(
-        buffers[1], dtype=odt, count=n + 1 + frame_col.offset
-    )[frame_col.offset:].astype(np.int64)
-    data = np.frombuffer(buffers[2], dtype=np.uint8)
-    core = _decode_core(
-        data, offsets[:-1], offsets[1:], lsns, frame_seqs, config,
-        light=True,
-    )
-    if core is None:
-        return pa.RecordBatch.from_pylist([], schema=SUMMARY_ARROW_SCHEMA)
-    nv_msgs = core.chg_ids[core.nv_ids]
-    msg_of_entry = (
-        nv_msgs[core.nv_cols.fsd_idx]
-        if len(core.nv_cols.fsd_idx)
-        else core.nv_cols.fsd_idx
-    )
-    arrays = [
-        pa.array(core.frame_seqs[core.msg_frame], pa.int64()),
-        pa.array(core.lsns[core.msg_frame], pa.int64()),
-        pa.array(core.offset_idx, pa.int32()),
-        _op_array(core.msg_type),
-        _list_array(core.n_msgs, msg_of_entry, core.nv_cols.names),
-        _list_array(
-            core.n_msgs, msg_of_entry,
-            pa.array(core.nv_cols.type_oids, pa.int64()),
-        ),
-    ]
-    return pa.RecordBatch.from_arrays(arrays, schema=SUMMARY_ARROW_SCHEMA)
-
-
 def typed_arrow_schema(schema) -> pa.Schema:
-    """Arrow schema of the typed decode output for a TargetSchema."""
+    """Arrow schema of the typed decode output for a TargetSchema.
+
+    ``_x_names``/``_x_oids`` carry wire columns NOT in the target
+    schema — the D7 schema-evolution probe.  They are null for every
+    message whose columns are all known (the overwhelmingly common
+    case), so the batch pre-scan can read the probe off the typed
+    output instead of decoding the frame stream a second time.
+    """
     from pg_pb3_ld_spark.pb3.pgtypes import _arrow_type
 
     fields = [
@@ -787,6 +730,11 @@ def typed_arrow_schema(schema) -> pa.Schema:
     for c in schema.columns:
         fields.append((c.name, _arrow_type(c.spark_type)))
         fields.append((f"{c.name}_set", pa.bool_()))
+    fields.append(("_x_names", pa.list_(pa.utf8())))
+    fields.append(("_x_oids", pa.list_(pa.int64())))
+    fields.append(("_x_values", pa.list_(pa.binary())))
+    fields.append(("_x_nulls", pa.list_(pa.bool_())))
+    fields.append(("_x_formats", pa.list_(pa.bool_())))
     return pa.schema(fields)
 
 
@@ -922,6 +870,45 @@ def decode_frame_typed(
         col_present[col.name] = present
         arrays.append(pa.array(present))
 
+    # schema-evolution probe: wire columns not in the target schema,
+    # WITH their raw wire values — an evolution batch can then derive
+    # the new columns from the persisted typed rows (JVM expressions)
+    # instead of decoding the frame stream a second time
+    known = pc.is_in(
+        core.nv_cols.names,
+        value_set=pa.array([c.name for c in schema.columns], pa.utf8()),
+    )
+    unk = np.flatnonzero(
+        ~known.to_numpy(zero_copy_only=False).astype(bool)
+    ) if len(core.nv_cols.fsd_idx) else np.zeros(0, dtype=np.int64)
+    if len(unk) == 0:
+        arrays.append(pa.nulls(n_msgs, pa.list_(pa.utf8())))
+        arrays.append(pa.nulls(n_msgs, pa.list_(pa.int64())))
+        arrays.append(pa.nulls(n_msgs, pa.list_(pa.binary())))
+        arrays.append(pa.nulls(n_msgs, pa.list_(pa.bool_())))
+        arrays.append(pa.nulls(n_msgs, pa.list_(pa.bool_())))
+    else:
+        msg_of_unk = nv_msgs[core.nv_cols.fsd_idx[unk]]
+        take_unk = pa.array(unk, pa.int64())
+        arrays.append(
+            _list_array(n_msgs, msg_of_unk, core.nv_cols.names.take(take_unk))
+        )
+        arrays.append(
+            _list_array(n_msgs, msg_of_unk,
+                        pa.array(core.nv_cols.type_oids[unk], pa.int64()))
+        )
+        arrays.append(
+            _list_array(n_msgs, msg_of_unk, core.nv_cols.values.take(take_unk))
+        )
+        arrays.append(
+            _list_array(n_msgs, msg_of_unk,
+                        pa.array(core.nv_cols.is_null[unk], pa.bool_()))
+        )
+        arrays.append(
+            _list_array(n_msgs, msg_of_unk,
+                        pa.array(core.nv_cols.is_binary[unk], pa.bool_()))
+        )
+
     split_idx = np.flatnonzero(key_changed)
     if len(split_idx) == 0:
         return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
@@ -966,10 +953,10 @@ def _split_key_updates(
             flags = by_name[f"{c.name}_set"].to_numpy(zero_copy_only=False)
             by_name[f"{c.name}_set"] = pa.array(flags & ~clear)
 
-    # appended INSERT rows at the new key
+    # appended INSERT rows at the new key; any column not special-cased
+    # below (ordering, table name, evolution probe, …) is copied from
+    # the original row
     extra: dict[str, pa.Array] = {}
-    for n in ("frame_seq", "lsn", "offset_idx", "table_name"):
-        extra[n] = arrays[names.index(n)].take(take)
     extra["op"] = pa.array(["INSERT"] * len(split_idx), pa.utf8())
     for c in schema.columns:
         if c.name in key_names:
@@ -982,6 +969,9 @@ def _split_key_updates(
             extra[f"{c.name}_set"] = pa.array(
                 col_present[c.name][split_idx]
             )
+    for n in names:
+        if n not in extra:
+            extra[n] = arrays[names.index(n)].take(take)
     out = [
         pa.concat_arrays([by_name[n], extra[n]]) for n in names
     ]

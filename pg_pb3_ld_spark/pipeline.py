@@ -1,19 +1,29 @@
 """End-to-end apply pipeline (SURVEY.md §3.4).
 
-``raw frames → [hwm filter] → mapInArrow decode (D1) → commit-
-watermark gate (D3) → typed projection (D2, pure JVM) → per-key fold
-(D4, map-side combining agg) → COW MERGE + lineage + watermark commit
+``raw frames → [hwm filter] → mapInArrow typed decode (D1+D2, ONE
+pass) → persist → commit-watermark gate (D3) → per-key fold (D4,
+map-side combining agg) → COW MERGE + lineage + watermark commit
 (D5/D6) with additive schema evolution (D7)``.
 
-Scale/action budget: the batch runs exactly THREE Spark actions —
+Scale/action budget: the batch runs exactly THREE Spark actions over
+decoded data —
 
-1. ``batch_summary``: one agg pass (commit watermark + schema probe),
-2. fold + per-bucket stats on the folded (persisted, small) output,
+1. ``batch_summary_typed``: one agg pass over the typed decode output
+   (commit watermark + schema probe) — this action materializes the
+   typed persist, so **the frame stream is decoded exactly once**;
+2. fold + per-bucket stats on the folded (persisted, small) output;
 3. the COW MERGE write (row counts via ``observe``, no extra job).
 
-The decode executes twice (passes 1 and 2) instead of being cached:
-at ~150k msg/s/core vectorized it is far cheaper than materializing
-the wide array-column intermediate into Spark's columnar cache.
+Round 1 decoded every frame twice (a light summary pre-scan plus the
+typed pass); at 100 TB that second scan is the largest avoidable cost
+in the engine, and it capped the measured N→4N scaling efficiency.
+The single-pass plan persists the *narrow typed* rows instead (a few
+typed columns — far smaller than the generic array-column shape) and
+reads the watermark + the ``_x_names`` schema-evolution probe off
+them.  A batch that actually evolves the schema pays one extra decode
+(the typed output lacks the new column until re-decoded) — rare by
+definition, and detected exactly.
+
 Commit gating uses the producer's flush discipline (COMMIT always
 flushes, transactions arrive serially in commit order —
 ``decoder/pg_pb3_ld.c:248-272``): everything ordered before the last
@@ -35,13 +45,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg_pb3_ld_spark.config import EngineConfig
-from pg_pb3_ld_spark.operators.decode import (
-    decode_summary_changes,
-    decode_typed_changes,
-)
+from pg_pb3_ld_spark.operators.decode import decode_typed_changes
 from pg_pb3_ld_spark.operators.fold import fold_changes
-from pg_pb3_ld_spark.operators.txn import batch_summary, gate_by_commit_watermark
+from pg_pb3_ld_spark.operators.txn import (
+    batch_summary_typed,
+    gate_by_commit_watermark,
+)
 from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+PROBE_COLS = ("_x_names", "_x_oids", "_x_values", "_x_nulls", "_x_formats")
 
 
 @dataclass
@@ -100,45 +112,76 @@ class IngestPipeline:
                 )
 
         par = self.spark.sparkContext.defaultParallelism
-        pre = decode_summary_changes(fresh, self.config, parallelism=par)
-
         times: dict[str, float] = {}
-        t0 = _time.time()
-        summary = batch_summary(pre)
-        times["summary"] = _time.time() - t0
-
         schema = self.store.schema
-        if self.evolve_schema and summary["names"]:
-            schema = self.store.evolved_schema(summary["names"])
 
-        commit_ord = summary["commit_ord"]
-        # hot path: typed decode (D1+D2 fused in the Arrow stage) —
-        # the shuffle sees narrow typed rows, no JVM re-shaping
+        # single-pass decode: typed rows persisted, summary agg
+        # materializes the cache (the ONLY scan+parse of the frames)
         typed_all = decode_typed_changes(
             fresh, schema, self.config, parallelism=par
-        ).where(F.col("table_name") == schema.table)
-        gated = gate_by_commit_watermark(
-            typed_all, commit_ord, has_commits=self.config.commit_messages
-        )
-        folded = fold_changes(gated, schema, salt=self.salt)
+        ).persist()
+        try:
+            t0 = _time.time()
+            summary = batch_summary_typed(typed_all)
+            times["summary"] = _time.time() - t0
 
-        # the applied watermark is the commit point, not the batch max
-        # — held-back frames must stay above the hwm to re-apply later
-        batch_hwm = None
-        if self.config.commit_messages and commit_ord is not None:
-            batch_hwm = (commit_ord[2], commit_ord[0])
+            data = typed_all.where(F.col("table_name") == schema.table)
+            if self.evolve_schema and summary["names"]:
+                # evolution batch: unknown wire columns appeared.  The
+                # probe carries their raw wire values, so the evolved
+                # columns are derived from the persisted typed rows
+                # with JVM expressions — still exactly ONE decode.
+                from pg_pb3_ld_spark.operators.project import (
+                    can_project_from_probe,
+                    project_evolved_from_probe,
+                )
 
-        t0 = _time.time()
-        if self.config.commit_messages and commit_ord is None:
-            # batch ended mid-transaction: nothing committed, all pends
-            metrics = {"applied_keys": 0, "applied_changes": 0,
-                       "skipped": True}
-        else:
-            metrics = self.store.merge(
-                folded, schema=schema, batch_id=batch_id,
-                hwm_override=batch_hwm,
+                evolved = self.store.evolved_schema(summary["names"])
+                new_cols = [
+                    c for c in evolved.columns
+                    if all(c.name != o.name for o in schema.columns)
+                ]
+                schema = evolved
+                if can_project_from_probe(new_cols, self.config):
+                    data = project_evolved_from_probe(data, new_cols)
+                else:
+                    # binary-float evolution: fall back to a full
+                    # re-decode with the evolved schema (rare × rare)
+                    typed_all.unpersist()
+                    typed_all = decode_typed_changes(
+                        fresh, schema, self.config, parallelism=par
+                    ).persist()
+                    data = typed_all.where(
+                        F.col("table_name") == schema.table
+                    )
+
+            commit_ord = summary["commit_ord"]
+            data = data.drop(*PROBE_COLS)
+            gated = gate_by_commit_watermark(
+                data, commit_ord, has_commits=self.config.commit_messages
             )
-        times["merge"] = _time.time() - t0
+            folded = fold_changes(gated, schema, salt=self.salt)
+
+            # the applied watermark is the commit point, not the batch
+            # max — held-back frames must stay above the hwm so they
+            # re-apply with the next batch
+            batch_hwm = None
+            if self.config.commit_messages and commit_ord is not None:
+                batch_hwm = (commit_ord[2], commit_ord[0])
+
+            t0 = _time.time()
+            if self.config.commit_messages and commit_ord is None:
+                # batch ended mid-transaction: nothing committed
+                metrics = {"applied_keys": 0, "applied_changes": 0,
+                           "skipped": True}
+            else:
+                metrics = self.store.merge(
+                    folded, schema=schema, batch_id=batch_id,
+                    hwm_override=batch_hwm,
+                )
+            times["merge"] = _time.time() - t0
+        finally:
+            typed_all.unpersist()
 
         # hold back the uncommitted tail for the next micro-batch
         n_pending = 0
