@@ -265,39 +265,29 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 3-word shingles → 4 min-wise
-    md5 permutations → 1-row bands → band-bucket self-join.  Scale
-    path: candidates come from groupBy on the band key (shuffle on a
-    short hash), never an all-pairs comparison."""
-    from pg_pb3_ld_spark.functions import textops
+    md5 permutations computed in ONE pass (array + posexplode; round 1
+    recomputed the signature per band) → band-bucket self-join.  Scale
+    path: candidates come from a shuffle on the short band key, never
+    an all-pairs comparison; the identical join sides share one
+    shuffle exchange (ReusedExchange)."""
+    from pg_pb3_ld_spark.functions import dedup
 
     docs = _documents(spark, sf_dir)
-    toks = textops.tokens(F.col("text"))
-    sh = textops.shingles(toks, 3)
-    sig = docs.select(
-        "doc_id", *textops.minhash_signature(sh, k=4)
-    ).where(F.size(sh) > 0)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            F.lit(b).alias("band_id"),
-            F.col(f"mh{b}").alias("bk"),
-            "doc_id",
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a, bb = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            bb,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    bands = dedup.minhash_bands(docs, k=4, shingle_n=3)
+    return dedup.lsh_candidate_pairs(bands)
+
+
+def q_doc_neardup_clusters(spark, sf_dir):
+    """Full near-dup resolution (the back half a training-data dedup
+    actually outputs): LSH candidates → exact-Jaccard verification
+    (banding admits false positives) → connected components via
+    min-label propagation → (doc_id, cluster_id, keep) with the
+    minimum doc_id as the canonical survivor.  Every component round
+    is a shuffle join + hash agg over (node, label) longs."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    return dedup.near_dup_clusters(docs, threshold=0.5)
 
 
 def q_doc_simhash(spark, sf_dir):
@@ -535,6 +525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_neardup_clusters": q_doc_neardup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_lang_id": q_doc_lang_id,
@@ -601,10 +592,10 @@ def _extra_oracles() -> dict[str, str]:
             WITH {_SHINGLE_CTE},
             sig AS (
                 SELECT doc_id,
-                  list_min(list_transform(s, x -> md5('0|' || x))) AS mh0,
-                  list_min(list_transform(s, x -> md5('1|' || x))) AS mh1,
-                  list_min(list_transform(s, x -> md5('2|' || x))) AS mh2,
-                  list_min(list_transform(s, x -> md5('3|' || x))) AS mh3
+                  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS mh0,
+                  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS mh1,
+                  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS mh2,
+                  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS mh3
                 FROM sh_lists
             ),
             bands AS (
@@ -617,6 +608,59 @@ def _extra_oracles() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.bk = b.bk
              AND a.doc_id < b.doc_id
+        """,
+        "doc_neardup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            sig AS (
+                SELECT doc_id,
+                  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS mh0,
+                  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS mh1,
+                  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS mh2,
+                  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS mh3
+                FROM sh_lists
+            ),
+            bands AS (
+                SELECT 0 AS band_id, mh0 AS bk, doc_id FROM sig
+                UNION ALL SELECT 1, mh1, doc_id FROM sig
+                UNION ALL SELECT 2, mh2, doc_id FROM sig
+                UNION ALL SELECT 3, mh3, doc_id FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.bk = b.bk
+                 AND a.doc_id < b.doc_id
+            ),
+            sets AS (
+                SELECT doc_id, list_distinct(s) AS shs FROM sh_lists
+            ),
+            jac AS (
+                SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(sa.shs, sb.shs))
+                       / CAST(len(sa.shs) + len(sb.shs)
+                              - len(list_intersect(sa.shs, sb.shs))
+                              AS DOUBLE) AS j
+                FROM cand c
+                JOIN sets sa ON sa.doc_id = c.doc_a
+                JOIN sets sb ON sb.doc_id = c.doc_b
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.5
+                UNION ALL
+                SELECT doc_b, doc_a FROM jac WHERE j >= 0.5
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id))
+                       AS cluster_id,
+                   d.doc_id = least(d.doc_id,
+                                    coalesce(min(r.dst), d.doc_id)) AS keep
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id
         """,
         "doc_simhash": f"""
             WITH tk AS (

@@ -1,0 +1,181 @@
+"""Near-duplicate detection at training-data scale: the full
+candidate → verify → cluster → survivor pipeline.
+
+LSH candidate generation alone (what round 1 shipped) is only the
+front half of a dedup: a 100 TB pipeline must also *verify* the
+candidates (banding admits false positives by design) and *resolve*
+clusters to a canonical survivor per duplicate group.  Shapes chosen
+for scale:
+
+* ``minhash_bands``: ONE pass computes the K-permutation signature
+  (``array(mh0..mhK)``) and ``posexplode``s it into band rows —
+  shingling and the K md5 min-scans run once per document (round 1's
+  4-way union recomputed them per band).
+* ``lsh_candidate_pairs``: self-join on the (band_id, band_key)
+  bucket — candidates come from a shuffle on a short hash key, never
+  an all-pairs comparison; identical subplans on both join sides let
+  Spark reuse the shuffle exchange.
+* ``verify_candidates``: exact Jaccard on the distinct-shingle sets
+  of each candidate pair (array_intersect/array_union on broadcast-
+  free sorted-merge joins keyed by doc_id).
+* ``connected_components``: iterative min-label propagation over the
+  verified-pair graph — each round is one shuffle join + hash agg on
+  (node, label) longs; converges in O(graph diameter) rounds, with a
+  monotone total-label-sum fixpoint test (labels only ever decrease).
+  This is the standard large-graph CC under Spark without GraphX.
+* survivors: ``keep = (doc_id == cluster_id)`` — the canonical
+  member is the minimum doc_id of its component (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pg_pb3_ld_spark.functions import textops
+
+
+def minhash_bands(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_id, bk) band rows — signature computed in ONE pass."""
+    toks = textops.tokens(F.col(text_col))
+    sh = textops.shingles(toks, shingle_n)
+    # plan shape matters (measured 10× at sf0.1):
+    # 1. md5-per-shingle is the dominant cost (higher-order lambdas
+    #    run interpreted — no codegen), so it gets its OWN projection
+    #    computing ONE digest per shingle;
+    # 2. the repartition is a collapse barrier: without it Catalyst
+    #    inlines the md5 transform into every downstream use (K slice
+    #    mins + inferred filters) and the digests recompute K× or
+    #    more — the shuffle carries tiny (id, digests) rows;
+    # 3. posexplode_OUTER: plain posexplode makes the optimizer infer
+    #    a `size(...) > 0` filter on the generator input and inline
+    #    the whole signature expression into it (doubling the work);
+    #    outer generates no such filter, and empty arrays were
+    #    filtered above so the semantics are identical.
+    mds = docs.select(
+        id_col, textops.md5_array(sh).alias("_mds")
+    ).where(F.size(sh) > 0)
+    mds = mds.repartition(F.col(id_col))
+    sig = mds.select(
+        id_col,
+        F.array(*textops.minhash_from_md5(F.col("_mds"), k)).alias("_mhs"),
+    )
+    return sig.select(
+        id_col, F.posexplode_outer("_mhs").alias("band_id", "bk")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from shared buckets."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shs) distinct-shingle arrays (docs long enough to shingle)."""
+    sh = textops.shingles(textops.tokens(F.col(text_col)), shingle_n)
+    return docs.select(
+        id_col, F.array_distinct(sh).alias("shs")
+    ).where(F.size(sh) > 0)
+
+
+def verify_candidates(
+    pairs: DataFrame, sets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard per candidate pair: (doc_a, doc_b, jaccard)."""
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (inter / union).alias("jaccard"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Min-label propagation: (id, cluster_id) with cluster_id = the
+    minimum node id of the component.  ``edges``: (doc_a, doc_b);
+    ``nodes``: one column ``id_col`` listing every node (singletons
+    keep their own id).
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    try:
+        prev_sum = None
+        for _ in range(max_iters):
+            prop = (
+                labels.join(sym, labels["node"] == sym["src"])
+                .select(F.col("dst").alias("node"), "label")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+            old = labels
+            labels = new_labels
+            old.unpersist()
+            # labels decrease monotonically; equal sum ⇒ fixpoint
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    finally:
+        sym.unpersist()
+
+
+def near_dup_clusters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup resolution: (doc_id, cluster_id, keep) for EVERY
+    document — singletons (incl. too-short docs) are their own
+    cluster; ``keep`` marks the canonical survivor."""
+    bands = minhash_bands(docs, text_col, id_col, k, shingle_n)
+    pairs = lsh_candidate_pairs(bands, id_col)
+    sets = shingle_sets(docs, text_col, id_col, shingle_n)
+    edges = verify_candidates(pairs, sets, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(edges, docs.select(id_col), id_col)
+    return comp.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

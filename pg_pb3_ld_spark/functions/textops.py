@@ -46,22 +46,42 @@ def shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_col: Column, k: int = 8) -> list[Column]:
-    """K min-wise hashes over a doc's shingle array.
+def md5_array(shingle_col: Column) -> Column:
+    """One md5 digest per shingle — compute ONCE, then slice K
+    signature components out of it (``minhash_from_md5``).  Keeping
+    the md5 pass in its own projection matters: higher-order lambdas
+    run interpreted (no whole-stage codegen), so md5-per-shingle is
+    the dominant cost of the signature and must not be duplicated by
+    projection collapse (see dedup.minhash_bands' shuffle barrier)."""
+    # NB: must be a 1-arg lambda — a 2-arg lambda (even with a
+    # default) makes pyspark's transform() pass the array INDEX
+    # as the second argument
+    return F.transform(shingle_col, lambda s: F.md5(s))
 
-    Permutation ``j`` is ``md5(j ∥ '|' ∥ shingle)``; the signature
-    component is the lexicographic minimum — computable with
-    ``array_min(transform(...))`` entirely JVM-side."""
-    def hasher(prefix: str):
-        # NB: must be a 1-arg lambda — a 2-arg lambda (even with a
-        # default) makes pyspark's transform() pass the array INDEX
-        # as the second argument
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+def minhash_from_md5(md5s: Column, k: int = 4) -> list[Column]:
+    """K min-wise hashes from per-shingle md5 digests: component j is
+    the lexicographic minimum of the j-th 8-hex-char (32-bit) slice —
+    disjoint slices of one digest are independent hash functions, so
+    one md5 per shingle serves all K permutations (k ≤ 4)."""
+    if k > 4:
+        raise ValueError("md5 yields 4 disjoint 32-bit slices (k <= 4)")
+
+    def slicer(start: int):
+        # 1-arg lambda only (2-arg transform lambdas receive the index)
+        return lambda h: F.substring(h, start, 8)
 
     return [
-        F.array_min(F.transform(shingle_col, hasher(f"{j}|"))).alias(f"mh{j}")
+        F.array_min(F.transform(md5s, slicer(1 + 8 * j))).alias(f"mh{j}")
         for j in range(k)
     ]
+
+
+def minhash_signature(shingle_col: Column, k: int = 4) -> list[Column]:
+    """K min-wise hashes over a doc's shingle array (convenience
+    composition of ``md5_array`` + ``minhash_from_md5`` — use the two
+    pieces separately with a barrier when the plan matters)."""
+    return minhash_from_md5(md5_array(shingle_col), k)
 
 
 def lsh_band(sig_cols: list[Column | str], band: int, rows_per_band: int = 2) -> Column:

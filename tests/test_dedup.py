@@ -1,0 +1,101 @@
+"""Near-dup dedup pipeline tests (LSH → verify → cluster → keep).
+
+Synthetic corpus with planted duplicate groups: exact copies, one-word
+edits (high Jaccard), and unrelated documents — asserts the full
+resolution output (cluster membership + canonical survivor), not just
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_pb3_ld_spark.functions import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the afternoon sun"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, BASE),                                   # cluster {0,1,2}
+        (1, BASE),                                   # exact copy
+        (2, BASE.replace("lazy", "sleepy")),          # near-dup
+        (3, "completely different text about spark shuffles and "
+            "arrow batches flowing through the decode pipeline"),
+        (4, "completely different text about spark shuffles and "
+            "arrow batches flowing through the decode pipeline"),  # {3,4}
+        (5, "short doc"),                             # too short to shingle
+        (6, "one more unrelated document mentioning watermarks "
+            "checkpoints lineage and idempotent merge semantics"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    docs = _corpus(spark)
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert len(out) == 7  # every doc present, incl. unshingleable #5
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)   # one-word edit joins the cluster
+    assert out[3] == (3, True)
+    assert out[4] == (3, False)
+    assert out[5] == (5, True)    # singleton
+    assert out[6] == (6, True)
+
+
+def test_verify_kills_false_positive_candidates(spark):
+    """A band collision is only a CANDIDATE — verification must drop
+    pairs whose true Jaccard is below threshold."""
+    docs = _corpus(spark)
+    bands = dedup.minhash_bands(docs)
+    pairs = dedup.lsh_candidate_pairs(bands)
+    sets = dedup.shingle_sets(docs)
+    verified = dedup.verify_candidates(pairs, sets)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    # exact copies have jaccard 1.0
+    assert rows.get((0, 1)) == 1.0
+    assert rows.get((3, 4)) == 1.0
+    # the one-word edit is high but < 1
+    j = rows.get((0, 2)) or rows.get((1, 2))
+    assert j is not None and 0.5 <= j < 1.0
+    # every verified pair's jaccard is a valid ratio
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_connected_components_chain(spark):
+    """Transitivity: a-b and b-c edges put a,b,c in one cluster even
+    if a-c never collided."""
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,), (50,), (60,)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40, 60: 60}
+
+
+def test_minhash_bands_shape(spark):
+    docs = _corpus(spark)
+    bands = dedup.minhash_bands(docs, k=4)
+    rows = bands.collect()
+    # 6 shingle-able docs × 4 bands
+    assert len(rows) == 24
+    assert {r["band_id"] for r in rows} == {0, 1, 2, 3}
+    # identical docs share every band key
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["band_id"]] = r["bk"]
+    assert by_doc[0] == by_doc[1]
+    # band keys are 8-hex-char md5 slices
+    assert all(len(r["bk"]) == 8 for r in rows)
