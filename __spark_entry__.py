@@ -463,6 +463,30 @@ def q_ann_lsh_buckets(spark, sf_dir):
     )
 
 
+def q_ann_banded_topk(spark, sf_dir):
+    """Real ANN (not the single-table demo): 8 hash tables × 6 sign
+    bits over disjoint dim slices → candidates from shared buckets in
+    ANY table (shuffle on a short int key, no all-pairs) → exact
+    cosine re-rank of candidates only → top-10 per query."""
+    from pg_pb3_ld_spark.functions import ann
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = ann.banded_candidates(emb, queries)
+    return ann.rerank_topk(cand, emb, queries, k=10)
+
+
+def q_ann_recall10(spark, sf_dir):
+    """Measured recall@10 of the banded ANN vs exact brute force —
+    the index-quality evaluation a real pipeline runs on a query
+    sample before trusting the approximate path."""
+    from pg_pb3_ld_spark.functions import ann
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ann.recall_at_k(emb, queries, k=10)
+
+
 def q_ann_knn_label_vote(spark, sf_dir):
     """k-NN majority-label classification for query vecs 0-4 over
     cosine top-10 (excluding self): argmax label with ties to the
@@ -532,6 +556,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_banded_topk": q_ann_banded_topk,
+    "ann_recall10": q_ann_recall10,
     "ann_knn_label_vote": q_ann_knn_label_vote,
     "multimodal_features": q_multimodal_features,
 }
@@ -587,6 +613,46 @@ def _extra_oracles() -> dict[str, str]:
         f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END"
         for i in range(1, 9)
     )
+    # 4 hash tables × 16 sign bits → int bucket key per table
+    def _bucket_sum(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN embedding[{t * 6 + i + 1}] >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i in range(6)
+        )
+
+    banded_bb = "\nUNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {_bucket_sum(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(8)
+    )
+    _BANDED_CTES = f"""
+            bb AS ({banded_bb}),
+            qb AS (
+                SELECT vec_id AS query_id, table_id, bucket
+                FROM bb WHERE vec_id < 5
+            ),
+            cand AS (
+                SELECT DISTINCT qb.query_id, bb.vec_id
+                FROM bb JOIN qb USING (table_id, bucket)
+                WHERE bb.vec_id != qb.query_id
+            ),
+            qv AS (
+                SELECT vec_id AS qid, embedding AS q
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT c.query_id, c.vec_id, {_COS} AS cs
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN qv q ON q.qid = c.query_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cs DESC, vec_id
+                ) AS rn FROM scored
+            )
+    """
     return {
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
@@ -747,6 +813,39 @@ def _extra_oracles() -> dict[str, str]:
                    ascii(substr(text, CAST(floor((length(text)-1)*3/4.0) AS INT) + 1, 1)) AS sample3,
                    md5(text) AS digest
             FROM documents
+        """,
+        "ann_banded_topk": f"""
+            WITH {_BANDED_CTES}
+            SELECT query_id, rn, vec_id, round(cs, 4) AS cos_sim
+            FROM ranked WHERE rn <= 10
+        """,
+        "ann_recall10": f"""
+            WITH {_BANDED_CTES},
+            approx AS (
+                SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+            ),
+            ex_scored AS (
+                SELECT q.qid AS query_id, e.vec_id, {_COS} AS cs
+                FROM embeddings e JOIN qv q ON e.vec_id != q.qid
+            ),
+            ex_ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cs DESC, vec_id
+                ) AS rn FROM ex_scored
+            ),
+            exact AS (
+                SELECT query_id, vec_id FROM ex_ranked WHERE rn <= 10
+            ),
+            hits AS (
+                SELECT a.query_id, count(*) AS n_hit
+                FROM approx a JOIN exact x
+                  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+                GROUP BY a.query_id
+            )
+            SELECT q.query_id,
+                   coalesce(h.n_hit, 0) / 10.0 AS recall_at_10
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN hits h ON h.query_id = q.query_id
         """,
         "ann_knn_label_vote": f"""
             WITH q AS (

