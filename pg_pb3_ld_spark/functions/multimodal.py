@@ -37,22 +37,108 @@ MEDIA_SCHEMA = (
 )
 
 
+def decode_bmp(blob: bytes) -> tuple[int, int, int, int]:
+    """REAL image decode for uncompressed 24-bit BMP (pure numpy —
+    the one raster format parseable without media libraries).
+
+    Returns (width, height, mean_pixel_value, bits_per_pixel).
+    Format per the public BITMAPFILEHEADER/BITMAPINFOHEADER layout:
+    'BM' magic, pixel-array offset at byte 10, width/height at 18/22
+    (height < 0 ⇒ top-down rows), rows padded to 4-byte stride.
+    """
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got {bpp}bpp, "
+                         f"compression={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    rows = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    need = off + stride * rows
+    if len(blob) < need:
+        raise ValueError("truncated BMP pixel array")
+    px = (
+        np.frombuffer(blob, np.uint8, count=stride * rows, offset=off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(rows, w, 3)  # BGR order on disk
+    )
+    if h > 0:
+        px = px[::-1]  # bottom-up storage → top-down
+    return (w, rows, int(px.mean()), bpp)
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
+    """REAL audio decode for 16-bit PCM WAV (pure numpy).
+
+    Returns (sample_rate, n_channels, n_frames, mean_abs_amplitude).
+    RIFF chunk walk per the public WAVE format: 'RIFF'+size+'WAVE',
+    then 'fmt ' (PCM tag 1, channels, rate, bits) and 'data' chunks.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE magic)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM WAV (format={audio_format}, "
+                         f"bits={bits})")
+    if n_channels == 0:
+        raise ValueError("WAV with zero channels")
+    samples = np.frombuffer(
+        data[: (len(data) // 2) * 2], dtype="<i2"
+    )
+    n_frames = len(samples) // n_channels
+    mean_abs = int(np.abs(samples.astype(np.int32)).mean()) if len(samples) else 0
+    return (sample_rate, n_channels, n_frames, mean_abs)
+
+
 def _decode_image(blob: bytes, deterministic_fake: bool):
-    """Stub for image decode (PIL.Image.open → resize → embed)."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding needs PIL/torchvision — not in this sandbox"
-        )
-    return _fake_features(blob)
+    """Image decode: REAL for 24-bit BMP; other raster formats (PNG,
+    JPEG) need PIL — stubbed in this sandbox.  ``deterministic_fake``
+    short-circuits to the pseudo-features unconditionally (the SQL
+    oracle's path — it must not depend on blob magic)."""
+    if deterministic_fake:
+        return _fake_features(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    raise NotImplementedError(
+        "non-BMP image decoding needs PIL/torchvision — not in "
+        "this sandbox"
+    )
 
 
 def _decode_audio(blob: bytes, deterministic_fake: bool):
-    """Stub for audio decode (ffmpeg/torchaudio → frames → features)."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio decoding needs ffmpeg/torchaudio — not in this sandbox"
-        )
-    return _fake_features(blob)
+    """Audio decode: REAL for 16-bit PCM WAV; compressed codecs need
+    ffmpeg/torchaudio — stubbed in this sandbox."""
+    if deterministic_fake:
+        return _fake_features(blob)
+    if blob[:4] == b"RIFF":
+        return decode_wav(blob)
+    raise NotImplementedError(
+        "non-WAV audio decoding needs ffmpeg/torchaudio — not in "
+        "this sandbox"
+    )
 
 
 def _fake_features(blob: bytes):

@@ -76,6 +76,56 @@ def add_column_sql(target: str, name: str, spark_type: str) -> str:
     return f"ALTER TABLE {target} ADD COLUMN {name} {spark_type}"
 
 
+def simulate_merge(
+    target: DataFrame, folded: DataFrame, schema: TargetSchema
+) -> DataFrame:
+    """Executable specification of ``merge_sql``'s WHEN clauses as a
+    full-outer-join — clause-for-clause:
+
+    * ``WHEN MATCHED AND s.kind = 'DELETE' THEN DELETE``
+    * ``WHEN MATCHED THEN UPDATE SET t.c = CASE WHEN s.kind='REPLACE'
+      OR s.c_set THEN s.c ELSE t.c END``
+    * ``WHEN NOT MATCHED AND s.kind != 'DELETE' THEN INSERT``
+
+    No Iceberg runtime ships in the sandbox, so this is what pins the
+    generated MERGE's semantics executably: the differential test
+    (tests/test_iceberg_differential.py) replays the same folded
+    batches through ``SnapshotStore.merge`` and through chained
+    ``simulate_merge`` calls and asserts identical final tables —
+    incl. DELETE/REPLACE/PATCH and the evolved-column case.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [c.name for c in schema.key_columns]
+    vals = [c.name for c in schema.value_columns]
+    s = folded.alias("s")
+    # "matched" = a target row existed: detect via a target-side
+    # sentinel that survives the outer join regardless of data nulls
+    t_marked = target.withColumn("_t_exists", F.lit(True)).alias("t")
+    joined = t_marked.join(s, on=keys, how="full_outer")
+    t_exists = F.coalesce(F.col("_t_exists"), F.lit(False))
+    has_src = F.col("s.kind").isNotNull()
+    is_del = F.col("s.kind") == "DELETE"
+    keep = (
+        (t_exists & ~has_src)                      # untouched target row
+        | (t_exists & has_src & ~is_del)           # MATCHED non-DELETE
+        | (~t_exists & has_src & ~is_del)          # NOT MATCHED INSERT
+    )
+    cols = [F.col(k) for k in keys]
+    for c in vals:
+        cols.append(
+            F.when(~has_src, F.col(f"t.{c}"))
+            .when(
+                (F.col("s.kind") == "REPLACE") | F.col(f"s.{c}_set"),
+                F.col(f"s.{c}"),
+            )
+            .when(t_exists, F.col(f"t.{c}"))
+            .otherwise(F.lit(None))                # INSERT of absent col
+            .alias(c)
+        )
+    return joined.where(keep).select(*cols)
+
+
 class IcebergSink:
     """Thin executor around the SQL builders above."""
 

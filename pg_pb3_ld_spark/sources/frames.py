@@ -62,11 +62,26 @@ def kafka_frames(
             "Kafka source needs --packages org.apache.spark:"
             "spark-sql-kafka-0-10_2.13:<spark-version>"
         ) from exc
-    # kafka offset is a valid frame_seq (dense per partition); LSN
-    # rides in the record headers when the relay provides it, else
-    # falls back to the offset (monotone ⇒ watermark-safe)
+    return project_kafka_records(df)
+
+
+def project_kafka_records(df: DataFrame) -> DataFrame:
+    """Kafka record shape → (frame_seq, lsn, frame).
+
+    The kafka offset is a valid frame_seq (dense per partition); the
+    LSN rides in the record headers as 8 big-endian bytes under key
+    ``'lsn'`` when the relay provides it, else falls back to the
+    offset (monotone ⇒ watermark-safe).  Factored out of
+    ``kafka_frames`` so the projection is unit-testable without a
+    broker (the reference's production transport analog,
+    ``tests/fuzzer/fuzzer.go:439-529`` tracks WALStart per frame the
+    same way).
+    """
+    # get(..., 0) is null-safe on an empty filter result — plain [0]
+    # indexing raises invalidArrayIndexError under ANSI mode when the
+    # record has headers but no 'lsn' key
     lsn_hdr = F.expr(
-        "filter(headers, h -> h.key = 'lsn')[0].value"
+        "get(filter(headers, h -> h.key = 'lsn'), 0).value"
     )
     return df.select(
         F.col("offset").alias("frame_seq"),
