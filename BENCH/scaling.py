@@ -167,8 +167,12 @@ See the driver-recorded `BENCH_r*.json` (bench.py): steady-state CDC
 apply at local[32] on the 491k-event stream, plus per-query seconds
 for all driver-contract operators.
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+    # write the raw run artifact; BENCH/BASELINE.md is curated by hand
+    # from these (full geometry matrix + analysis), so don't clobber it
+    with open(os.path.join(HERE, "SCALING_LAST.md"), "w") as f:
         f.write(md)
+    with open(os.path.join(HERE, "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(summary) + "\n")
     print(json.dumps(summary))
 
 
