@@ -355,6 +355,39 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_emb_neardup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup resolution: sign-LSH bucket
+    candidates → exact cosine verify → connected components →
+    (vec_id, cluster_id, keep).  Threshold 0.45 here because the
+    synthetic vectors are near-random (max pairwise cos ≈0.51); a
+    real corpus would use ~0.9 (the library default)."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    emb = _embeddings(spark, sf_dir)
+    return dedup.embedding_neardup_clusters(emb, threshold=0.45)
+
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_doc_regex_tokens(spark, sf_dir):
+    """BPE-ish regex tokenization (alpha runs / digit runs / single
+    symbols — the GPT-2-style pre-tokenizer shape) alongside the
+    whitespace count; per-class totals per document."""
+    docs = _documents(spark, sf_dir)
+    arr = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0))
+    alpha = F.size(F.filter(arr, lambda x: x.rlike("^[a-z]+$")))
+    num = F.size(F.filter(arr, lambda x: x.rlike("^[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(arr).alias("n_re_tokens"),
+        alpha.alias("n_alpha"),
+        num.alias("n_numeric"),
+        (F.size(arr) - alpha - num).alias("n_symbol"),
+    )
+
+
 def q_doc_lang_id(spark, sf_dir):
     """Language-ID heuristic: stopword-ratio argmax over 4 languages
     ('other' when nothing matches); confusion counts vs true lang."""
@@ -553,6 +586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": q_doc_simhash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_lang_id": q_doc_lang_id,
+    "doc_regex_tokens": q_doc_regex_tokens,
+    "emb_neardup_clusters": q_emb_neardup_clusters,
     "doc_quality": q_doc_quality,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -813,6 +848,56 @@ def _extra_oracles() -> dict[str, str]:
                    ascii(substr(text, CAST(floor((length(text)-1)*3/4.0) AS INT) + 1, 1)) AS sample3,
                    md5(text) AS digest
             FROM documents
+        """,
+        "doc_regex_tokens": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                       AS n_re_tokens,
+                   len(list_filter(regexp_extract_all(lower(text), '{_TOKEN_RE}'),
+                       x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+                   len(list_filter(regexp_extract_all(lower(text), '{_TOKEN_RE}'),
+                       x -> regexp_matches(x, '^[0-9]+$'))) AS n_numeric,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                   - len(list_filter(regexp_extract_all(lower(text), '{_TOKEN_RE}'),
+                         x -> regexp_matches(x, '^[a-z]+$')))
+                   - len(list_filter(regexp_extract_all(lower(text), '{_TOKEN_RE}'),
+                         x -> regexp_matches(x, '^[0-9]+$'))) AS n_symbol
+            FROM documents
+        """,
+        "emb_neardup_clusters": f"""
+            WITH RECURSIVE
+            bb AS ({banded_bb}),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                FROM bb a JOIN bb b
+                  ON a.table_id = b.table_id AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+            ),
+            edge0 AS (
+                SELECT c.doc_a, c.doc_b
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.doc_b
+                JOIN (SELECT vec_id, embedding AS q FROM embeddings) q
+                  ON q.vec_id = c.doc_a
+                WHERE {_COS} >= 0.45
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM edge0
+                UNION ALL SELECT doc_b, doc_a FROM edge0
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT v.vec_id,
+                   least(v.vec_id, coalesce(min(r.dst), v.vec_id))
+                       AS cluster_id,
+                   v.vec_id = least(v.vec_id,
+                                    coalesce(min(r.dst), v.vec_id)) AS keep
+            FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+            GROUP BY v.vec_id
         """,
         "ann_banded_topk": f"""
             WITH {_BANDED_CTES}

@@ -160,6 +160,47 @@ def connected_components(
         sym.unpersist()
 
 
+def embedding_neardup_clusters(
+    vecs: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding",
+    threshold: float = 0.9, n_tables: int = 8, bits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup resolution: sign-LSH bucket
+    candidates (within-bucket pairs, never all-pairs) → exact cosine
+    verification at ``threshold`` → connected components →
+    (vec_id, cluster_id, keep).  The embedding-space twin of
+    ``near_dup_clusters`` — catches paraphrase-level duplicates that
+    shingle Jaccard misses."""
+    from pg_pb3_ld_spark.functions import ann
+
+    buckets = ann.sign_buckets(vecs, id_col, emb_col, n_tables, bits)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ea = vecs.select(F.col(id_col).alias("doc_a"), F.col(emb_col).alias("_ea"))
+    eb = vecs.select(F.col(id_col).alias("doc_b"), F.col(emb_col).alias("_eb"))
+    edges = (
+        pairs.join(ea, "doc_a").join(eb, "doc_b")
+        .where(ann.cosine(F.col("_ea"), F.col("_eb")) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, vecs.select(id_col), id_col)
+    return comp.select(
+        id_col, "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 4, shingle_n: int = 3, threshold: float = 0.5,

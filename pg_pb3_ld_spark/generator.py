@@ -81,6 +81,7 @@ def generate_stream(
     empty_txn_every: int = 17,
     binary_values: bool = True,
     conv_prefix: str = "conv",
+    key_move_prob: float = 0.0,
 ) -> GeneratedStream:
     """Deterministic CDC stream over the transcripts table.
 
@@ -196,6 +197,33 @@ def generate_stream(
             oracle[(conv, turn)] = row
         n_changes += 1
 
+    def emit_move(conv: str, old_turn: int, new_turn: int, evolved: bool):
+        """Key-changing UPDATE: key_fields carry the OLD key, the new
+        tuple carries the NEW key (pg_pb3_ld.c:370-380 — the
+        replica-identity projection reads the old tuple).  The engine
+        splits it into DELETE(old)+INSERT(new); a full new tuple is
+        logged, so the oracle row moves wholesale."""
+        nonlocal n_changes
+        key = [
+            fv("conv_id", conv, wire.OID_TEXT),
+            fv("turn_idx", old_turn, wire.OID_INT4),
+        ]
+        row = row_fields(conv, new_turn, version=0, with_model=evolved)
+        oid_of = {c.name: c.type_oid for c in schema.columns}
+        oid_of["model"] = wire.OID_TEXT
+        cols = [fv(k, v, oid_of[k]) for k, v in row.items()]
+        body = encode_update(
+            td,
+            encode_field_set(key, cfg.type_oids_mode, cfg.formats_mode),
+            encode_field_set(cols, cfg.type_oids_mode, cfg.formats_mode),
+        )
+        batcher.change(wire.WMSG_UPDATE, body)
+        oracle.pop((conv, old_turn), None)
+        full = {c.name: None for c in schema.columns}
+        full.update(row)
+        oracle[(conv, new_turn)] = full
+        n_changes += 1
+
     def emit_delete(conv: str, turn: int):
         nonlocal n_changes
         body = encode_delete(
@@ -260,6 +288,14 @@ def generate_stream(
                 if not patch:
                     patch["text"] = _text_for(rng, conv, turn, version=i + 1)
                 emit_update(conv, turn, patch)
+            elif key_move_prob and r < 0.55 + key_move_prob and live:
+                # key-changing UPDATE: move a live row to a fresh turn
+                old_turn = live.pop(int(rng.integers(len(live))))
+                new_turn = turn_counts[conv]
+                turn_counts[conv] += 1
+                live.append(new_turn)
+                dead[conv].append(old_turn)
+                emit_move(conv, old_turn, new_turn, evolved)
             elif r < 0.7 and live:
                 turn = live.pop(int(rng.integers(len(live))))
                 dead[conv].append(turn)
@@ -349,6 +385,20 @@ def _frames_table(frames: list[tuple[int, int, bytes]]):
             "frame": pa.array([f[2] for f in frames], pa.binary()),
         }
     )
+
+
+def write_frames_binary_dir(stream: GeneratedStream, dirpath: str) -> int:
+    """One raw file per frame, named ``frame-<seq>-<lsn>.bin`` — the
+    landing-zone layout ``sources.frames.binaryfile_frames`` reads."""
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    for seq, lsn, frame in stream.frames:
+        with open(
+            os.path.join(dirpath, f"frame-{seq:010d}-{lsn}.bin"), "wb"
+        ) as f:
+            f.write(frame)
+    return len(stream.frames)
 
 
 def write_frames_parquet(stream: GeneratedStream, path: str) -> None:

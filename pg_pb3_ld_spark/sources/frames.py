@@ -37,6 +37,32 @@ def parquet_frames(
     return spark.read.schema(FRAME_DDL).parquet(path)
 
 
+def binaryfile_frames(
+    spark: SparkSession, path: str, streaming: bool = False,
+    name_pattern: str = r"frame-(\d+)-(\d+)\.bin$",
+) -> DataFrame:
+    """Raw-file landing zone: one wire frame per file, named
+    ``frame-<seq>-<lsn>.bin`` (a pg_recvlogical-style relay writes
+    exactly this).  Spark's ``binaryFile`` source reads (path,
+    modificationTime, length, content); frame_seq and LSN parse out
+    of the file name, so ordering survives any object-store listing
+    order — the strict_frame_order guard still validates density.
+    """
+    reader = (
+        (spark.readStream if streaming else spark.read)
+        .format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+    )
+    df = reader.load(path)
+    return df.select(
+        F.regexp_extract(F.col("path"), name_pattern, 1)
+        .cast("long").alias("frame_seq"),
+        F.regexp_extract(F.col("path"), name_pattern, 2)
+        .cast("long").alias("lsn"),
+        F.col("content").alias("frame"),
+    )
+
+
 def kafka_frames(
     spark: SparkSession, bootstrap: str, topic: str,
     starting_offsets: str = "earliest", streaming: bool = True,
