@@ -135,14 +135,21 @@ def summary_agg_df(typed: DataFrame) -> DataFrame:
 
     is_commit = F.col("op") == "COMMIT"
     packed = F.shiftleft(F.col("frame_seq"), ORD_SHIFT) + F.col("offset_idx")
+    # frame-density evidence rides along: offset_idx==0 occurs exactly
+    # once per decoded frame, so counting those rows (first exploded
+    # copy only) == frames delivered — the pipeline checks density
+    # without a separate pre-decode action over the frames table.
+    # Every aggregate stays fixed-width (no distinct ⇒ no expand).
+    first_msg = F.col("offset_idx") == 0
+    first_copy = F.col("xp").isNull() | (F.col("xp") == 0)
     return (
         typed.select(
-            F.explode_outer(
+            F.posexplode_outer(
                 F.arrays_zip(
                     F.col("_x_names").alias("n"), F.col("_x_oids").alias("o")
                 )
-            ).alias("x"),
-            "op", "lsn", "frame_seq",
+            ).alias("xp", "x"),
+            "op", "lsn", "frame_seq", "offset_idx",
             packed.alias("_packed"),
         )
         .groupBy(F.col("x.n").alias("name"))
@@ -153,6 +160,10 @@ def summary_agg_df(typed: DataFrame) -> DataFrame:
             F.sum(F.when(is_commit, 1).otherwise(0)).alias("nc"),
             F.max("lsn").alias("max_lsn"),
             F.max("frame_seq").alias("max_f"),
+            F.min("frame_seq").alias("min_f"),
+            F.sum(
+                F.when(first_msg & first_copy, 1).otherwise(0)
+            ).alias("n_frames"),
         )
     )
 
@@ -181,7 +192,9 @@ def batch_summary_typed(typed: DataFrame) -> dict:
     cpacked = clsn = None
     max_lsn = -1
     max_f = -1
+    min_f = None
     n_commits = 0
+    n_frames = 0
     for r in rows:
         if r["name"] is not None:
             oid = int(r["oid"] or 0)
@@ -195,6 +208,9 @@ def batch_summary_typed(typed: DataFrame) -> dict:
         n_commits += int(r["nc"])
         max_lsn = max(max_lsn, r["max_lsn"] if r["max_lsn"] is not None else -1)
         max_f = max(max_f, r["max_f"] if r["max_f"] is not None else -1)
+        if r["min_f"] is not None and (min_f is None or r["min_f"] < min_f):
+            min_f = r["min_f"]
+        n_frames += int(r["n_frames"])  # first-message rows: disjoint per group
     commit_ord = None
     if cpacked is not None:
         commit_ord = (
@@ -207,6 +223,8 @@ def batch_summary_typed(typed: DataFrame) -> dict:
         "names": list(names.items()),
         "max_lsn": max_lsn,
         "max_frame_seq": max_f,
+        "min_frame_seq": min_f,
+        "n_frames": n_frames,
         "n_commits": n_commits,
     }
 

@@ -88,29 +88,6 @@ class IngestPipeline:
             | ((F.col("lsn") == hwm_lsn) & (F.col("frame_seq") > hwm_frame))
         )
 
-        # Transport-order guard.  The LSN watermark is only sound if
-        # the source hands frames over in order (the reference's
-        # replication stream guarantees it; Kafka per partition and a
-        # name-ordered landing zone do too).  Spark's file source
-        # orders by modification time with ties broken arbitrarily —
-        # if a batch skips frames, later frames would silently land
-        # below the advanced watermark and be dropped as replays.
-        # Fail fast instead: above-watermark frame_seqs must be dense.
-        if self.config.strict_frame_order:
-            g = fresh.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("frame_seq").alias("lo"),
-                F.max("frame_seq").alias("hi"),
-            ).collect()[0]
-            if g["n"] and g["n"] != g["hi"] - g["lo"] + 1:
-                raise RuntimeError(
-                    "out-of-order frame delivery: batch covers "
-                    f"frame_seq [{g['lo']}, {g['hi']}] but holds only "
-                    f"{g['n']} frames — the source must deliver frames "
-                    "in LSN order (fix the landing-zone ordering or "
-                    "disable config.strict_frame_order)"
-                )
-
         par = self.spark.sparkContext.defaultParallelism
         times: dict[str, float] = {}
         schema = self.store.schema
@@ -124,6 +101,31 @@ class IngestPipeline:
             t0 = _time.time()
             summary = batch_summary_typed(typed_all)
             times["summary"] = _time.time() - t0
+
+            # Transport-order guard.  The LSN watermark is only sound
+            # if the source hands frames over in order (the reference's
+            # replication stream guarantees it; Kafka per partition and
+            # a name-ordered landing zone do too).  Spark's file source
+            # orders by modification time with ties broken arbitrarily —
+            # if a batch skips frames, later frames would silently land
+            # below the advanced watermark and be dropped as replays.
+            # Fail fast instead: above-watermark frame_seqs must be
+            # dense.  The evidence rides the summary aggregation (one
+            # first-message row per decoded frame), so the check costs
+            # no extra Spark action; it runs before anything is
+            # applied, preserving the watermark's soundness.
+            if self.config.strict_frame_order and summary["n_frames"]:
+                span = summary["max_frame_seq"] - summary["min_frame_seq"] + 1
+                if summary["n_frames"] != span:
+                    raise RuntimeError(
+                        "out-of-order frame delivery: batch covers "
+                        f"frame_seq [{summary['min_frame_seq']}, "
+                        f"{summary['max_frame_seq']}] but holds only "
+                        f"{summary['n_frames']} frames — the source must "
+                        "deliver frames in LSN order (fix the "
+                        "landing-zone ordering or disable "
+                        "config.strict_frame_order)"
+                    )
 
             data = typed_all.where(F.col("table_name") == schema.table)
             if self.evolve_schema and summary["names"]:

@@ -316,3 +316,38 @@ def test_same_key_update_does_not_split(spark):
     assert ops.count("INSERT") == 3
     assert ops.count("DELETE") == 1
     assert ops.count("UPDATE") == 0
+
+
+def test_strict_frame_order_guard_fires(spark, tmpdir_path):
+    """A batch with a missing middle frame must fail fast (the LSN
+    watermark would otherwise silently drop the late frame as a
+    replay).  The density evidence rides the summary aggregation —
+    no separate pre-decode action."""
+    from pg_pb3_ld_spark.generator import generate_stream, write_frames_parquet
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    stream = generate_stream(seed=71, n_convs=5, max_turns=4, n_extra_txns=8)
+    fp = os.path.join(tmpdir_path, "frames.parquet")
+    write_frames_parquet(stream, fp)
+    n = len(stream.frames)
+    assert n >= 4
+    frames = spark.read.parquet(fp)
+    holey = frames.where(f"frame_seq != {n // 2}")  # drop a middle frame
+
+    store = SnapshotStore.create(
+        spark, os.path.join(tmpdir_path, "t"), transcripts_schema(),
+        num_buckets=4,
+    )
+    pipe = IngestPipeline(spark, store, _cfg())
+    with pytest.raises(RuntimeError, match="out-of-order frame delivery"):
+        pipe.apply_frames(holey, batch_id=1)
+    # nothing was applied — the guard ran before any write
+    assert store.read_table().count() == 0
+    # dense delivery afterwards still applies cleanly
+    pipe.apply_frames(frames, batch_id=2)
+    got = {
+        (r["conv_id"], r["turn_idx"]) for r in store.read_table().collect()
+    }
+    assert got == set(stream.oracle.keys())
