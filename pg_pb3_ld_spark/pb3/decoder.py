@@ -643,13 +643,19 @@ def _check_offset_bound(offset_idx: np.ndarray) -> None:
         )
 
 
+_OP_LOOKUP = pa.array(
+    [wire.WMSG_NAMES.get(i, "UNKNOWN") for i in range(6)], pa.utf8()
+)
+
+
 def _op_array(msg_type: np.ndarray) -> pa.Array:
-    # 5 distinct values; list comp over message kinds is fine for the
-    # op label — O(n_msgs) tiny-string lookups
-    return pa.array(
-        [wire.WMSG_NAMES.get(int(t), "UNKNOWN") for t in msg_type],
-        type=pa.utf8(),
+    # vectorized take from the 6-entry label table (a per-row Python
+    # listcomp measured ~6% of the whole decode)
+    idx = np.where(
+        (msg_type >= 0) & (msg_type < len(_OP_LOOKUP) - 1), msg_type,
+        len(_OP_LOOKUP) - 1,
     )
+    return _OP_LOOKUP.take(pa.array(idx, pa.int64()))
 
 
 def _scatter_str(core: DecodedCore, off, lens, present_local):

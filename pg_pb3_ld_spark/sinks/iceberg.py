@@ -136,8 +136,12 @@ class IcebergSink:
 
     @staticmethod
     def available(spark: SparkSession) -> bool:
+        # py4j returns a JavaPackage placeholder (no exception) for a
+        # missing class — Class.forName is the reliable probe
         try:
-            spark._jvm.org.apache.iceberg.Snapshot  # noqa: SLF001
+            spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.iceberg.Snapshot"
+            )
             return True
         except Exception:
             return False
