@@ -53,27 +53,49 @@ def read_varints(data: np.ndarray, pos: np.ndarray):
     positions.  Returns ``(values uint64, next_pos int64)``.
     """
     n = len(pos)
-    val = np.zeros(n, dtype=np.uint64)
-    shift = np.zeros(n, dtype=np.uint64)
-    cur = pos.astype(np.int64, copy=True)
-    pending = np.ones(n, dtype=bool)
     size = len(data)
-    for _ in range(10):
-        if not pending.any():
-            break
+    cur = pos.astype(np.int64, copy=True)
+    if n and (cur >= size).any():
+        raise WireFormatError("varint runs past end of buffer")
+    # fast path: first byte for ALL positions without an index gather
+    # (the overwhelming majority of wire varints are 1 byte)
+    b = data[cur]
+    val = (b & np.uint8(0x7F)).astype(np.uint64)
+    cur += 1
+    pending = b >= np.uint8(0x80)
+    if not pending.any():
+        return val, cur
+    shift = np.uint64(7)
+    for _ in range(9):
         idx = np.flatnonzero(pending)
         c = cur[idx]
         if (c >= size).any():
             raise WireFormatError("varint runs past end of buffer")
         b = data[c]
-        val[idx] |= (b & np.uint8(0x7F)).astype(np.uint64) << shift[idx]
+        val[idx] |= (b & np.uint8(0x7F)).astype(np.uint64) << shift
         cur[idx] = c + 1
-        shift[idx] += np.uint64(7)
+        shift += np.uint64(7)
         done = (b & np.uint8(0x80)) == 0
         pending[idx[done]] = False
-    if pending.any():
-        raise WireFormatError("varint longer than 10 bytes")
-    return val, cur
+        if not pending.any():
+            return val, cur
+    raise WireFormatError("varint longer than 10 bytes")
+
+
+_ARANGE_CACHE = np.zeros(0, dtype=np.int64)
+
+
+def _arange(total: int) -> np.ndarray:
+    """Reused 0..total arange view — the gather paths need one per
+    Arrow chunk and the allocation (hundreds of MB at 64 MiB chunk
+    size) was ~15% of decode; the cache grows to the high-water mark
+    and lives for the worker's lifetime."""
+    global _ARANGE_CACHE
+    if total > len(_ARANGE_CACHE):
+        _ARANGE_CACHE = np.arange(
+            max(total, 2 * len(_ARANGE_CACHE)), dtype=np.int64
+        )
+    return _ARANGE_CACHE[:total]
 
 
 def _cumcount(sorted_keys: np.ndarray) -> np.ndarray:
@@ -101,7 +123,8 @@ def gather_slices(data: np.ndarray, offs: np.ndarray, lens: np.ndarray):
     total = out_offsets[-1]
     if total == 0:
         return np.zeros(0, dtype=np.uint8), out_offsets
-    idx = np.repeat(offs - out_offsets[:-1], lens) + np.arange(total)
+    idx = np.repeat(offs - out_offsets[:-1], lens)
+    idx += _arange(total)
     return data[idx], out_offsets
 
 
