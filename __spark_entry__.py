@@ -32,7 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
     from pg_pb3_ld_spark.sinks.store import SnapshotStore
     from pg_pb3_ld_spark.config import EngineConfig
 
-    workdir = tempfile.mkdtemp(prefix="pb3ld_entry_")
+    # stable per-session output dir: the result stays a LAZY DataFrame
+    # over written parquet (no driver-side row collection); reruns in
+    # the same session overwrite it
+    workdir = os.path.join(
+        tempfile.gettempdir(), f"pb3ld_entry_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
     stream = generate_stream(seed=42, n_convs=12, max_turns=8, n_extra_txns=40)
     frames_path = os.path.join(workdir, "frames.parquet")
     write_frames_parquet(stream, frames_path)
@@ -46,15 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
     IngestPipeline(spark, store, cfg).apply_frames(
         spark.read.parquet(frames_path), batch_id=1
     )
-    out = (
+    out_path = os.path.join(workdir, "result.parquet")
+    (
         store.read_table()
-        .orderBy("conv_id", "turn_idx")
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .write.mode("overwrite").parquet(out_path)
     )
-    # materialize before the tempdir vanishes
-    rows = out.collect()
-    shutil.rmtree(workdir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return spark.read.parquet(out_path).orderBy("conv_id", "turn_idx")
 
 
 # --------------------------------------------------------------------------
