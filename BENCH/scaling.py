@@ -116,10 +116,19 @@ def run_level(cores: int, frames_path: str) -> float:
 def main():
     frames_path, info = cached_frames()
     n_changes = info["n_changes"]
-    best = {LOW: float("inf"), HIGH: float("inf")}
+    seen: dict[int, list] = {LOW: [], HIGH: []}
     for _ in range(ROUNDS):
         for cores in (LOW, HIGH):
-            best[cores] = min(best[cores], run_level(cores, frames_path))
+            seen[cores].append(run_level(cores, frames_path))
+    # foreign-load bursts inflate identical runs 2-20× and the start-
+    # of-run quiet gate can't see mid-run bursts; when a level's runs
+    # disagree badly, buy extra interleaved rounds (bounded)
+    for _ in range(2):
+        if all(max(v) / min(v) < 1.4 for v in seen.values()):
+            break
+        for cores in (LOW, HIGH):
+            seen[cores].append(run_level(cores, frames_path))
+    best = {c: min(v) for c, v in seen.items()}
     thr_low = n_changes / best[LOW]
     thr_high = n_changes / best[HIGH]
     eff = (thr_high / thr_low) / (HIGH / LOW)
@@ -135,6 +144,8 @@ def main():
         "efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "all_runs_low_sec": [round(v, 2) for v in seen[LOW]],
+        "all_runs_high_sec": [round(v, 2) for v in seen[HIGH]],
     }
     md = f"""# BENCH/BASELINE.md — measured engine numbers
 
