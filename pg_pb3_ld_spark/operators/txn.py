@@ -265,31 +265,6 @@ def gate_by_commit_watermark(
     )
 
 
-def gate_by_commit_subquery(
-    data: DataFrame, typed_all: DataFrame, has_commits: bool
-) -> DataFrame:
-    """Commit gate whose watermark is computed IN-PLAN from the typed
-    stream itself (2-action pipeline): the broadcast build side is a
-    one-row ``max(packed ord of COMMITs)`` aggregation over
-    ``typed_all`` — with ``typed_all`` persisted, the build job is the
-    cache's first materialization and the probe side reads it back.
-    A batch with no COMMIT yields a null watermark; ``packed < null``
-    is null, so everything is held back — identical semantics to
-    ``gate_by_commit_watermark(commit_ord=None)``.
-    """
-    from pg_pb3_ld_spark.operators.fold import ORD_SHIFT
-
-    packed = F.shiftleft(F.col("frame_seq"), ORD_SHIFT) + F.col("offset_idx")
-    out = data.where(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
-    if not has_commits:
-        return out
-    wm = (
-        typed_all.where(F.col("op") == "COMMIT")
-        .agg(F.max(packed).alias("_wm"))
-    )
-    return out.join(F.broadcast(wm)).where(packed < F.col("_wm")).drop("_wm")
-
-
 def gate_committed(changes_with_txn: DataFrame) -> DataFrame:
     """Keep only changes belonging to committed transactions (T2).
 

@@ -233,21 +233,12 @@ class SnapshotStore:
         schema: TargetSchema | None = None,
         batch_id: int | None = None,
         hwm_override: tuple[int, int] | None = None,
-        pre_write=None,
     ) -> dict:
         """Apply one folded change batch as a COW MERGE; commit a new
         snapshot atomically.  Returns the batch metrics dict.
 
         ``schema`` may be an evolved superset of the store schema
         (D7); the new snapshot records the evolved columns.
-
-        ``pre_write``: optional callable invoked AFTER the stats
-        action (so Observations attached upstream have fired) and
-        BEFORE anything is read or written — the pipeline uses it to
-        validate frame density and detect schema evolution, and to
-        supply the commit-watermark ``hwm_override``.  It may raise to
-        abort the merge (nothing has been applied yet), and may return
-        a (lsn, frame_seq) tuple to override the watermark.
         """
         import time as _time
 
@@ -270,10 +261,6 @@ class SnapshotStore:
                 F.max("last_frame_seq").alias("frame_max"),
             ).collect()
             _t["stats"] = _time.time() - _t0
-            if pre_write is not None:
-                override = pre_write(stats)
-                if override is not None:
-                    hwm_override = override
             if not stats:
                 return {"applied_keys": 0, "skipped": True}
             affected = sorted(int(r["_bucket"]) for r in stats)
