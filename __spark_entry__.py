@@ -282,6 +282,47 @@ def q_doc_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(bands)
 
 
+# a deliberately degenerate corpus: every 3rd doc gets identical short
+# text, so ~33% of the corpus collapses into ONE LSH bucket per band —
+# the skew shape that makes uncapped within-bucket pair joins quadratic
+# at crawl scale (boilerplate pages / all-identical short docs).
+_SKEW_TEXT = "na na na na na na"
+
+
+def _skewed_documents(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_SKEW_TEXT))
+        .otherwise(F.col("text")),
+    )
+
+
+def q_doc_minhash_lsh_capped(spark, sf_dir):
+    """MinHash+LSH candidates under a bucket-size cap on a skewed
+    corpus: buckets holding more than 20 docs are excluded from pair
+    generation (a bucket that hot has a degenerate band key and its
+    pair join is quadratic — standard LSH practice is to drop it;
+    members stay reachable via their other bands).  The cap count is
+    a map-side hash agg on the same key as the pair-join shuffle."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _skewed_documents(spark, sf_dir)
+    bands = dedup.minhash_bands(docs, k=4, shingle_n=3)
+    return dedup.lsh_candidate_pairs(bands, max_bucket_size=20)
+
+
+def q_lsh_dropped_buckets(spark, sf_dir):
+    """The surfaced record of what the bucket cap dropped:
+    (band_id, bk, bucket_size) per excluded bucket — a capped LSH run
+    must report its exclusions, never drop silently."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _skewed_documents(spark, sf_dir)
+    bands = dedup.minhash_bands(docs, k=4, shingle_n=3)
+    return dedup.dropped_buckets(bands, ["band_id", "bk"], 20)
+
+
 def q_doc_neardup_clusters(spark, sf_dir):
     """Full near-dup resolution (the back half a training-data dedup
     actually outputs): LSH candidates → exact-Jaccard verification
@@ -587,6 +628,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_minhash_lsh_capped": q_doc_minhash_lsh_capped,
+    "lsh_dropped_buckets": q_lsh_dropped_buckets,
     "doc_neardup_clusters": q_doc_neardup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -614,6 +657,42 @@ _SHINGLE_CTE = """
                list_transform(range(1, len(t) - 1),
                    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
         FROM toks WHERE len(t) >= 3
+    )
+"""
+
+# skewed-corpus variant of _SHINGLE_CTE (same token/shingle semantics,
+# text overridden for doc_id % 3 == 0 — must mirror _skewed_documents)
+_SKEW_SHINGLE_CTE = """
+    sdocs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'na na na na na na'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
+    sh_lists AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    skew_sig AS (
+        SELECT doc_id,
+          list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS mh0,
+          list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS mh1,
+          list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS mh2,
+          list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS mh3
+        FROM sh_lists
+    ),
+    skew_bands AS (
+        SELECT 0 AS band_id, mh0 AS bk, doc_id FROM skew_sig
+        UNION ALL SELECT 1, mh1, doc_id FROM skew_sig
+        UNION ALL SELECT 2, mh2, doc_id FROM skew_sig
+        UNION ALL SELECT 3, mh3, doc_id FROM skew_sig
+    ),
+    bsz AS (
+        SELECT band_id, bk, count(*) AS c
+        FROM skew_bands GROUP BY band_id, bk
     )
 """
 
@@ -714,6 +793,23 @@ def _extra_oracles() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.bk = b.bk
              AND a.doc_id < b.doc_id
+        """,
+        "doc_minhash_lsh_capped": f"""
+            WITH {_SKEW_SHINGLE_CTE},
+            kept AS (
+                SELECT b.band_id, b.bk, b.doc_id
+                FROM skew_bands b JOIN bsz USING (band_id, bk)
+                WHERE bsz.c <= 20
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.band_id = b.band_id AND a.bk = b.bk
+             AND a.doc_id < b.doc_id
+        """,
+        "lsh_dropped_buckets": f"""
+            WITH {_SKEW_SHINGLE_CTE}
+            SELECT band_id, bk, c AS bucket_size
+            FROM bsz WHERE c > 20
         """,
         "doc_neardup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE},

@@ -117,24 +117,41 @@ def bench_cdc_apply(spark) -> dict:
             timed_apply.store = store
             return el
 
-        # best-of-3 with a quiet-window gate before each timed round:
-        # the sandbox shares its host with foreign load that arrives in
-        # bursts (measured 2-20x swings on identical binaries) — a
-        # long-running ingest job's steady state is the honest number
+        # best-of-N with a quiet-window gate before each timed round,
+        # plus ADAPTIVE extra rounds when the raws disagree >1.4× (a
+        # foreign-load burst hit mid-round): the sandbox shares its
+        # host with load that arrives in multi-minute bursts (measured
+        # 2-20x swings on identical binaries) — a long-running ingest
+        # job's steady state is the honest number.  All raws + the
+        # loadavg they started under are reported for auditability.
         def gated_apply(r):
             waited = 0
             while os.getloadavg()[0] > 2.0 and waited < 300:
                 time.sleep(10)
                 waited += 10
-            return timed_apply(r)
+            load = round(os.getloadavg()[0], 2)
+            return timed_apply(r), load
 
-        elapsed = min(gated_apply(r) for r in range(3))
+        raws, loads = [], []
+        for r in range(3):
+            el, load = gated_apply(r)
+            raws.append(round(el, 2))
+            loads.append(load)
+        extra = 0
+        while max(raws) / min(raws) > 1.4 and extra < 3:
+            el, load = gated_apply(3 + extra)
+            raws.append(round(el, 2))
+            loads.append(load)
+            extra += 1
+        elapsed = min(raws)
         return {
             "elapsed_sec": round(elapsed, 2),
             "events_per_sec": round(info["n_changes"] / elapsed, 1),
             "n_changes": info["n_changes"],
             "n_frames": n_frames,
             "wire_bytes": info["bytes"],
+            "raw_runs_sec": raws,
+            "loadavg_at_start": loads,
             "final_rows": timed_apply.store.read_table().count(),
         }
     finally:

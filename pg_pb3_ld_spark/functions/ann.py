@@ -84,10 +84,21 @@ def banded_candidates(
     base: DataFrame, queries: DataFrame,
     id_col: str = "vec_id", emb_col: str = "embedding",
     n_tables: int = 8, bits: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (query_id, vec_id) candidate pairs from shared buckets
-    in ANY table."""
+    in ANY table.
+
+    ``max_bucket_size`` caps the BASE side (dedup.cap_buckets): a
+    degenerate bucket (e.g. all-zero embeddings hashing identically in
+    every table) makes the bucket join emit |bucket|×|queries-in-it|
+    rows — quadratic at crawl scale.  A bucket that hot carries no
+    discriminating signal; dropping it trades a sliver of recall
+    (measurable via recall_at_k) for a bounded join."""
+    from pg_pb3_ld_spark.functions.dedup import cap_buckets
+
     bb = sign_buckets(base, id_col, emb_col, n_tables, bits)
+    bb = cap_buckets(bb, ["table_id", "bucket"], max_bucket_size)
     qb = sign_buckets(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(emb_col).alias("q")

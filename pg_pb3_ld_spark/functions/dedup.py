@@ -67,8 +67,60 @@ def minhash_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) from shared buckets."""
+def cap_buckets(
+    rows: DataFrame, bucket_keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop every row of a bucket whose member count exceeds
+    ``max_bucket_size`` (standard LSH degenerate-bucket guard).
+
+    Within-bucket pair generation is quadratic in bucket size, so ONE
+    hot bucket — all short docs sharing a trivial shingle signature,
+    all-zero embeddings, boilerplate pages — turns a linear candidate
+    join into 10¹³ pairs at crawl scale.  Capping is the standard fix:
+    a bucket that large carries no discriminating information anyway
+    (its members collide on *every* hash, i.e. the band key degenerated);
+    near-dups inside it are still reachable through their other bands.
+
+    The size count is a map-side-combining hash agg on the SAME key
+    the pair self-join shuffles on, so the exchange is reused —
+    capping costs one cheap agg, not an extra full shuffle.
+
+    Use :func:`dropped_buckets` with the same arguments to see what
+    was excluded (never drop silently at scale — the operator reports).
+    """
+    if max_bucket_size is None:
+        return rows
+    ok = (
+        rows.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    return rows.join(ok, bucket_keys)
+
+
+def dropped_buckets(
+    rows: DataFrame, bucket_keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """(bucket_keys..., bucket_size) for buckets excluded by the cap —
+    the surfaced record of what :func:`cap_buckets` dropped."""
+    return (
+        rows.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from shared buckets.
+
+    ``max_bucket_size``: skip buckets larger than this (see
+    :func:`cap_buckets`) — REQUIRED at crawl scale; a degenerate
+    bucket makes the self-join quadratic."""
+    bands = cap_buckets(bands, ["band_id", "bk"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -115,12 +167,28 @@ def verify_candidates(
 
 def connected_components(
     edges: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
-    max_iters: int = 25,
+    max_iters: int = 25, checkpoint_every: int = 5,
 ) -> DataFrame:
-    """Min-label propagation: (id, cluster_id) with cluster_id = the
-    minimum node id of the component.  ``edges``: (doc_a, doc_b);
-    ``nodes``: one column ``id_col`` listing every node (singletons
-    keep their own id).
+    """Min-label propagation with pointer doubling: (id, cluster_id)
+    with cluster_id = the minimum node id of the component.
+    ``edges``: (doc_a, doc_b); ``nodes``: one column ``id_col``
+    listing every node (singletons keep their own id).
+
+    Scale posture:
+
+    * **pointer doubling** — each round also propagates label→label
+      (``min(label, label-of-label)``), so convergence is O(log d)
+      rounds, not O(d): a 10M-hop duplicate chain resolves in ~24
+      rounds instead of 10M.  Each round stays a shuffle join + hash
+      agg over (node, label) longs.
+    * **lineage truncation** — ``localCheckpoint`` every
+      ``checkpoint_every`` rounds; without it the plan nests one join
+      per round and the planner/driver stack becomes the bottleneck
+      long before the data does.
+    * **loud non-convergence** — if the loop exhausts ``max_iters``
+      without reaching the fixpoint, RAISE instead of returning
+      silently split clusters (with doubling this needs diameter
+      > 2^max_iters, i.e. never in practice).
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -134,25 +202,47 @@ def connected_components(
     ).persist()
     try:
         prev_sum = None
-        for _ in range(max_iters):
+        converged = False
+        for it in range(max_iters):
             prop = (
                 labels.join(sym, labels["node"] == sym["src"])
                 .select(F.col("dst").alias("node"), "label")
             )
+            # pointer doubling: node's label jumps to its label's label
+            lab2 = (
+                labels.alias("l1")
+                .join(
+                    labels.alias("l2"),
+                    F.col("l1.label") == F.col("l2.node"),
+                )
+                .select(
+                    F.col("l1.node").alias("node"),
+                    F.col("l2.label").alias("label"),
+                )
+            )
             new_labels = (
-                labels.unionByName(prop)
+                labels.unionByName(prop).unionByName(lab2)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .persist()
             )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
             s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
             old = labels
             labels = new_labels
             old.unpersist()
             # labels decrease monotonically; equal sum ⇒ fixpoint
             if prev_sum is not None and s == prev_sum:
+                converged = True
                 break
             prev_sum = s
+        if not converged and max_iters > 1:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds — with pointer doubling this means component "
+                f"diameter > 2^{max_iters}; raise max_iters"
+            )
         return labels.select(
             F.col("node").alias(id_col), F.col("label").alias("cluster_id")
         )
@@ -163,16 +253,20 @@ def connected_components(
 def embedding_neardup_clusters(
     vecs: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding",
     threshold: float = 0.9, n_tables: int = 8, bits: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup resolution: sign-LSH bucket
     candidates (within-bucket pairs, never all-pairs) → exact cosine
     verification at ``threshold`` → connected components →
     (vec_id, cluster_id, keep).  The embedding-space twin of
     ``near_dup_clusters`` — catches paraphrase-level duplicates that
-    shingle Jaccard misses."""
+    shingle Jaccard misses.  ``max_bucket_size`` guards the
+    within-bucket pair join against degenerate buckets (all-zero /
+    near-duplicate embedding clusters — see :func:`cap_buckets`)."""
     from pg_pb3_ld_spark.functions import ann
 
     buckets = ann.sign_buckets(vecs, id_col, emb_col, n_tables, bits)
+    buckets = cap_buckets(buckets, ["table_id", "bucket"], max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -204,12 +298,13 @@ def embedding_neardup_clusters(
 def near_dup_clusters(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 4, shingle_n: int = 3, threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup resolution: (doc_id, cluster_id, keep) for EVERY
     document — singletons (incl. too-short docs) are their own
     cluster; ``keep`` marks the canonical survivor."""
     bands = minhash_bands(docs, text_col, id_col, k, shingle_n)
-    pairs = lsh_candidate_pairs(bands, id_col)
+    pairs = lsh_candidate_pairs(bands, id_col, max_bucket_size)
     sets = shingle_sets(docs, text_col, id_col, shingle_n)
     edges = verify_candidates(pairs, sets, id_col).where(
         F.col("jaccard") >= threshold

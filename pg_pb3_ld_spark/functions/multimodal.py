@@ -73,6 +73,101 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int]:
     return (w, rows, int(px.mean()), bpp)
 
 
+def decode_png(blob: bytes) -> tuple[int, int, int, int]:
+    """REAL image decode for non-interlaced 8-bit PNG (pure stdlib
+    zlib + numpy row unfiltering — no PIL needed).
+
+    Returns (width, height, mean_pixel_value, bits_per_pixel).
+    Format per the public PNG spec (RFC 2083): 8-byte signature,
+    length-prefixed chunks (IHDR geometry, concatenated IDAT zlib
+    stream), scanlines of 1 filter byte + pixels, 5 filter types
+    (None/Sub/Up/Average/Paeth) reconstructed per row.  Supported:
+    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA); palette and Adam7 interlace are rejected (ValueError,
+    captured per-row by the extractor).
+    """
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(blob) < 8 or blob[:8] != sig:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = blob[pos + 4:pos + 8]
+        body = blob[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None:
+        raise ValueError(
+            f"only 8-bit gray/RGB/GA/RGBA PNG (depth={depth}, "
+            f"color_type={color})"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (1 + stride): (y + 1) * (1 + stride)]
+        ftype = line[0]
+        cur = np.frombuffer(line, np.uint8, count=stride, offset=1).astype(
+            np.int64
+        )
+        if ftype == 0:      # None
+            recon = cur
+        elif ftype == 1:    # Sub: + recon[x-bpp]
+            recon = (
+                np.cumsum(cur.reshape(-1, bpp), axis=0) % 256
+            ).reshape(-1)
+        elif ftype == 2:    # Up: + prev row
+            recon = (cur + prev) % 256
+        elif ftype == 3:    # Average: + floor((left + up) / 2)
+            recon = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:    # Paeth predictor
+            recon = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0   # left
+                b = prev[x]                              # up
+                c = prev[x - bpp] if x >= bpp else 0     # up-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                recon[x] = (cur[x] + pr) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return (w, h, int(out.mean()), depth * channels)
+
+
 def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
     """REAL audio decode for 16-bit PCM WAV (pure numpy).
 
@@ -114,17 +209,20 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
 
 
 def _decode_image(blob: bytes, deterministic_fake: bool):
-    """Image decode: REAL for 24-bit BMP; other raster formats (PNG,
-    JPEG) need PIL — stubbed in this sandbox.  ``deterministic_fake``
-    short-circuits to the pseudo-features unconditionally (the SQL
-    oracle's path — it must not depend on blob magic)."""
+    """Image decode: REAL for 24-bit BMP and 8-bit PNG; JPEG and
+    other compressed rasters need PIL — stubbed in this sandbox.
+    ``deterministic_fake`` short-circuits to the pseudo-features
+    unconditionally (the SQL oracle's path — it must not depend on
+    blob magic)."""
     if deterministic_fake:
         return _fake_features(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(blob)
     raise NotImplementedError(
-        "non-BMP image decoding needs PIL/torchvision — not in "
-        "this sandbox"
+        "non-BMP/non-PNG image decoding needs PIL/torchvision — not "
+        "in this sandbox"
     )
 
 

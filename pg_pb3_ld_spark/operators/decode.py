@@ -132,7 +132,7 @@ def decode_typed_changes(
         )
         + ", _x_names array<string>, _x_oids array<long>"
         + ", _x_values array<binary>, _x_nulls array<boolean>"
-        + ", _x_formats array<boolean>"
+        + ", _x_formats array<boolean>, _split boolean"
     )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

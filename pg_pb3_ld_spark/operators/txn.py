@@ -139,8 +139,12 @@ def summary_agg_df(typed: DataFrame) -> DataFrame:
     # once per decoded frame, so counting those rows (first exploded
     # copy only) == frames delivered — the pipeline checks density
     # without a separate pre-decode action over the frames table.
+    # Synthetic rows appended by the key-changing-UPDATE split reuse
+    # the original ordinate and MUST NOT be counted, or a key-move at
+    # offset_idx 0 double-counts its frame and trips the
+    # strict_frame_order guard on in-order input.
     # Every aggregate stays fixed-width (no distinct ⇒ no expand).
-    first_msg = F.col("offset_idx") == 0
+    first_msg = (F.col("offset_idx") == 0) & ~F.col("_split")
     first_copy = F.col("xp").isNull() | (F.col("xp") == 0)
     return (
         typed.select(
@@ -149,7 +153,7 @@ def summary_agg_df(typed: DataFrame) -> DataFrame:
                     F.col("_x_names").alias("n"), F.col("_x_oids").alias("o")
                 )
             ).alias("xp", "x"),
-            "op", "lsn", "frame_seq", "offset_idx",
+            "op", "lsn", "frame_seq", "offset_idx", "_split",
             packed.alias("_packed"),
         )
         .groupBy(F.col("x.n").alias("name"))

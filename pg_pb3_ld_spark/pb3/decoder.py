@@ -764,6 +764,12 @@ def typed_arrow_schema(schema) -> pa.Schema:
     fields.append(("_x_values", pa.list_(pa.binary())))
     fields.append(("_x_nulls", pa.list_(pa.bool_())))
     fields.append(("_x_formats", pa.list_(pa.bool_())))
+    # synthetic-row marker: true only on the INSERT half appended by
+    # the key-changing-UPDATE split.  Such rows reuse the original
+    # (frame_seq, offset_idx) ordinate, so the frame-density evidence
+    # (count of offset_idx==0 rows) must exclude them or a key-move
+    # landing at a frame boundary trips the strict_frame_order guard.
+    fields.append(("_split", pa.bool_()))
     return pa.schema(fields)
 
 
@@ -938,6 +944,8 @@ def decode_frame_typed(
                         pa.array(core.nv_cols.is_binary[unk], pa.bool_()))
         )
 
+    arrays.append(pa.array(np.zeros(n_msgs, dtype=bool)))  # _split
+
     split_idx = np.flatnonzero(key_changed)
     if len(split_idx) == 0:
         return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
@@ -975,18 +983,28 @@ def _split_key_updates(
     for i in split_idx:
         ops[int(i)] = "DELETE"
     by_name["op"] = pa.array(ops, pa.utf8())
-    clear = np.zeros(len(arrays[0]), dtype=bool)
+    n_rows = len(arrays[0])
+    clear = np.zeros(n_rows, dtype=bool)
     clear[split_idx] = True
     for c in schema.columns:
         if c.name not in key_names:
             flags = by_name[f"{c.name}_set"].to_numpy(zero_copy_only=False)
             by_name[f"{c.name}_set"] = pa.array(flags & ~clear)
+    # a DELETE carries no value claims: null the evolution-probe
+    # arrays on the demoted half too, or project_evolved_from_probe
+    # would re-mark evolved columns _set=true on the DELETE row
+    probe_pos = np.arange(n_rows, dtype=np.int64)
+    probe_pos[split_idx] = -1
+    probe_take = pa.array(probe_pos, pa.int64(), mask=probe_pos < 0)
+    for xn in ("_x_names", "_x_oids", "_x_values", "_x_nulls", "_x_formats"):
+        by_name[xn] = by_name[xn].take(probe_take)
 
     # appended INSERT rows at the new key; any column not special-cased
     # below (ordering, table name, evolution probe, …) is copied from
     # the original row
     extra: dict[str, pa.Array] = {}
     extra["op"] = pa.array(["INSERT"] * len(split_idx), pa.utf8())
+    extra["_split"] = pa.array(np.ones(len(split_idx), dtype=bool))
     for c in schema.columns:
         if c.name in key_names:
             extra[c.name] = new_key_cols[c.name].take(take)

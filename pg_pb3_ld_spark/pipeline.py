@@ -158,7 +158,7 @@ class IngestPipeline:
                     )
 
             commit_ord = summary["commit_ord"]
-            data = data.drop(*PROBE_COLS)
+            data = data.drop(*PROBE_COLS, "_split")
             gated = gate_by_commit_watermark(
                 data, commit_ord, has_commits=self.config.commit_messages
             )

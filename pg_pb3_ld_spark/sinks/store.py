@@ -116,20 +116,39 @@ class SnapshotStore:
         with open(os.path.join(self.root, MANIFEST)) as f:
             snap = json.load(f)["snapshot"]
         # belt-and-braces recovery: meta.json is fsynced before the
-        # pointer swap, but if a snapshot's meta is still unreadable
-        # (torn write on a non-ordering filesystem, manual damage),
-        # fall back to the newest earlier snapshot with a readable
-        # meta rather than bricking the table — replay from the older
-        # watermark is idempotent by construction
+        # pointer swap, but if a snapshot's meta is GENUINELY torn or
+        # missing (power loss on a non-ordering filesystem, manual
+        # damage), fall back to the newest earlier snapshot with a
+        # readable meta rather than bricking the table — replay from
+        # the older watermark is idempotent by construction.
+        # ONLY FileNotFoundError / JSONDecodeError trigger the
+        # fallback: a transient OSError (EMFILE, EACCES, NFS hiccup)
+        # on an intact meta must RAISE, or the silent regression to an
+        # older snapshot would advance snapshot_id over a newer one on
+        # the next merge and destroy committed state.
+        skipped: list[int] = []
         for sid in range(snap, -1, -1):
             path = os.path.join(
                 self.root, "snapshots", f"{sid:06d}", "meta.json"
             )
             try:
                 with open(path) as f:
-                    return json.load(f)
-            except (OSError, json.JSONDecodeError):
+                    meta = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                skipped.append(sid)
                 continue
+            if skipped:
+                import warnings
+
+                warnings.warn(
+                    f"snapshot meta recovery under {self.root!r}: "
+                    f"skipped unreadable snapshot(s) {skipped}, "
+                    f"recovered from snapshot {sid} — replay from its "
+                    "watermark to converge",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            return meta
         raise RuntimeError(
             f"no readable snapshot meta under {self.root!r} "
             f"(manifest points at snapshot {snap})"

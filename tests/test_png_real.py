@@ -1,0 +1,149 @@
+"""Real PNG decoder — byte-exact goldens vs an independent writer.
+
+The writer packs chunks with struct + zlib straight from the public
+PNG spec (RFC 2083) and applies each of the 5 scanline filters
+FORWARD (the encoder direction), so the numpy unfiltering in
+``decode_png`` is verified against a second implementation, not
+against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pg_pb3_ld_spark.functions.multimodal import (
+    decode_png,
+    extract_media_features,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def make_png(pixels: np.ndarray, color_type: int, filters) -> bytes:
+    """Independent PNG writer.  ``pixels``: (h, w, channels) uint8;
+    ``filters``: per-row filter type (0-4), applied in the ENCODER
+    direction per the spec."""
+    h, w, ch = pixels.shape
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = pixels[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:   # Sub
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            enc = (row - left) % 256
+        elif f == 2:   # Up
+            enc = (row - prev) % 256
+        elif f == 3:   # Average
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            enc = (row - (left + prev) // 2) % 256
+        elif f == 4:   # Paeth
+            enc = np.empty(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pr) % 256
+        raw += bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_golden_all_color_types(color_type, ch):
+    rng = np.random.default_rng(color_type)
+    px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+    blob = make_png(px, color_type, filters=[0, 1, 2, 3, 4])
+    w, h, mean, bits = decode_png(blob)
+    assert (w, h) == (5, 7)
+    assert bits == 8 * ch
+    assert mean == int(px.astype(np.float64).mean())
+
+
+def test_png_every_filter_type_exact():
+    """One image per filter type — unfiltering must be byte-exact,
+    verified through the mean over KNOWN pixels."""
+    rng = np.random.default_rng(42)
+    for f in range(5):
+        px = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+        blob = make_png(px, 2, filters=[f])
+        w, h, mean, bits = decode_png(blob)
+        assert (w, h, bits) == (4, 6, 24), f"filter {f}"
+        assert mean == int(px.astype(np.float64).mean()), f"filter {f}"
+
+
+def test_png_multiple_idat_chunks():
+    """IDAT may be split arbitrarily; the decoder must concatenate."""
+    px = np.full((3, 3, 3), 77, dtype=np.uint8)
+    blob = make_png(px, 2, filters=[0])
+    # split the single IDAT into two chunks
+    sig_ihdr = blob[: 8 + 25]
+    idat_len = struct.unpack(">I", blob[33:37])[0]
+    idat_body = blob[41:41 + idat_len]
+    rest = blob[41 + idat_len + 4:]
+    half = len(idat_body) // 2
+    split = (
+        sig_ihdr + _chunk(b"IDAT", idat_body[:half])
+        + _chunk(b"IDAT", idat_body[half:]) + rest
+    )
+    assert decode_png(split) == decode_png(blob) == (3, 3, 77, 24)
+
+
+def test_png_rejects_unsupported():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = make_png(px, 2, filters=[0])
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + good[4:])
+    # palette color type
+    bad = bytearray(good)
+    bad[8 + 8 + 9] = 3  # IHDR color_type byte
+    with pytest.raises(ValueError, match="color_type=3"):
+        decode_png(bytes(bad))
+    # interlaced
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        # body shorter than h*(1+stride): recompress a short stream
+        trunc = (
+            good[: 8 + 25]
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        decode_png(trunc)
+
+
+def test_png_through_spark_operator(spark):
+    """PNG rows now decode for REAL through mapInPandas (the round-2
+    dispatch gap: only BMP passed, PNG hit NotImplementedError)."""
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    png = make_png(px, 2, filters=[1, 4])
+    rows = [(1, "image", bytearray(png))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, blob binary")
+    got = extract_media_features(df).collect()[0]
+    assert got["error"] is None
+    assert (got["sample0"], got["sample1"]) == (4, 2)
+    assert got["sample3"] == 24
