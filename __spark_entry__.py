@@ -615,6 +615,76 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
+    (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
+    unfilter → nearest-neighbor resize to 4×4 → summary stats, all in
+    one Arrow-batched mapInPandas stage.  The oracle recomputes the
+    SAME stats by pure arithmetic on the pixel formula — so the SQL
+    check spans the whole PNG encode/zlib/unfilter/resize path."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import encode_png, resize_media
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                px = (
+                    (int(did) + np.arange(8 * 8 * 3)) % 256
+                ).astype(np.uint8).reshape(8, 8, 3)
+                blobs.append(encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = resize_media(blobs, 4, 4)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "out_h", "out_w", "n_channels",
+        "mean_pixel", "corner00", "corner11",
+    )
+
+
+def q_audio_frame_sample(spark, sf_dir):
+    """REAL audio path end-to-end: synthesize a 0.1 s 8 kHz mono WAV
+    per doc (sample i = (doc_id·31 + i·7) mod 2001 − 1000), then
+    decode → 4 equally-spaced 10 ms windows → RMS/peak per window.
+    Oracle recomputes RMS/peak by arithmetic on the sample formula —
+    the SQL check spans the WAV encode/RIFF-walk/windowing path."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import (
+        encode_wav, sample_audio_frames,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                s = (int(did) * 31 + np.arange(800) * 7) % 2001 - 1000
+                blobs.append(encode_wav(8000, 1, s))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = sample_audio_frames(blobs, n_frames=4)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "frame_idx", "t_ms", "rms", "peak",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_last_wins": q_dedup_last_wins,
     "txn_assembly": q_txn_assembly,
@@ -643,6 +713,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall10": q_ann_recall10,
     "ann_knn_label_vote": q_ann_knn_label_vote,
     "multimodal_features": q_multimodal_features,
+    "media_resize": q_media_resize,
+    "audio_frame_sample": q_audio_frame_sample,
 }
 
 
@@ -1155,6 +1227,35 @@ def _literal_oracles() -> dict[str, str]:
                    min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 HAVING count(*) >= 1
+        """,
+        "media_resize": """
+            SELECT doc_id AS media_id,
+                   4 AS out_h, 4 AS out_w, 3 AS n_channels,
+                   CAST(floor(list_sum(list_transform(range(0, 48),
+                        t -> CAST((doc_id + (t//12)*48 + ((t%12)//3)*6
+                                   + (t%3)) % 256 AS DOUBLE))) / 48)
+                        AS INT) AS mean_pixel,
+                   CAST(doc_id % 256 AS INT) AS corner00,
+                   CAST((doc_id + 164) % 256 AS INT) AS corner11
+            FROM documents WHERE doc_id < 200
+        """,
+        "audio_frame_sample": """
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       least((799 * k) // 3, 720) AS s0
+                FROM documents, range(4) t(k)
+                WHERE doc_id < 200
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST((s0 * 1000) // 8000 AS INT) AS t_ms,
+                   CAST(floor(sqrt(list_sum(list_transform(range(0, 80),
+                        j -> pow(CAST((doc_id * 31 + (s0 + j) * 7) % 2001
+                                      - 1000 AS DOUBLE), 2))) / 80))
+                        AS INT) AS rms,
+                   CAST(list_max(list_transform(range(0, 80),
+                        j -> abs((doc_id * 31 + (s0 + j) * 7) % 2001
+                                 - 1000))) AS INT) AS peak
+            FROM f
         """,
         "doc_token_stats": """
             SELECT doc_id,

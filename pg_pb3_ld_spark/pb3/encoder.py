@@ -234,6 +234,17 @@ class WireBatcher:
         self._body.clear()
         self._n_msgs = 0
 
+    def cut(self) -> None:
+        """Simulate a producer cut mid-transaction (walsender crash /
+        stream truncation before COMMIT): flush whatever is buffered
+        WITHOUT a commit marker.  The consumer's commit gate must hold
+        these changes back; ungated monitoring views (streaming
+        sessions) see them at-least-once — this is the fixture for
+        pinning both behaviors."""
+        if self._header:
+            self._flush()
+        self._in_txn = False
+
     def frames(self) -> list[tuple[int, bytes]]:
         if self._in_txn:
             raise RuntimeError("frames() inside an open transaction")

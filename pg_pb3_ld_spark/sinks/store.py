@@ -50,6 +50,13 @@ from pg_pb3_ld_spark.schema import TargetColumn, TargetSchema
 MANIFEST = "manifest.json"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a snapshot since this store instance
+    loaded its base — the analog of Iceberg's CommitFailedException.
+    The caller's protocol is the same as Iceberg's: ``refresh()`` to
+    the new base and retry the merge (idempotent via the watermark)."""
+
+
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -148,6 +155,9 @@ class SnapshotStore:
                     RuntimeWarning,
                     stacklevel=2,
                 )
+            # remember the damaged pointer target: the next commit is
+            # allowed to supersede it (it is NOT a concurrent writer)
+            self._recovered_pointer = snap if skipped else None
             return meta
         raise RuntimeError(
             f"no readable snapshot meta under {self.root!r} "
@@ -268,6 +278,7 @@ class SnapshotStore:
 
         src = folded.withColumn("_bucket", self.bucket_expr(keys[0]))
         src = src.persist()
+        stage_dir = None
         try:
             _t0 = _time.time()
             # batch stats: tiny agg (drives hwm + affected buckets)
@@ -314,12 +325,19 @@ class SnapshotStore:
                 no_src | (F.col("s.kind") != "DELETE")
             ).select(*merged_cols)
 
+            # stage under a UNIQUE dir (Iceberg-style): concurrent
+            # writers never collide on paths, so a failed/stale commit
+            # can never clobber a committed snapshot's files.  The
+            # snapshot id is claimed atomically at commit time by
+            # renaming the staging dir into place.
+            import uuid as _uuid
+
             new_id = self.snapshot_id + 1
             snap_rel = os.path.join("snapshots", f"{new_id:06d}")
-            data_rel = os.path.join(snap_rel, "data")
-            data_dir = os.path.join(self.root, data_rel)
-            if os.path.exists(data_dir):
-                shutil.rmtree(data_dir)  # orphan from a crashed commit
+            stage_rel = os.path.join("staging", _uuid.uuid4().hex)
+            stage_dir = os.path.join(self.root, stage_rel)
+            data_dir = os.path.join(stage_dir, "data")
+            os.makedirs(data_dir)
 
             from pyspark.sql import Observation
 
@@ -344,8 +362,9 @@ class SnapshotStore:
             # column — rewrite relpaths and rely on read()'s explicit
             # schema, so re-inject _bucket as a data column by listing
             files = dict(self._meta["files"])
+            # relpaths point at the FINAL (post-rename) location
             written = {
-                int(d.split("=")[1]): os.path.join(data_rel, d)
+                int(d.split("=")[1]): os.path.join(snap_rel, "data", d)
                 for d in os.listdir(data_dir)
                 if d.startswith("_bucket=")
             }
@@ -392,9 +411,63 @@ class SnapshotStore:
                 "committed_at": time.time(),
             }
             meta.pop("total_rows", None)
-            self._write_meta(self.root, meta)
+            # meta.json rides in the staging dir so data + watermark +
+            # lineage arrive together in ONE atomic rename
+            with open(os.path.join(stage_dir, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+
+            # Commit protocol (optimistic concurrency — the Iceberg
+            # CommitFailedException analog):
+            # 1. the commit is valid only against the base snapshot
+            #    this merge read from — re-check the pointer;
+            # 2. claim the snapshot id by ATOMICALLY renaming the
+            #    staging dir into place (rename onto a non-empty dir
+            #    fails, so two writers can never both own an id);
+            # 3. publish via the fsynced pointer swap.
+            # A rename collision against a CRASHED commit of this
+            # table's own lineage (claimed dir but pointer never
+            # swapped — unreachable by readers) is reclaimed; a
+            # collision with the pointer already at/past new_id is a
+            # genuine concurrent commit and fails loudly.  The caller
+            # refreshes and retries (idempotent via the watermark).
+            def _pointer() -> int | None:
+                try:
+                    with open(os.path.join(self.root, MANIFEST)) as f:
+                        return json.load(f)["snapshot"]
+                except FileNotFoundError:
+                    return None
+
+            recovered = getattr(self, "_recovered_pointer", None)
+            cur = _pointer()
+            if cur != self.snapshot_id and cur != recovered:
+                raise CommitConflictError(
+                    f"concurrent commit detected: base snapshot "
+                    f"{self.snapshot_id} but manifest now points at "
+                    f"{cur} — refresh() and retry the merge"
+                )
+            snap_dir = os.path.join(self.root, snap_rel)
+            try:
+                os.rename(stage_dir, snap_dir)
+            except OSError:
+                cur = _pointer()
+                if (
+                    cur is not None and cur >= new_id
+                    and cur != recovered
+                ):
+                    raise CommitConflictError(
+                        f"concurrent commit detected: snapshot {new_id} "
+                        f"already committed (manifest at {cur}) — "
+                        "refresh() and retry the merge"
+                    )
+                # damaged (recovered-over) or crashed-commit orphan:
+                # never readable by anyone, reclaim the name
+                shutil.rmtree(snap_dir)
+                os.rename(stage_dir, snap_dir)
             self._swap_pointer(self.root, new_id)
             self._meta = meta
+            self._recovered_pointer = None  # damage superseded
 
             return {
                 "merge_phase_sec": {k: round(v, 2) for k, v in _t.items()},
@@ -409,3 +482,6 @@ class SnapshotStore:
             }
         finally:
             src.unpersist()
+            # un-renamed staging (failed/conflicted commit) is garbage
+            if stage_dir and os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir, ignore_errors=True)

@@ -172,3 +172,134 @@ def test_merge_kinds_unit(spark):
         "untouched": ("x", "y"),
         # "del" dropped; "newdel" never inserted
     }
+
+
+# ------------------------------------------------------------------
+# round-3 extensions (VERDICT #8): snapshot-property-hwm commit path
+# and concurrent-writer conflict — both executable in the sandbox
+# ------------------------------------------------------------------
+
+_FOLD_DDL = (
+    "conv_id string, turn_idx int, kind string, "
+    "role string, role_set boolean, text string, text_set boolean, "
+    "tool string, tool_set boolean, ts timestamp, ts_set boolean, "
+    "last_lsn long, last_frame_seq long, n_changes long"
+)
+
+
+def _folded(spark, rows):
+    """Hand-built fold output rows: (conv, turn, kind, text, lsn)."""
+    return spark.createDataFrame(
+        [
+            (c, t, k, None, False, txt, txt is not None, None, False,
+             None, False, lsn, lsn, 1)
+            for c, t, k, txt, lsn in rows
+        ],
+        _FOLD_DDL,
+    )
+
+
+def test_iceberg_merge_sets_snapshot_property_hwm(spark):
+    """The IcebergSink commit protocol: the applied-LSN watermark MUST
+    be staged as snapshot properties BEFORE the MERGE executes, so
+    data + watermark land in ONE Iceberg snapshot (exactly-once).  No
+    runtime jar ships here, so the sql call is captured via a session
+    proxy and checked for ordering + statement text."""
+    from pg_pb3_ld_spark.sinks.iceberg import IcebergSink, merge_sql
+
+    calls = []
+
+    class _Proxy:
+        def __init__(self, real):
+            self._real = real
+            self.conf = real.conf
+
+        def sql(self, q):
+            calls.append(
+                (q,
+                 self.conf.get("spark.wap.snapshot-property.applied-lsn"),
+                 self.conf.get("spark.wap.snapshot-property.applied-frame"))
+            )
+
+    schema = transcripts_schema()
+    folded = _folded(spark, [("c0", 0, "PATCH", "hello", 42)])
+    sink = IcebergSink(_Proxy(spark), "cat.db.transcripts")
+    sink.merge(folded, schema, hwm=(4242, 17))
+    assert len(calls) == 1
+    stmt, lsn_prop, frame_prop = calls[0]
+    assert stmt == merge_sql(schema, "cat.db.transcripts")
+    # properties visible at MERGE time — the snapshot carries them
+    assert (lsn_prop, frame_prop) == ("4242", "17")
+
+
+def test_hwm_commits_atomically_with_data(spark, tmpdir_path):
+    """Sandbox analog of the snapshot-property commit: a crash AFTER
+    the snapshot meta is written but BEFORE the pointer swap must
+    leave BOTH the table state and the watermark at the old snapshot
+    (data+hwm travel together); the retry then applies cleanly."""
+    store = SnapshotStore.create(
+        spark, os.path.join(tmpdir_path, "t"), transcripts_schema(),
+        num_buckets=2,
+    )
+    store.merge(_folded(spark, [("c0", 0, "PATCH", "v1", 100)]),
+                batch_id=1, hwm_override=(100, 0))
+    assert store.hwm() == (100, 0)
+
+    # crash between meta write and pointer swap
+    orig_swap = type(store)._swap_pointer
+    try:
+        def boom(root, sid):
+            raise OSError("simulated crash before pointer swap")
+        type(store)._swap_pointer = staticmethod(boom)
+        with pytest.raises(OSError, match="simulated crash"):
+            store.merge(
+                _folded(spark, [("c0", 0, "PATCH", "v2", 200)]),
+                batch_id=2, hwm_override=(200, 1),
+            )
+    finally:
+        type(store)._swap_pointer = staticmethod(orig_swap)
+
+    # a fresh reader sees the OLD snapshot: old data AND old watermark
+    reopened = SnapshotStore(spark, store.root)
+    assert reopened.hwm() == (100, 0)
+    rows = {r["turn_idx"]: r["text"] for r in reopened.read_table().collect()}
+    assert rows == {0: "v1"}
+
+    # retry converges (orphan snapshot dir is reclaimed)
+    reopened.merge(_folded(spark, [("c0", 0, "PATCH", "v2", 200)]),
+                   batch_id=2, hwm_override=(200, 1))
+    assert reopened.hwm() == (200, 1)
+    rows = {r["turn_idx"]: r["text"] for r in reopened.read_table().collect()}
+    assert rows == {0: "v2"}
+
+
+def test_concurrent_writer_conflict(spark, tmpdir_path):
+    """Two interleaved merges from independent store handles: the
+    stale writer's commit must FAIL (Iceberg CommitFailedException
+    analog), and refresh()+retry must converge to the sequential
+    result — silent last-writer-wins would lose committed data."""
+    from pg_pb3_ld_spark.sinks.store import CommitConflictError
+
+    root = os.path.join(tmpdir_path, "t")
+    a = SnapshotStore.create(spark, root, transcripts_schema(), num_buckets=2)
+    b = SnapshotStore(spark, root)  # second writer, same base snapshot
+
+    a.merge(_folded(spark, [("c0", 0, "PATCH", "from-a", 100)]),
+            batch_id=1, hwm_override=(100, 0))
+
+    with pytest.raises(CommitConflictError, match="refresh"):
+        b.merge(_folded(spark, [("c1", 0, "PATCH", "from-b", 200)]),
+                batch_id=2, hwm_override=(200, 1))
+
+    # Iceberg retry protocol: refresh to the new base, re-merge
+    b.refresh()
+    b.merge(_folded(spark, [("c1", 0, "PATCH", "from-b", 200)]),
+            batch_id=2, hwm_override=(200, 1))
+
+    final = SnapshotStore(spark, root)
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in final.read_table().collect()
+    }
+    assert rows == {("c0", 0): "from-a", ("c1", 0): "from-b"}
+    assert final.hwm() == (200, 1)

@@ -147,3 +147,63 @@ def test_png_through_spark_operator(spark):
     assert got["error"] is None
     assert (got["sample0"], got["sample1"]) == (4, 2)
     assert got["sample3"] == 24
+
+
+def test_decode_image_pixels_and_resize():
+    """Pixel-exact decode for BMP and PNG, then nearest-neighbor
+    resize with hand-computable index math."""
+    from tests.test_multimodal_real import make_bmp
+
+    from pg_pb3_ld_spark.functions.multimodal import (
+        decode_image_pixels, resize_nearest,
+    )
+
+    # PNG path: pixels come back exactly as written
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    got = decode_image_pixels(make_png(px, 2, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, px)
+
+    # BMP path: BGR storage normalized to top-down rows
+    pmap = {(r, c): (r, c, r + c) for r in range(3) for c in range(4)}
+    got = decode_image_pixels(make_bmp(4, 3, pmap))
+    assert got.shape == (3, 4, 3)
+    assert tuple(got[1, 2]) == (1, 2, 3)  # (b,g,r) as stored
+
+    # resize 6x4 → 3x2: rows 0,2,4 and cols 0,2 survive
+    rs = resize_nearest(px, 3, 2)
+    assert rs.shape == (3, 2, 3)
+    assert np.array_equal(rs, px[[0, 2, 4]][:, [0, 2]])
+
+
+def test_resize_media_operator(spark):
+    from pg_pb3_ld_spark.functions.multimodal import resize_media
+
+    px = np.full((8, 8, 3), 50, dtype=np.uint8)
+    png = make_png(px, 2, filters=[4])
+    rows = [(1, bytearray(png)), (2, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in resize_media(df, 4, 4).collect()}
+    assert got[1]["error"] is None
+    assert (got[1]["out_h"], got[1]["out_w"], got[1]["mean_pixel"]) == (4, 4, 50)
+    assert got[2]["error"] is not None
+
+
+def test_sample_audio_frames_operator(spark):
+    from tests.test_multimodal_real import make_wav
+
+    from pg_pb3_ld_spark.functions.multimodal import sample_audio_frames
+
+    # 1 second of 8 kHz mono: constant amplitude 1000 → rms == peak
+    wav = make_wav(8000, 1, [1000] * 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, blob binary"
+    )
+    got = sample_audio_frames(df, n_frames=4).collect()
+    assert len(got) == 4
+    assert all(r["error"] is None for r in got)
+    assert [r["frame_idx"] for r in sorted(got, key=lambda r: r["t_ms"])] == [
+        0, 1, 2, 3,
+    ]
+    assert all(r["rms"] == 1000 and r["peak"] == 1000 for r in got)
+    assert max(r["t_ms"] for r in got) >= 900  # spans the clip

@@ -81,3 +81,114 @@ def test_state_accumulates_across_micro_batches(spark, tmpdir_path):
     # the hot conversation spans files ⇒ state genuinely crossed
     # micro-batch boundaries for at least one group
     assert multi_batch_convs >= 1
+
+
+def test_uncommitted_tail_semantics(spark, tmpdir_path):
+    """Pin the documented split across a mid-transaction batch cut:
+    the sessions view reads the UNGATED stream (at-least-once — the
+    uncommitted tail IS counted), while the exactly-once apply path
+    holds the same tail back until its COMMIT arrives."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_pb3_ld_spark.pb3 import wire
+    from pg_pb3_ld_spark.pb3.encoder import (
+        FieldValue, WireBatcher, encode_field_set, encode_insert,
+        encode_table,
+    )
+    from pg_pb3_ld_spark.pb3.pgtypes import encode_value
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    td = encode_table("public", "transcripts")
+
+    def _ins(b, conv, turn):
+        cols = [
+            FieldValue("conv_id", conv.encode(), wire.OID_TEXT),
+            FieldValue(
+                "turn_idx", encode_value(turn, wire.OID_INT4, True),
+                wire.OID_INT4, is_binary=True,
+            ),
+            FieldValue("text", f"{conv}#{turn}".encode(), wire.OID_TEXT),
+        ]
+        b.change(
+            wire.WMSG_INSERT,
+            encode_insert(td, encode_field_set(cols, cfg.type_oids_mode)),
+        )
+
+    b = WireBatcher(cfg)
+    b.begin_txn(); _ins(b, "c0", 0); _ins(b, "c0", 1); b.commit_txn()
+    committed = list(b.frames())
+    b.begin_txn(); _ins(b, "c0", 2); _ins(b, "c1", 0)
+    b.cut()  # producer crash before COMMIT — uncommitted tail frame
+    tail = [f for f in b.frames() if f not in committed]
+    assert tail, "cut() must flush the buffered mid-txn frame"
+
+    land = os.path.join(tmpdir_path, "land")
+    os.makedirs(land)
+
+    def _write(name, frames, seq0, mtime):
+        p = os.path.join(land, name)
+        pq.write_table(
+            pa.table({
+                "frame_seq": pa.array(
+                    range(seq0, seq0 + len(frames)), pa.int64()
+                ),
+                "lsn": pa.array([l for l, _ in frames], pa.int64()),
+                "frame": pa.array([fr for _, fr in frames], pa.binary()),
+            }),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    _write("part-000.parquet", committed, 0, now - 60)
+    _write("part-001.parquet", tail, len(committed), now)
+
+    # ungated sessions view: the tail counts (at-least-once)
+    frames = (
+        spark.readStream.schema("frame_seq long, lsn long, frame binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    changes = decode_typed_changes(frames, transcripts_schema(), cfg).where(
+        F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    ).select("conv_id", "turn_idx", "op", "lsn")
+    q = (
+        track_conversations(changes)
+        .writeStream.format("memory").queryName("tail_progress")
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from tail_progress").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["n_changes"] > cur["n_changes"]:
+            final[r["conv_id"]] = r
+    assert final["c0"]["n_changes"] == 3       # includes uncommitted turn 2
+    assert final["c0"]["max_turn"] == 2
+    assert final["c1"]["n_changes"] == 1       # uncommitted-only conv visible
+
+    # exactly-once apply path on the SAME frames: tail held back
+    store = SnapshotStore.create(
+        spark, os.path.join(tmpdir_path, "t"), transcripts_schema(),
+        num_buckets=2,
+    )
+    IngestPipeline(spark, store, cfg).apply_frames(
+        spark.read.schema("frame_seq long, lsn long, frame binary")
+        .parquet(land),
+        batch_id=1,
+    )
+    applied = {
+        (r["conv_id"], r["turn_idx"]) for r in store.read_table().collect()
+    }
+    assert applied == {("c0", 0), ("c0", 1)}   # no uncommitted rows
