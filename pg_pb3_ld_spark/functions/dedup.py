@@ -208,20 +208,28 @@ def connected_components(
                 labels.join(sym, labels["node"] == sym["src"])
                 .select(F.col("dst").alias("node"), "label")
             )
-            # pointer doubling: node's label jumps to its label's label
-            lab2 = (
-                labels.alias("l1")
-                .join(
-                    labels.alias("l2"),
-                    F.col("l1.label") == F.col("l2.node"),
+            cand = labels.unionByName(prop)
+            if it >= 2:
+                # pointer doubling: node's label jumps to its label's
+                # label.  Deferred to round 3+ — typical dedup graphs
+                # (star-shaped duplicate clusters) reach the fixpoint
+                # in ≤3 plain rounds, where the extra (label→label)
+                # join is pure overhead; a deep chain still converges
+                # in O(log d) rounds once doubling engages.
+                lab2 = (
+                    labels.alias("l1")
+                    .join(
+                        labels.alias("l2"),
+                        F.col("l1.label") == F.col("l2.node"),
+                    )
+                    .select(
+                        F.col("l1.node").alias("node"),
+                        F.col("l2.label").alias("label"),
+                    )
                 )
-                .select(
-                    F.col("l1.node").alias("node"),
-                    F.col("l2.label").alias("label"),
-                )
-            )
+                cand = cand.unionByName(lab2)
             new_labels = (
-                labels.unionByName(prop).unionByName(lab2)
+                cand
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
