@@ -29,6 +29,7 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "16000"))
 N_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "640000"))
 N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
 N_SHARDS = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "8"))
+DECODE_PAR = int(os.environ.get("SPARK_GRAFT_DECODE_PAR", "0")) or None
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
 
 
@@ -77,6 +78,7 @@ def bench_cdc_apply(spark) -> dict:
         cfg = EngineConfig(
             type_oids_mode="omit_nulls", formats_mode="disabled",
             binary_oid_ranges="20-23,1184",
+            decode_parallelism=DECODE_PAR,
         )
         frames = spark.read.parquet(frames_path)
         n_frames = info["n_frames"]

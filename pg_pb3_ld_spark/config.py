@@ -124,6 +124,14 @@ class EngineConfig:
     # --- apply-side (Spark) options ---
     num_buckets: int = 32        # target-table hash buckets on conv_id
     shuffle_partitions: int = 32
+    # decode-stage task count; None = spark defaultParallelism.  The
+    # Arrow decode is memory-bandwidth-bound, so on a single fat host
+    # MORE workers can run SLOWER past the DRAM saturation point
+    # (measured: 16 decode tasks beat 32 on a 32-core single-VM).  On
+    # a multi-executor cluster leave None — per-node worker count is
+    # already bounded by executor cores and decode must spread across
+    # every node.
+    decode_parallelism: int | None = None
     salt_partitions: int = 8     # two-phase fold fan-out for hot keys
     arrow_max_records: int = 65536
     # require dense frame_seq above the watermark per batch — catches

@@ -88,7 +88,10 @@ class IngestPipeline:
             | ((F.col("lsn") == hwm_lsn) & (F.col("frame_seq") > hwm_frame))
         )
 
-        par = self.spark.sparkContext.defaultParallelism
+        par = (
+            self.config.decode_parallelism
+            or self.spark.sparkContext.defaultParallelism
+        )
         times: dict[str, float] = {}
         schema = self.store.schema
 
