@@ -173,3 +173,62 @@ def test_1600_column_bound():
     ):
         row = _roundtrip_one(fvs, oid_mode, fmt_mode)
         _check_row(row, fvs, oid_mode, fmt_mode)
+
+
+# ------------------------------------------------------------------
+# wide schema through the TYPED decode path (the merge hot path)
+# ------------------------------------------------------------------
+
+def test_wide_schema_typed_decode():
+    """A 200-column target schema through decode_frame_typed: every
+    value lands in its own typed column with correct _set flags; the
+    key still resolves.  (The typed path iterates per schema column —
+    this pins correctness in the wide regime the reference fuzzer
+    generates, fuzzy.go:36-63.)"""
+    from pg_pb3_ld_spark.pb3.decoder import decode_frame_typed
+    from pg_pb3_ld_spark.schema import TargetColumn, TargetSchema
+
+    import pyarrow as pa
+
+    n_cols = 200
+    cols = [TargetColumn("k", 25, "string", is_key=True)]
+    cols += [TargetColumn(f"v{i:03d}", 25, "string") for i in range(n_cols)]
+    schema = TargetSchema("wide", cols)
+
+    rng = np.random.default_rng(77)
+    present = {i: bool(rng.integers(0, 2)) for i in range(n_cols)}
+    fvs = [FieldValue("k", b"row0", 25)]
+    for i in range(n_cols):
+        if present[i]:
+            fvs.append(FieldValue(f"v{i:03d}", f"val{i}".encode(), 25))
+
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        begin_messages=False, commit_messages=False,
+    )
+    b = WireBatcher(cfg)
+    td = encode_table("s", "wide")
+    b.begin_txn()
+    b.change(wire.WMSG_INSERT, encode_insert(
+        td, encode_field_set(fvs, cfg.type_oids_mode)
+    ))
+    b.commit_txn()
+    frames = b.frames()
+    batch = decode_frame_typed(
+        pa.array([f for _, f in frames], pa.binary()),
+        np.array([l for l, _ in frames], dtype=np.int64),
+        np.arange(len(frames), dtype=np.int64),
+        schema, cfg,
+    )
+    row = batch.to_pylist()[0]
+    assert row["op"] == "INSERT" and row["k"] == "row0"
+    for i in range(n_cols):
+        name = f"v{i:03d}"
+        if present[i]:
+            assert row[name] == f"val{i}", name
+            assert row[f"{name}_set"] is True
+        else:
+            assert row[name] is None
+            assert row[f"{name}_set"] is False
+    # no spurious evolution probe: all wire columns are known
+    assert row["_x_names"] is None
