@@ -220,9 +220,14 @@ def _decode_image(blob: bytes, deterministic_fake: bool):
         return decode_bmp(blob)
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        from pg_pb3_ld_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
-        "non-BMP/non-PNG image decoding needs PIL/torchvision — not "
-        "in this sandbox"
+        "image format not recognized (real decoders: BMP, PNG, "
+        "baseline JPEG; others need PIL/torchvision — not in this "
+        "sandbox)"
     )
 
 
