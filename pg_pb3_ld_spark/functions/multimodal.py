@@ -315,7 +315,13 @@ def decode_image_pixels(blob: bytes) -> "np.ndarray":
         return px[::-1] if h > 0 else px
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_pixels(blob)
-    raise NotImplementedError("pixel decode: only BMP/PNG in this sandbox")
+    if blob[:2] == b"\xff\xd8":
+        from pg_pb3_ld_spark.functions.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(blob)
+    raise NotImplementedError(
+        "pixel decode: BMP/PNG/baseline-JPEG in this sandbox"
+    )
 
 
 def _png_pixels(blob: bytes) -> "np.ndarray":

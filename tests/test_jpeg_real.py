@@ -412,3 +412,18 @@ def test_jpeg_color_420_golden():
     assert diff.max() <= 1, f"max diff {diff.max()}"
     # and the smooth image survives the lossy trip recognizably
     assert np.abs(got.astype(int) - rgb.astype(int)).mean() < 12
+
+
+def test_jpeg_through_resize_operator(spark):
+    """JPEG blobs flow through the resize operator end-to-end."""
+    from pg_pb3_ld_spark.functions.multimodal import resize_media
+
+    px = np.full((16, 16), 90.0)
+    blob, _, _ = encode_jpeg_gray(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, blob binary"
+    )
+    got = resize_media(df, 4, 4).collect()[0]
+    assert got["error"] is None
+    assert (got["out_h"], got["out_w"], got["n_channels"]) == (4, 4, 1)
+    assert abs(got["mean_pixel"] - 90) <= 2
