@@ -615,6 +615,24 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the second scale path beside sign-LSH banding):
+    coarse quantizer = every 50th vector as a centroid (deterministic
+    — a k-means fit would live outside the SQL-checkable oracle),
+    inverted lists via broadcast argmax-cosine assignment, nprobe=2
+    probed lists per query, exact cosine re-rank to top-10.  Each
+    query touches ~nprobe/n_lists of the base, keyed on the short
+    list_id the lists are partitioned by."""
+    from pg_pb3_ld_spark.functions import ann
+
+    vecs = _embeddings(spark, sf_dir)
+    centroids = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    queries = vecs.where(F.col("vec_id").isin(1, 2, 3, 4, 5))
+    return ann.ivf_topk(vecs, queries, centroids, k=10, nprobe=2)
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -715,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "media_resize": q_media_resize,
     "audio_frame_sample": q_audio_frame_sample,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -844,7 +863,66 @@ def _extra_oracles() -> dict[str, str]:
                 ) AS rn FROM scored
             )
     """
+    def _cos2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) "
+            f"* sqrt(list_sum(list_transform(range(1, len({b}) + 1), "
+            f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+        )
+
+    ivf_sql = f"""
+        WITH cents AS (
+            SELECT CAST(vec_id / 50 AS INT) AS list_id, embedding AS c
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        asg AS (
+            SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, cents.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_cos2('e.embedding', 'cents.c')} DESC,
+                             cents.list_id
+                ) AS arn
+                FROM embeddings e, cents
+            ) WHERE arn = 1
+        ),
+        qv AS (
+            SELECT vec_id AS query_id, embedding AS q
+            FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+        ),
+        qprobe AS (
+            SELECT query_id, list_id FROM (
+                SELECT qv.query_id, cents.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY qv.query_id
+                    ORDER BY {_cos2('qv.q', 'cents.c')} DESC, cents.list_id
+                ) AS prn
+                FROM qv, cents
+            ) WHERE prn <= 2
+        ),
+        cand AS (
+            SELECT qprobe.query_id, asg.vec_id
+            FROM qprobe JOIN asg USING (list_id)
+            WHERE asg.vec_id != qprobe.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id, {_COS} AS cs
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN qv q ON q.query_id = c.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cs DESC, vec_id
+            ) AS rn FROM scored
+        )
+        SELECT query_id, rn, vec_id, round(cs, 4) AS cos_sim
+        FROM ranked WHERE rn <= 10
+    """
+
     return {
+        "ann_ivf_topk": ivf_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
             sig AS (

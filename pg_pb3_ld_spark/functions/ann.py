@@ -164,6 +164,72 @@ def exact_topk(
     )
 
 
+def ivf_assign(
+    base: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid → inverted lists (vec_id, list_id).
+
+    ``centroids``: (list_id, centroid array) — SMALL (hundreds to a
+    few thousand), broadcast to every executor, so assignment is an
+    embarrassingly-parallel map over the base (no shuffle of base
+    rows; ties broken by lowest list_id for determinism).  At 100 TB
+    the lists are written once, partitioned BY list_id, and reused
+    across query batches — the classic IVF build."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("list_id"), F.col(emb_col).alias("_c")
+        )
+    )
+    scored = base.join(c).select(
+        id_col, "list_id", cosine(F.col(emb_col), F.col("_c")).alias("_cs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), "list_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "list_id")
+    )
+
+
+def ivf_topk(
+    base: DataFrame, queries: DataFrame, centroids: DataFrame,
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest inverted lists per
+    query, exact cosine re-rank inside them → top-k.
+
+    Scale path: the probe join keys on the SHORT ``list_id`` (the
+    inverted lists are pre-partitioned by it), so each query touches
+    ~nprobe/n_lists of the base instead of all of it; the re-rank is
+    exact cosine over only the probed rows.  Output:
+    (query_id, rn, vec_id, cos_sim)."""
+    lists = ivf_assign(base, centroids, id_col, emb_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q")
+    )
+    c = F.broadcast(
+        centroids.select("list_id", F.col(emb_col).alias("_c"))
+    )
+    qs = q.join(c).select(
+        "query_id", "list_id", cosine(F.col("q"), F.col("_c")).alias("_cs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), "list_id")
+    probes = (
+        qs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "list_id")
+    )
+    cand = (
+        probes.join(lists, "list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    return rerank_topk(cand, base, queries, k, id_col, emb_col)
+
+
 def recall_at_k(
     base: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",
