@@ -633,6 +633,19 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann.ivf_topk(vecs, queries, centroids, k=10, nprobe=2)
 
 
+def q_ann_ivf_recall10(spark, sf_dir):
+    """Measured IVF recall@10 vs brute force — the (n_lists, nprobe)
+    tuning signal, mirroring ann_recall10 for the banded path."""
+    from pg_pb3_ld_spark.functions import ann
+
+    vecs = _embeddings(spark, sf_dir)
+    centroids = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    queries = vecs.where(F.col("vec_id").isin(1, 2, 3, 4, 5))
+    return ann.ivf_recall_at_k(vecs, queries, centroids, k=10, nprobe=2)
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -734,6 +747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "audio_frame_sample": q_audio_frame_sample,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall10": q_ann_ivf_recall10,
 }
 
 
@@ -873,8 +887,7 @@ def _extra_oracles() -> dict[str, str]:
             f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
         )
 
-    ivf_sql = f"""
-        WITH cents AS (
+    ivf_ctes = f"""cents AS (
             SELECT CAST(vec_id / 50 AS INT) AS list_id, embedding AS c
             FROM embeddings WHERE vec_id % 50 = 0
         ),
@@ -916,13 +929,45 @@ def _extra_oracles() -> dict[str, str]:
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cs DESC, vec_id
             ) AS rn FROM scored
-        )
+        )"""
+
+    ivf_sql = f"""
+        WITH {ivf_ctes}
         SELECT query_id, rn, vec_id, round(cs, 4) AS cos_sim
         FROM ranked WHERE rn <= 10
+    """
+    ivf_recall_sql = f"""
+        WITH {ivf_ctes},
+        approx AS (
+            SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+        ),
+        ex_scored AS (
+            SELECT q.query_id, e.vec_id, {_COS} AS cs
+            FROM embeddings e JOIN qv q ON e.vec_id != q.query_id
+        ),
+        ex_ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cs DESC, vec_id
+            ) AS rn FROM ex_scored
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM ex_ranked WHERE rn <= 10
+        ),
+        hits AS (
+            SELECT a.query_id, count(*) AS n_hit
+            FROM approx a JOIN exact x
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY a.query_id
+        )
+        SELECT q.query_id,
+               coalesce(h.n_hit, 0) / 10.0 AS recall_at_10
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
     """
 
     return {
         "ann_ivf_topk": ivf_sql,
+        "ann_ivf_recall10": ivf_recall_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
             sig AS (

@@ -230,14 +230,10 @@ def ivf_topk(
     return rerank_topk(cand, base, queries, k, id_col, emb_col)
 
 
-def recall_at_k(
-    base: DataFrame, queries: DataFrame, k: int = 10,
-    id_col: str = "vec_id", emb_col: str = "embedding",
-    n_tables: int = 8, bits: int = 6,
+def _recall_vs_exact(
+    approx: DataFrame, base: DataFrame, queries: DataFrame, k: int,
+    id_col: str, emb_col: str,
 ) -> DataFrame:
-    """(query_id, recall_at_k): |banded-topk ∩ exact-topk| / k."""
-    cand = banded_candidates(base, queries, id_col, emb_col, n_tables, bits)
-    approx = rerank_topk(cand, base, queries, k, id_col, emb_col)
     exact = exact_topk(base, queries, k, id_col, emb_col)
     hits = approx.join(exact, ["query_id", id_col]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")
@@ -250,3 +246,25 @@ def recall_at_k(
             (F.coalesce(F.col("n_hit"), F.lit(0)) / k).alias(f"recall_at_{k}"),
         )
     )
+
+
+def recall_at_k(
+    base: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    n_tables: int = 8, bits: int = 6,
+) -> DataFrame:
+    """(query_id, recall_at_k): |banded-topk ∩ exact-topk| / k."""
+    cand = banded_candidates(base, queries, id_col, emb_col, n_tables, bits)
+    approx = rerank_topk(cand, base, queries, k, id_col, emb_col)
+    return _recall_vs_exact(approx, base, queries, k, id_col, emb_col)
+
+
+def ivf_recall_at_k(
+    base: DataFrame, queries: DataFrame, centroids: DataFrame,
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """Measured IVF recall vs brute force — the tuning signal for
+    (n_lists, nprobe), same contract as :func:`recall_at_k`."""
+    approx = ivf_topk(base, queries, centroids, k, nprobe, id_col, emb_col)
+    return _recall_vs_exact(approx, base, queries, k, id_col, emb_col)
