@@ -316,3 +316,40 @@ def test_banded_candidates_cap(spark):
     # include the 59 clones (bucket dropped in every table)
     from_hot = [r for r in capped if r["query_id"] == 0 and r["vec_id"] < 60]
     assert from_hot == []
+
+
+# ------------------------------------------------------------------
+# pipeline seed sweep: full apply vs generator oracle across varied
+# stream shapes (key moves + tiny frames stress the split/guard path)
+# ------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,wire_target,key_move", [
+    (311, 512, 0.25),
+    (313, 4096, 0.0),
+    (317, 128, 0.4),
+])
+def test_pipeline_seed_sweep(spark, tmpdir_path, seed, wire_target, key_move):
+    from pg_pb3_ld_spark.generator import generate_stream, write_frames_parquet
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    cfg = _cfg(wire_message_target_size=wire_target)
+    stream = generate_stream(
+        seed=seed, n_convs=5, max_turns=4, n_extra_txns=25,
+        config=cfg, key_move_prob=key_move,
+    )
+    fp = os.path.join(tmpdir_path, "frames.parquet")
+    write_frames_parquet(stream, fp)
+    store = SnapshotStore.create(
+        spark, os.path.join(tmpdir_path, "t"), transcripts_schema(),
+        num_buckets=4,
+    )
+    IngestPipeline(spark, store, cfg).apply_frames(
+        spark.read.parquet(fp), batch_id=1
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in store.read_table().collect()
+    }
+    assert got == {k: v["text"] for k, v in stream.oracle.items()}
