@@ -236,11 +236,32 @@ def connected_components(
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+            # Fixpoint test: labels decrease monotonically, so an
+            # unchanged TOTAL ⇒ no label changed.  The sum runs in
+            # decimal(38,0): int64 labels at crawl scale (10^10 nodes
+            # × ids up to 2^63 ≈ 10^29 total) overflow a bigint sum —
+            # under Spark 4's default ANSI mode that THROWS mid-loop,
+            # and with ANSI off a wrap collision could silently declare
+            # a false fixpoint (split clusters).  decimal(38,0) holds
+            # ~10^38, four orders of magnitude of headroom, and the agg
+            # stays one map-side-combining action per round.
+            row = new_labels.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            ).collect()[0]
+            if row["n"] == 0:
+                # empty graph: zero nodes is trivially converged (the
+                # null-sum rounds would otherwise never satisfy the
+                # equality test and the loop would exhaust max_iters)
+                old = labels
+                labels = new_labels
+                old.unpersist()
+                converged = True
+                break
+            s = row["s"]
             old = labels
             labels = new_labels
             old.unpersist()
-            # labels decrease monotonically; equal sum ⇒ fixpoint
             if prev_sum is not None and s == prev_sum:
                 converged = True
                 break

@@ -118,11 +118,22 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, _Huff] = {}
     sof = None
     restart_interval = 0
-    while pos + 4 <= len(blob):
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them, or the walk reads a fill byte as the
+        # marker and the next real marker byte as half a length field
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with NO length field
+            pos += 2
+            continue
+        if pos + 4 > len(blob):
             break
         seglen = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
         body = blob[pos + 4:pos + 2 + seglen]
@@ -188,9 +199,9 @@ def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
     out = bytearray()
     markers = []  # positions in `out` where RST markers occurred
     i = pos
-    while i < len(blob) - 1:
+    while i < len(blob):
         b = blob[i]
-        if b == 0xFF:
+        if b == 0xFF and i + 1 < len(blob):
             nxt = blob[i + 1]
             if nxt == 0x00:
                 out.append(0xFF)
@@ -201,6 +212,11 @@ def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
                 i += 2
                 continue
             break
+        # includes the FINAL byte of a stream that ends without EOI
+        # (the old `< len - 1` bound silently dropped it); a trailing
+        # lone 0xFF is kept too — entropy data always stuffs FF as
+        # FF 00, so it can only be padding and the bit reader stops at
+        # MCU count regardless
         out.append(b)
         i += 1
     comps = sof["comps"]

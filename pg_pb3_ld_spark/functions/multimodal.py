@@ -420,13 +420,18 @@ def resize_media(
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                # id conversion OUTSIDE the try: a null/NaN id would
+                # make the except block itself throw and kill the whole
+                # Arrow batch — exactly the "one corrupt row kills the
+                # 100 TB scan" failure this handler exists to prevent
+                mid = int(mid) if pd.notna(mid) else -1
                 try:
                     if blob is None:
                         raise ValueError("null blob")
                     px = decode_image_pixels(bytes(blob))
                     rs = resize_nearest(px, out_h, out_w)
                     recs.append({
-                        "media_id": int(mid),
+                        "media_id": mid,
                         "out_h": rs.shape[0], "out_w": rs.shape[1],
                         "n_channels": rs.shape[2],
                         "mean_pixel": int(rs.mean()),
@@ -436,7 +441,7 @@ def resize_media(
                     })
                 except Exception as exc:
                     recs.append({
-                        "media_id": int(mid), "out_h": 0, "out_w": 0,
+                        "media_id": mid, "out_h": 0, "out_w": 0,
                         "n_channels": 0, "mean_pixel": 0,
                         "corner00": 0, "corner11": 0,
                         "error": f"{type(exc).__name__}: {exc}",
@@ -467,6 +472,9 @@ def sample_audio_frames(
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                # see resize_media: convert before the try so the error
+                # row itself can never throw on a null id
+                mid = int(mid) if pd.notna(mid) else -1
                 try:
                     if blob is None:
                         raise ValueError("null blob")
@@ -493,7 +501,7 @@ def sample_audio_frames(
                         start = min(start, max(len(mono) - win, 0))
                         seg = mono[start:start + win]
                         recs.append({
-                            "media_id": int(mid), "frame_idx": k,
+                            "media_id": mid, "frame_idx": k,
                             "t_ms": int(start * 1000 // rate),
                             "rms": int(np.sqrt((seg ** 2).mean())),
                             "peak": int(np.abs(seg).max()),
@@ -501,7 +509,7 @@ def sample_audio_frames(
                         })
                 except Exception as exc:
                     recs.append({
-                        "media_id": int(mid), "frame_idx": -1, "t_ms": 0,
+                        "media_id": mid, "frame_idx": -1, "t_ms": 0,
                         "rms": 0, "peak": 0,
                         "error": f"{type(exc).__name__}: {exc}",
                     })

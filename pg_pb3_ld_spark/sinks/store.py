@@ -58,6 +58,15 @@ class CommitConflictError(RuntimeError):
 
 
 class SnapshotStore:
+    # A rename collision with a dir older than this lease is treated as
+    # a crashed-commit orphan and reclaimed; younger dirs are presumed
+    # to belong to an in-flight concurrent writer (post-rename,
+    # pre-pointer-swap) and raise CommitConflictError instead.  Real
+    # commits swap the pointer within milliseconds of the rename, so
+    # 30 s is ~1000× the vulnerable window while keeping post-crash
+    # replay latency bounded (retry with backoff clears it).
+    ORPHAN_LEASE_SEC = 30.0
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -426,11 +435,11 @@ class SnapshotStore:
             #    staging dir into place (rename onto a non-empty dir
             #    fails, so two writers can never both own an id);
             # 3. publish via the fsynced pointer swap.
-            # A rename collision against a CRASHED commit of this
-            # table's own lineage (claimed dir but pointer never
-            # swapped — unreachable by readers) is reclaimed; a
-            # collision with the pointer already at/past new_id is a
-            # genuine concurrent commit and fails loudly.  The caller
+            # A rename collision is reclaimed ONLY when the dir is
+            # provably dead: the recovered-over damaged snapshot, or an
+            # orphan older than ORPHAN_LEASE_SEC.  Anything younger may
+            # be a concurrent writer between ITS rename and pointer
+            # swap, so the collision fails loudly instead.  The caller
             # refreshes and retries (idempotent via the watermark).
             def _pointer() -> int | None:
                 try:
@@ -461,10 +470,38 @@ class SnapshotStore:
                         f"already committed (manifest at {cur}) — "
                         "refresh() and retry the merge"
                     )
-                # damaged (recovered-over) or crashed-commit orphan:
-                # never readable by anyone, reclaim the name
-                shutil.rmtree(snap_dir)
-                os.rename(stage_dir, snap_dir)
+                if recovered is not None and cur == recovered:
+                    # damaged (recovered-over) snapshot: the pointer was
+                    # rolled back past it at open time, so the dir is
+                    # unreachable by every reader and owned by THIS
+                    # writer's recovery — safe to reclaim the name.
+                    shutil.rmtree(snap_dir)
+                    os.rename(stage_dir, snap_dir)
+                else:
+                    # The pointer not having advanced does NOT prove the
+                    # colliding dir is a crashed orphan: a concurrent
+                    # writer sits in exactly this state between its
+                    # successful rename and its pointer swap — rmtree
+                    # here would destroy its fully-written snapshot and
+                    # silently lose its merge.  Only staleness can tell
+                    # the two apart: reclaim only if the dir predates
+                    # the commit lease; otherwise conflict and let the
+                    # caller refresh() + retry (by then the in-flight
+                    # writer has swapped the pointer, or a true orphan
+                    # has aged past the lease).
+                    try:
+                        age = time.time() - os.stat(snap_dir).st_mtime
+                    except OSError:
+                        age = None  # dir vanished → live racing writer
+                    if age is not None and age > self.ORPHAN_LEASE_SEC:
+                        shutil.rmtree(snap_dir)
+                        os.rename(stage_dir, snap_dir)
+                    else:
+                        raise CommitConflictError(
+                            f"snapshot dir {new_id} already claimed by "
+                            "an in-flight commit (pointer not yet "
+                            "swapped) — refresh() and retry the merge"
+                        )
             self._swap_pointer(self.root, new_id)
             self._meta = meta
             self._recovered_pointer = None  # damage superseded

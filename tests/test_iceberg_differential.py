@@ -265,7 +265,13 @@ def test_hwm_commits_atomically_with_data(spark, tmpdir_path):
     rows = {r["turn_idx"]: r["text"] for r in reopened.read_table().collect()}
     assert rows == {0: "v1"}
 
-    # retry converges (orphan snapshot dir is reclaimed)
+    # retry converges (orphan snapshot dir is reclaimed once it ages
+    # past the commit lease — a fresh colliding dir could be a LIVE
+    # writer mid-commit and must conflict instead; backdating stands
+    # in for the post-crash elapsed time / retry backoff)
+    orphan = os.path.join(store.root, "snapshots", "000002")
+    old = os.stat(orphan).st_mtime - SnapshotStore.ORPHAN_LEASE_SEC - 5
+    os.utime(orphan, (old, old))
     reopened.merge(_folded(spark, [("c0", 0, "PATCH", "v2", 200)]),
                    batch_id=2, hwm_override=(200, 1))
     assert reopened.hwm() == (200, 1)

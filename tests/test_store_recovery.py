@@ -50,6 +50,13 @@ def test_crash_before_pointer_swap_replays_cleanly(spark, tmpdir_path):
     pipe.apply_frames(frames, batch_id=2)
     crashed = store.snapshot_id
     SnapshotStore._swap_pointer(root, good)  # roll the pointer back
+    # crash recovery happens minutes later in practice — backdate the
+    # orphan past the commit lease so the replay may reclaim it (a
+    # FRESH colliding dir must instead raise CommitConflictError: it
+    # could be a live writer mid-commit; see test_iceberg_differential)
+    orphan = os.path.join(root, "snapshots", f"{crashed:06d}")
+    old = os.stat(orphan).st_mtime - SnapshotStore.ORPHAN_LEASE_SEC - 5
+    os.utime(orphan, (old, old))
 
     # recovery: a fresh consumer opens the store at the old snapshot
     # and replays everything from the checkpointed source
