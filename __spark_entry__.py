@@ -617,8 +617,8 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (the second scale path beside sign-LSH banding):
-    coarse quantizer = every 50th vector as a centroid (deterministic
-    — a k-means fit would live outside the SQL-checkable oracle),
+    coarse quantizer = every 50th vector as a centroid (the trained
+    alternative is q:ann_ivf_kmeans_centroids — also oracle-exact),
     inverted lists via broadcast argmax-cosine assignment, nprobe=2
     probed lists per query, exact cosine re-rank to top-10.  Each
     query touches ~nprobe/n_lists of the base, keyed on the short
@@ -644,6 +644,34 @@ def q_ann_ivf_recall10(spark, sf_dir):
     )
     queries = vecs.where(F.col("vec_id").isin(1, 2, 3, 4, 5))
     return ann.ivf_recall_at_k(vecs, queries, centroids, k=10, nprobe=2)
+
+
+def q_ann_ivf_kmeans_centroids(spark, sf_dir):
+    """Seeded 2-iteration Lloyd's k-means coarse quantizer (the
+    trained-IVF answer to the every-50th sampler), exploded to
+    (list_id, dim, cval) rows.  Deterministic end-to-end: training
+    runs on integer-quantized copies (functions/ann.py
+    kmeans_centroids) so every cluster mean is an exact
+    bigint-sum/count — bit-identical under any partitioning, which is
+    what makes a trained fit SQL-oracle-able at all.  The oracle
+    replays the identical unrolled Lloyd's in DuckDB."""
+    from pg_pb3_ld_spark.functions import ann
+
+    vecs = _embeddings(spark, sf_dir)
+    init = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    cents = ann.kmeans_centroids(vecs, init, n_iters=2)
+    return (
+        cents.select(
+            "list_id", F.posexplode("embedding").alias("_p", "_v")
+        )
+        .select(
+            "list_id",
+            (F.col("_p") + 1).alias("dim"),
+            F.round("_v", 6).alias("cval"),
+        )
+    )
 
 
 def q_media_resize(spark, sf_dir):
@@ -748,6 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_frame_sample": q_audio_frame_sample,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
+    "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
 }
 
 
@@ -887,6 +916,14 @@ def _extra_oracles() -> dict[str, str]:
             f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
         )
 
+    # mirrors ann.ivf_assign's packed-bigint argmax: cosine quantized
+    # at 2^-40, ties to lowest list_id (deterministic on both engines)
+    def _asg_key(cos: str) -> str:
+        return (
+            f"CAST(round(({cos}) * 1099511627776.0) AS BIGINT) "
+            f"* 2097152 + (1048576 - list_id)"
+        )
+
     ivf_ctes = f"""cents AS (
             SELECT CAST(vec_id / 50 AS INT) AS list_id, embedding AS c
             FROM embeddings WHERE vec_id % 50 = 0
@@ -895,8 +932,8 @@ def _extra_oracles() -> dict[str, str]:
             SELECT vec_id, list_id FROM (
                 SELECT e.vec_id, cents.list_id, ROW_NUMBER() OVER (
                     PARTITION BY e.vec_id
-                    ORDER BY {_cos2('e.embedding', 'cents.c')} DESC,
-                             cents.list_id
+                    ORDER BY {_asg_key(_cos2('e.embedding', 'cents.c'))}
+                             DESC
                 ) AS arn
                 FROM embeddings e, cents
             ) WHERE arn = 1
@@ -936,6 +973,59 @@ def _extra_oracles() -> dict[str, str]:
         SELECT query_id, rn, vec_id, round(cs, 4) AS cos_sim
         FROM ranked WHERE rn <= 10
     """
+    # Unrolled fixed-iteration Lloyd's (mirrors ann.kmeans_centroids):
+    # quantize → [assign → exact bigint-mean → rebuild list]×n_iters.
+    # Exactness hangs on the means being integer sums / counts — the
+    # only float ops are the final division and the cosine, both
+    # deterministic per-row expressions on both engines.
+    def _kmeans_ctes(n_iters: int) -> tuple[str, str]:
+        ctes = """km_qbase AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        km_c0 AS (
+            SELECT CAST(vec_id / 50 AS INT) AS list_id,
+                   list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+            FROM km_qbase WHERE vec_id % 50 = 0
+        )"""
+        prev = "km_c0"
+        for it in range(1, n_iters + 1):
+            ctes += f""",
+        km_a{it} AS (
+            SELECT vec_id, list_id FROM (
+                SELECT q.vec_id, p.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_asg_key(_cos2('q.qv', 'p.c'))} DESC
+                ) AS rn
+                FROM km_qbase q, {prev} p
+            ) WHERE rn = 1
+        ),
+        km_m{it} AS (
+            SELECT a.list_id, t.i AS dim,
+                   CAST(SUM(q.qv[t.i]) AS DOUBLE) / COUNT(*) AS val
+            FROM km_a{it} a JOIN km_qbase q USING (vec_id),
+                 UNNEST(range(1, len(q.qv) + 1)) AS t(i)
+            GROUP BY a.list_id, t.i
+        ),
+        km_n{it} AS (
+            SELECT list_id, list(val ORDER BY dim) AS c
+            FROM km_m{it} GROUP BY list_id
+        ),
+        km_c{it} AS (
+            SELECT p.list_id, coalesce(n.c, p.c) AS c
+            FROM {prev} p LEFT JOIN km_n{it} n USING (list_id)
+        )"""
+            prev = f"km_c{it}"
+        return ctes, prev
+
+    _km_ctes, _km_final = _kmeans_ctes(2)
+    kmeans_sql = f"""
+        WITH {_km_ctes}
+        SELECT list_id, t.i AS dim, round(c[t.i], 6) AS cval
+        FROM {_km_final}, UNNEST(range(1, len(c) + 1)) AS t(i)
+    """
+
     ivf_recall_sql = f"""
         WITH {ivf_ctes},
         approx AS (
@@ -968,6 +1058,7 @@ def _extra_oracles() -> dict[str, str]:
     return {
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_recall10": ivf_recall_sql,
+        "ann_ivf_kmeans_centroids": kmeans_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
             sig AS (

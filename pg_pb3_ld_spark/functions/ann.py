@@ -185,11 +185,35 @@ def ivf_assign(
     scored = base.join(c).select(
         id_col, "list_id", cosine(F.col(emb_col), F.col("_c")).alias("_cs")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), "list_id")
+    # Argmax as max(packed bigint), NOT a window: the scored relation
+    # is n_base × n_lists rows (10^13 at 10^10 vectors × 1k lists) and
+    # a Window.partitionBy(id) would shuffle+sort ALL of them.  A
+    # plain bigint max is the ONE argmax formulation Spark 4.1
+    # compiles to a HashAggregate with map-side combine (measured:
+    # max(struct) and max_by(_, struct) fall to SortAggregate;
+    # max_by(int, double) hash-aggs but breaks ties
+    # nondeterministically) — the n×n_lists rows collapse to n rows
+    # BEFORE any shuffle.  Key layout:
+    #     key = round(cos · 2^40) · 2^21 + (2^20 − list_id)
+    # i.e. argmax over the cosine quantized at 2^-40 (≈9e-13, far
+    # below any meaningful similarity difference), ties broken to the
+    # LOWEST list_id — fully deterministic, |key| < 2^62.  Assumes
+    # n_lists < 2^20 (a 100 TB IVF uses ~10^3-10^5 lists).
+    key = (
+        F.round(F.col("_cs") * F.lit(float(1 << 40))).cast("long")
+        * F.lit(1 << 21)
+        + (F.lit(1 << 20) - F.col("list_id"))
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "list_id")
+        scored.select(id_col, key.alias("_key"))
+        .groupBy(id_col)
+        .agg(F.max("_key").alias("_mk"))
+        .select(
+            id_col,
+            (F.lit(1 << 20) - F.pmod(F.col("_mk"), F.lit(1 << 21)))
+            .cast("int")
+            .alias("list_id"),
+        )
     )
 
 
@@ -197,6 +221,7 @@ def ivf_topk(
     base: DataFrame, queries: DataFrame, centroids: DataFrame,
     k: int = 10, nprobe: int = 2,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest inverted lists per
     query, exact cosine re-rank inside them → top-k.
@@ -205,8 +230,16 @@ def ivf_topk(
     inverted lists are pre-partitioned by it), so each query touches
     ~nprobe/n_lists of the base instead of all of it; the re-rank is
     exact cosine over only the probed rows.  Output:
-    (query_id, rn, vec_id, cos_sim)."""
-    lists = ivf_assign(base, centroids, id_col, emb_col)
+    (query_id, rn, vec_id, cos_sim).
+
+    ``lists``: precomputed inverted lists (vec_id, list_id) from
+    :func:`ivf_assign` — pass them to amortize the build across query
+    batches (at 100 TB the lists are built ONCE, persisted partitioned
+    by list_id, and every search reuses them; recomputing the
+    assignment per query batch would redo the n_base × n_lists scoring
+    each time).  When omitted the assignment is computed inline."""
+    if lists is None:
+        lists = ivf_assign(base, centroids, id_col, emb_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q")
     )
@@ -228,6 +261,104 @@ def ivf_topk(
         .select("query_id", id_col)
     )
     return rerank_topk(cand, base, queries, k, id_col, emb_col)
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """(id, emb_col as array<bigint>): round(x*quant) per element.
+
+    The k-means training copy: integer elements make every cluster
+    mean an EXACT bigint sum over an exact count — order-independent,
+    so the result is bit-identical regardless of partitioning (and
+    checkable against a SQL oracle).  Float means would depend on the
+    partial-aggregation order.  1e-3 quantization is far below any
+    embedding's noise floor, and cosine is scale-invariant so the
+    quant factor never needs dividing back out."""
+    return df.select(
+        id_col,
+        F.transform(
+            emb_col,
+            lambda x: F.round(x.cast("double") * quant).cast("long"),
+        ).alias(emb_col),
+    )
+
+
+def kmeans_centroids(
+    base: DataFrame, init_centroids: DataFrame, n_iters: int = 2,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Seeded fixed-iteration Lloyd's k-means in pure DataFrame ops →
+    (list_id, emb_col as array<double>) trained centroids.
+
+    Deterministic by construction — the real-IVF answer to the
+    every-Nth-vector sampler (trained centroids balance the inverted
+    lists and lift recall on clustered data):
+
+    * training runs on :func:`quantize_vectors` copies, so each
+      iteration's cluster means are exact ``sum(bigint)/count``
+      (order-independent across partitions — a float mean would make
+      the fit nondeterministic AND un-oracle-able);
+    * assignment reuses :func:`ivf_assign`'s max-of-struct argmax
+      (hash agg with map-side combine, no window over the n×k scored
+      product);
+    * the per-dim mean is a groupBy(list_id, dim) over posexploded
+      rows — n×d rows enter partial aggregation but only n_lists×d
+      leave each partition, so the shuffle is tiny; the explode itself
+      is embarrassingly parallel.  At 100 TB you fit on a SAMPLE
+      (k-means needs ~100×n_lists points, not the corpus) and only
+      the final ivf_assign touches every row;
+    * an emptied list keeps its previous centroid (standard Lloyd's
+      degenerate-cluster handling, deterministic).
+
+    ``init_centroids``: (list_id, emb_col) seed — pass a deterministic
+    sample (e.g. every Nth vector); it is quantized internally so the
+    whole fit is integer-derived."""
+    qbase = quantize_vectors(base, id_col, emb_col, quant).persist()
+    cents = quantize_vectors(
+        init_centroids, "list_id", emb_col, quant
+    ).select(
+        "list_id",
+        F.transform(emb_col, lambda x: x.cast("double")).alias(emb_col),
+    )
+    try:
+        for _ in range(n_iters):
+            asg = ivf_assign(qbase, cents, id_col, emb_col)
+            dims = (
+                asg.join(qbase, id_col)
+                .select("list_id", F.posexplode(emb_col).alias("_p", "_q"))
+                .select("list_id", (F.col("_p") + 1).alias("dim"), "_q")
+            )
+            means = dims.groupBy("list_id", "dim").agg(
+                (
+                    F.sum("_q").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("_val")
+            )
+            newc = (
+                means.groupBy("list_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("_val")))
+                    ).alias("_sv")
+                )
+                .select(
+                    "list_id",
+                    F.transform("_sv", lambda s: s["_val"]).alias("_new"),
+                )
+            )
+            cents = (
+                cents.join(newc, "list_id", "left")
+                .select(
+                    "list_id",
+                    F.coalesce(F.col("_new"), F.col(emb_col)).alias(emb_col),
+                )
+            )
+        return cents
+    finally:
+        qbase.unpersist()
 
 
 def _recall_vs_exact(
@@ -263,8 +394,11 @@ def ivf_recall_at_k(
     base: DataFrame, queries: DataFrame, centroids: DataFrame,
     k: int = 10, nprobe: int = 2,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """Measured IVF recall vs brute force — the tuning signal for
     (n_lists, nprobe), same contract as :func:`recall_at_k`."""
-    approx = ivf_topk(base, queries, centroids, k, nprobe, id_col, emb_col)
+    approx = ivf_topk(
+        base, queries, centroids, k, nprobe, id_col, emb_col, lists
+    )
     return _recall_vs_exact(approx, base, queries, k, id_col, emb_col)
