@@ -235,6 +235,99 @@ def q_empty_txn_suppression(spark, sf_dir):
     )
 
 
+def q_cdc_lineage(spark, sf_dir):
+    """D6/lineage — per-partition lineage as a queryable surface: a
+    TWO-batch replay through REAL `SnapshotStore.merge` commits (not a
+    simulation), then the committed `store.lineage()` emitted as rows
+    (bucket, last_batch, n_keys, n_deletes, n_changes, lsn_min,
+    lsn_max).  The stream is derived deterministically from the
+    ``events`` table, and the store uses the portable md5 bucket
+    function, so DuckDB independently recomputes what every bucket's
+    lineage MUST say after the same two merges — the north rule's
+    "per-partition lineage + metrics each micro-batch" verified
+    against an oracle, not just emitted.
+
+    Lineage semantics under test: lineage[bucket] reflects the LAST
+    batch that touched the bucket (keys/deletes/changes counted over
+    that batch's folded rows in the bucket; lsn_range over those keys'
+    last_lsn), and it commits atomically with the data+hwm in the same
+    snapshot rename (sinks/store.py merge)."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+
+    def fold_batch(batch_df, lo_excl, hi_incl):
+        df = batch_df.where(
+            (F.col("event_id") > lo_excl) & (F.col("event_id") <= hi_incl)
+        ).select(
+            F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string"))
+            .alias("conv_id"),
+            (F.col("event_id") % 6).cast("int").alias("turn_idx"),
+            "event_id",
+            "event_type",
+        )
+        # last event per key decides kind; n_changes counts the folds
+        agg = df.groupBy("conv_id", "turn_idx").agg(
+            F.max("event_id").alias("last_lsn"),
+            F.count(F.lit(1)).alias("n_changes"),
+            F.max(F.struct("event_id", "event_type")).alias("_last"),
+        )
+        return agg.select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.col("_last.event_type") == "error", "DELETE")
+            .otherwise("PATCH")
+            .alias("kind"),
+            F.lit(None).cast("string").alias("role"),
+            F.lit(False).alias("role_set"),
+            F.concat(F.lit("t"), F.col("last_lsn").cast("string"))
+            .alias("text"),
+            F.lit(True).alias("text_set"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(False).alias("tool_set"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(False).alias("ts_set"),
+            "last_lsn",
+            F.col("last_lsn").alias("last_frame_seq"),
+            "n_changes",
+        )
+
+    root = tempfile.mkdtemp(prefix="pb3ld_lineage_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        store.merge(fold_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(fold_batch(ev, cutoff, 1 << 62), batch_id=2)
+        rows = [
+            (
+                int(b),
+                int(v["last_batch"]),
+                int(v["keys"]),
+                int(v["deletes"]),
+                int(v["changes"]),
+                int(v["lsn_range"][0]),
+                int(v["lsn_range"][1]),
+            )
+            for b, v in store.lineage().items()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, last_batch int, n_keys long, n_deletes long, "
+        "n_changes long, lsn_min long, lsn_max long",
+    )
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup (training-data op): md5-hash groups over document
     text; keep canonical min doc_id, count duplicates."""
@@ -754,6 +847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_extraction": q_key_extraction,
     "change_type_dispatch": q_change_type_dispatch,
     "empty_txn_suppression": q_empty_txn_suppression,
+    "cdc_lineage": q_cdc_lineage,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -1435,6 +1529,65 @@ def _literal_oracles() -> dict[str, str]:
             SELECT event_type, count(*) AS n_kept
             FROM events WHERE value > 15.0
             GROUP BY event_type HAVING count(*) > 10
+        """,
+        # independently recomputes what every bucket's committed
+        # lineage MUST say after the two merges: same deterministic
+        # fold, same portable md5 bucket, last-batch-wins per bucket
+        "cdc_lineage": """
+            WITH c AS (
+                SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT c FROM c)
+                            THEN 1 ELSE 2 END AS batch
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx, batch,
+                       max(event_id) AS last_lsn,
+                       CAST(count(*) AS BIGINT) AS n_changes
+                FROM ek GROUP BY conv_id, turn_idx, batch
+            ),
+            lastk AS (
+                SELECT conv_id, turn_idx, batch, event_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            fb AS (
+                SELECT f.conv_id, f.turn_idx, f.batch, f.last_lsn,
+                       f.n_changes,
+                       CASE WHEN l.event_type = 'error'
+                            THEN 1 ELSE 0 END AS is_del,
+                       CAST(CAST(concat(
+                           '0x', substr(md5(f.conv_id), 1, 15)
+                       ) AS BIGINT) % 8 AS INT) AS bucket
+                FROM folded f
+                JOIN lastk l USING (conv_id, turn_idx, batch)
+            ),
+            per AS (
+                SELECT bucket, batch,
+                       CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(is_del) AS BIGINT) AS n_deletes,
+                       CAST(sum(n_changes) AS BIGINT) AS n_changes,
+                       min(last_lsn) AS lsn_min,
+                       max(last_lsn) AS lsn_max
+                FROM fb GROUP BY bucket, batch
+            )
+            SELECT bucket, batch AS last_batch, n_keys, n_deletes,
+                   n_changes, lsn_min, lsn_max
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY bucket ORDER BY batch DESC
+                ) AS rn FROM per
+            ) WHERE rn = 1
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -28,15 +28,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+MAX_DRIVER_CHUNKS = 4096
+
+
+def _adaptive_shift(
+    min_f: int, max_f: int, chunk_shift: int, cap: int = MAX_DRIVER_CHUNKS
+) -> int:
+    """Smallest shift ≥ ``chunk_shift`` keeping the chunk count (and
+    therefore the driver-collected prefix-sum rows) ≤ ``cap`` for the
+    observed frame_seq range — O(log range) iterations."""
+    shift = chunk_shift
+    while ((max_f - min_f) >> shift) + 1 > cap:
+        shift += 1
+    return shift
+
+
 def assign_txn_ids(changes: DataFrame, chunk_shift: int = 8) -> DataFrame:
     """Add ``txn_id`` (cumulative BEGIN count) to every message row.
 
     Falls back to ``txn_id = NULL`` for streams produced with
     ``begin_messages=false`` (pg_pb3_ld.c:127-132) — gating is then a
     no-op and every change applies.
-    """
+
+    ``chunk_shift`` is a floor, not the operative value: the shift is
+    raised adaptively so the driver never collects more than
+    ``MAX_DRIVER_CHUNKS`` prefix-sum rows regardless of frame count
+    (at 10^10-event batches a fixed shift of 8 would collect ~40M
+    driver rows; adaptively it stays ≤4096 longs, and each chunk's
+    intra-chunk window stays an independent parallel task).  This is
+    the FALLBACK gating path — the hot path is the scalar
+    commit-watermark gate (see ``batch_summary``)."""
     spark = changes.sparkSession
     is_begin = F.when(F.col("op") == "BEGIN", 1).otherwise(0)
+    bounds = changes.agg(
+        F.min("frame_seq").alias("lo"), F.max("frame_seq").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return changes.withColumn("txn_id", F.lit(None).cast("long"))
+    chunk_shift = _adaptive_shift(
+        int(bounds["lo"]), int(bounds["hi"]), chunk_shift
+    )
     chunk = F.shiftright(F.col("frame_seq"), chunk_shift)
     per_chunk = (
         changes.groupBy(chunk.alias("chunk"))

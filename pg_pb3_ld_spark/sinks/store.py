@@ -81,11 +81,21 @@ class SnapshotStore:
         root: str,
         schema: TargetSchema,
         num_buckets: int = 32,
+        bucket_fn: str = "xxhash64",
     ) -> "SnapshotStore":
+        """``bucket_fn``: ``"xxhash64"`` (default — fastest, JVM-side)
+        or ``"md5"`` (portable: the same bucket is computable in any
+        engine with md5 + hex parsing, which is what lets an external
+        system — or the DuckDB lineage oracle — independently verify
+        per-bucket lineage).  Persisted in the table meta; all readers
+        and writers derive buckets from it."""
+        if bucket_fn not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
         os.makedirs(os.path.join(root, "snapshots", "000000"), exist_ok=True)
         meta = {
             "snapshot_id": 0,
             "parent": None,
+            "bucket_fn": bucket_fn,
             "table": schema.table,
             "columns": [
                 {
@@ -208,6 +218,14 @@ class SnapshotStore:
     # ------------------------------------------------------------- read
 
     def bucket_expr(self, col: str = "conv_id") -> F.Column:
+        if self._meta.get("bucket_fn") == "md5":
+            # portable bucket: first 15 hex chars of md5 (60 bits,
+            # always non-negative) mod N — reproducible in any engine
+            return F.pmod(
+                F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(self.num_buckets),
+            ).cast("int")
         # bucket(N, conv_id) — xxhash64 is seed-stable across sessions
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.num_buckets)).cast(
             "int"
