@@ -133,36 +133,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int]:
         cur = np.frombuffer(line, np.uint8, count=stride, offset=1).astype(
             np.int64
         )
-        if ftype == 0:      # None
-            recon = cur
-        elif ftype == 1:    # Sub: + recon[x-bpp]
-            recon = (
-                np.cumsum(cur.reshape(-1, bpp), axis=0) % 256
-            ).reshape(-1)
-        elif ftype == 2:    # Up: + prev row
-            recon = (cur + prev) % 256
-        elif ftype == 3:    # Average: + floor((left + up) / 2)
-            recon = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (cur[x] + (left + prev[x]) // 2) % 256
-        elif ftype == 4:    # Paeth predictor
-            recon = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = recon[x - bpp] if x >= bpp else 0   # left
-                b = prev[x]                              # up
-                c = prev[x - bpp] if x >= bpp else 0     # up-left
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pr = a
-                elif pb <= pc:
-                    pr = b
-                else:
-                    pr = c
-                recon[x] = (cur[x] + pr) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
+        recon = _unfilter_row(ftype, cur, prev, bpp)
         out[y] = recon.astype(np.uint8)
         prev = recon
     return (w, h, int(out.mean()), depth * channels)
@@ -295,10 +266,51 @@ def encode_wav(rate: int, channels: int, samples: "np.ndarray") -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _native_decode(blob: bytes):
+    """Optional native-codec escape hatch for 100 TB media scans.
+
+    Even after the round-4 ~3× (list-int PNG unfilter, LUT+fused-read
+    JPEG entropy walk, batched IDCT — BENCH/BASELINE.md), the serial
+    per-coefficient Python loops are the wall for petabyte media; the
+    fix at that scale is libjpeg-turbo/libpng on the executors.  This
+    hatch decodes via Pillow when BOTH hold:
+
+    * ``PB3LD_NATIVE_CODECS=1`` in the executor environment — opt-in,
+      because native JPEG IDCTs may differ from the pure-numpy decoder
+      in the low bit (fine for features/resize, wrong for bit-exact
+      golden comparisons), and
+    * Pillow is importable (it is NOT in this sandbox — disclosed; the
+      plumbing is tested by injecting a stub module).
+
+    Returns (h, w, ch) uint8 or None to fall through to the
+    deterministic pure-numpy decoders."""
+    import os
+
+    if os.environ.get("PB3LD_NATIVE_CODECS") != "1":
+        return None
+    try:
+        from PIL import Image  # noqa: import-gated by design
+    except ImportError:
+        return None
+    import io
+
+    try:
+        im = Image.open(io.BytesIO(blob))
+        px = np.asarray(im)
+    except Exception:
+        return None  # pure decoders produce the loud per-format error
+    if px.ndim == 2:
+        px = px[:, :, None]
+    return np.ascontiguousarray(px[:, :, :4]).astype(np.uint8)
+
+
 def decode_image_pixels(blob: bytes) -> "np.ndarray":
     """Full pixel decode (h, w, channels) uint8 for the supported
     raster formats (BMP bottom-up BGR normalized to top-down; PNG as
     stored).  The decode step feeding resize/crop operators."""
+    native = _native_decode(blob)
+    if native is not None:
+        return native
     if blob[:2] == b"BM":
         # reuse the header walk, then re-extract pixels
         off = int.from_bytes(blob[10:14], "little")
@@ -364,25 +376,53 @@ def _png_pixels(blob: bytes) -> "np.ndarray":
 
 
 def _unfilter_row(ftype, cur, prev, bpp):
+    """Reverse one PNG filter row (shared by the summary and
+    full-pixel decode paths).
+
+    None/Sub/Up are pure numpy.  Average/Paeth carry a serial
+    dependency on recon[x-bpp] through a nonlinear predictor, so no
+    true vectorization exists — instead the recurrence runs as a
+    plain-int Python loop over lists: numpy *scalar* indexing boxes an
+    int64 object per access, and swapping it for list ints measures
+    ~15-25× faster on Paeth-heavy images (BENCH/BASELINE.md round 4).
+    The first ``bpp`` positions are peeled (left/up-left are zero
+    there: Average degenerates to up/2, Paeth to up), which also drops
+    the per-element bounds tests from the hot loop."""
     if ftype == 0:
         return cur
     if ftype == 1:
         return (np.cumsum(cur.reshape(-1, bpp), axis=0) % 256).reshape(-1)
     if ftype == 2:
         return (cur + prev) % 256
-    recon = np.empty(len(cur), dtype=np.int64)
-    for x in range(len(cur)):
-        a = recon[x - bpp] if x >= bpp else 0
-        b = prev[x]
-        if ftype == 3:
-            recon[x] = (cur[x] + (a + b) // 2) % 256
-        else:  # Paeth
-            c = prev[x - bpp] if x >= bpp else 0
+    if ftype not in (3, 4):
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    rl = cur.tolist()
+    pv = prev.tolist()
+    n = len(rl)
+    if ftype == 3:      # Average: + floor((left + up) / 2)
+        for x in range(min(bpp, n)):
+            rl[x] = (rl[x] + pv[x] // 2) & 255
+        for x in range(bpp, n):
+            rl[x] = (rl[x] + (rl[x - bpp] + pv[x]) // 2) & 255
+    else:               # Paeth predictor
+        for x in range(min(bpp, n)):
+            rl[x] = (rl[x] + pv[x]) & 255  # a=c=0 ⇒ predictor = up
+        for x in range(bpp, n):
+            a = rl[x - bpp]
+            b = pv[x]
+            c = pv[x - bpp]
             p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            recon[x] = (cur[x] + pr) % 256
-    return recon
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - c if p >= c else c - p
+            if pa <= pb and pa <= pc:
+                pr = a
+            elif pb <= pc:
+                pr = b
+            else:
+                pr = c
+            rl[x] = (rl[x] + pr) & 255
+    return np.array(rl, dtype=np.int64)
 
 
 def resize_nearest(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":

@@ -292,6 +292,46 @@ def test_jpeg_fill_bytes_and_tem_markers(spark_noop=None):
     np.testing.assert_array_equal(decode_jpeg_pixels(rst), want)
 
 
+def test_native_codec_hatch_default_off_and_stub_on(monkeypatch):
+    """The PB3LD_NATIVE_CODECS escape hatch: off by default (pure
+    decoders stay deterministic), engages through a stub PIL module
+    (Pillow itself is absent in this sandbox — the plumbing is what's
+    under test), and falls back cleanly when PIL is unimportable."""
+    import sys
+    import types
+
+    from pg_pb3_ld_spark.functions import multimodal as mm
+
+    png = mm.encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    pure = mm.decode_image_pixels(png)
+
+    # default: env unset → pure path even if a (stub) PIL existed
+    monkeypatch.delenv("PB3LD_NATIVE_CODECS", raising=False)
+    assert mm._native_decode(png) is None
+
+    # env set but PIL genuinely unimportable → fall through to pure
+    monkeypatch.setenv("PB3LD_NATIVE_CODECS", "1")
+    sys.modules.pop("PIL", None)
+    assert mm._native_decode(png) is None
+    np.testing.assert_array_equal(mm.decode_image_pixels(png), pure)
+
+    # env set + stub PIL → the native result is returned verbatim
+    marker = np.full((2, 2), 7, dtype=np.uint8)
+
+    class _StubImage:
+        @staticmethod
+        def open(fp):
+            return marker  # np.asarray(marker) is the array itself
+
+    stub_pil = types.ModuleType("PIL")
+    stub_pil.Image = _StubImage
+    monkeypatch.setitem(sys.modules, "PIL", stub_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _StubImage)
+    got = mm.decode_image_pixels(png)
+    assert got.shape == (2, 2, 1)
+    assert (got == 7).all()
+
+
 def test_jpeg_stream_without_eoi():
     from pg_pb3_ld_spark.functions.jpeg import decode_jpeg_pixels
 
