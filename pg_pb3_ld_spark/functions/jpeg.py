@@ -1,10 +1,13 @@
-"""Baseline JPEG decoder — pure stdlib + numpy (no PIL/libjpeg).
+"""JPEG decoder — pure stdlib + numpy (no PIL/libjpeg).
 
-Supports the baseline sequential DCT process (the overwhelmingly
-common JFIF case): 8-bit precision, Huffman entropy coding, 1 or 3
-components, 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers.
-Progressive, arithmetic-coded, 12-bit, and CMYK streams are rejected
-with ``ValueError`` (captured per-row by the media extractor).
+Supports the baseline sequential DCT process AND progressive DCT
+(SOF2, spectral selection + successive approximation — the most
+common real-crawl variants): 8-bit precision, Huffman entropy coding,
+1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
+markers, multi-scan coefficient accumulation with EOB runs and
+refinement bits.  Arithmetic-coded, hierarchical, lossless, 12-bit,
+and CMYK streams are rejected with ``ValueError`` (captured per-row
+by the media extractor).
 
 Decode path per the public ITU-T T.81 spec:
 
@@ -162,6 +165,7 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, _Huff] = {}
     sof = None
     restart_interval = 0
+    coeffs = None  # progressive: per-component zigzag coefficient grids
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -193,7 +197,7 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG")
@@ -203,12 +207,15 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                 comps.append({
                     "id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq,
                 })
-            sof = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            sof = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker - 0xC0}) — "
-                "baseline sequential only"
+                "baseline sequential + progressive (SOF2) only"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -227,29 +234,47 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append({"id": cs, "td": tt >> 4, "ta": tt & 0xF})
-            pos = pos + 2 + seglen
-            return _decode_scan(
-                blob, pos, sof, scan, qt, dc_tabs, ac_tabs,
-                restart_interval,
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not sof.get("progressive"):
+                pos = pos + 2 + seglen
+                return _decode_scan(
+                    blob, pos, sof, scan, qt, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+            # progressive: spectral band + successive approximation
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            if coeffs is None:
+                coeffs = _prog_alloc(sof)
+            pos = _decode_progressive_scan(
+                blob, pos + 2 + seglen, sof, scan, dc_tabs, ac_tabs,
+                restart_interval, coeffs,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue
         pos += 2 + seglen
+    if sof is not None and sof.get("progressive") and coeffs is not None:
+        return _prog_reconstruct(sof, qt, coeffs)
     raise ValueError("JPEG missing SOS scan")
 
 
-def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
-    if sof is None:
-        raise ValueError("JPEG SOS before SOF")
-    # Strip byte stuffing; stop at a non-RST marker.  Vectorized over
-    # the 0xFF positions (FFs are ~1/256 of entropy bytes, so the
-    # classification loop touches a few hundred positions where the
-    # old per-byte walk touched every byte).  Includes the FINAL byte
-    # of a stream that ends without EOI; a trailing lone 0xFF is kept
-    # too — entropy data always stuffs FF as FF 00, so it can only be
-    # padding and the bit reader stops at MCU count regardless.
+def _strip_entropy(blob: bytes, pos: int) -> tuple[bytes, list[int], int]:
+    """Strip byte stuffing from the entropy segment starting at
+    ``pos``; stop at a non-RST marker.  Returns (stripped_bytes,
+    rst_positions_in_stripped_stream, blob_index_of_next_marker).
+
+    Vectorized over the 0xFF positions (FFs are ~1/256 of entropy
+    bytes, so the classification loop touches a few hundred positions
+    where the old per-byte walk touched every byte).  Includes the
+    FINAL byte of a stream that ends without EOI; a trailing lone 0xFF
+    is kept too — entropy data always stuffs FF as FF 00, so it can
+    only be padding and the bit reader stops at MCU count regardless.
+    """
     arr = np.frombuffer(blob, np.uint8, count=len(blob) - pos, offset=pos)
     keep = np.ones(len(arr), dtype=bool)
     markers = []  # positions in the STRIPPED stream where RSTs were
     ndel = 0
+    end = len(blob)
     for i in np.flatnonzero(arr == 0xFF).tolist():
         if not keep[i]:      # second byte of an already-handled pair
             continue
@@ -266,8 +291,15 @@ def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
             ndel += 2
         else:                # real marker: entropy data ends here
             keep[i:] = False
+            end = pos + i
             break
-    out = arr[keep].tobytes()
+    return arr[keep].tobytes(), markers, end
+
+
+def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
+    if sof is None:
+        raise ValueError("JPEG SOS before SOF")
+    out, markers, _ = _strip_entropy(blob, pos)
     comps = sof["comps"]
     h, w = sof["h"], sof["w"]
     hmax = max(c["h"] for c in comps)
@@ -415,6 +447,237 @@ def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         chans.append(p[:h, :w])
+    img = np.stack(chans, axis=-1)
+    if len(comps) == 3:  # JFIF YCbCr → RGB
+        y = img[..., 0]
+        cb = img[..., 1] - 128.0
+        cr = img[..., 2] - 128.0
+        img = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------
+# Progressive DCT (SOF2) — spectral selection + successive
+# approximation per ITU-T T.81 G.1/G.2 (the most common real-crawl
+# raster variant; libjpeg's default -progressive script uses both).
+# Coefficients accumulate across scans in per-component zigzag grids;
+# reconstruction (dequant + batched IDCT + upsample + YCbCr) runs once
+# at EOI.
+
+
+def _prog_geometry(sof):
+    comps = sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (sof["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (sof["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _prog_alloc(sof):
+    """Per-component coefficient store: one 64-int list per block
+    (plain ints — scan updates are scalar reads/writes, where numpy
+    scalar access would box per element), padded to the MCU grid."""
+    _hmax, _vmax, mcus_x, mcus_y = _prog_geometry(sof)
+    return [
+        [[0] * 64 for _ in range(mcus_y * c["v"] * mcus_x * c["h"])]
+        for c in sof["comps"]
+    ]
+
+
+def _decode_progressive_scan(
+    blob, pos, sof, scan, dc_tabs, ac_tabs, dri, coeffs, ss, se, ah, al
+):
+    """Decode ONE progressive scan's entropy data into ``coeffs``;
+    returns the blob index of the next marker.
+
+    Four scan kinds (T.81 G.1.2): DC first (Ah=0, Huffman diffs of
+    DC>>Al), DC refinement (one bit per block ORed at 2^Al), AC first
+    (run/size over the Ss..Se band with EOB-run codes, values scaled
+    by 2^Al), AC refinement (newly-nonzero insertions plus one
+    correction bit per already-nonzero coefficient — the libjpeg
+    decode_mcu_AC_refine control flow)."""
+    out, markers, end = _strip_entropy(blob, pos)
+    reader = _BitReader(out)
+    comps = sof["comps"]
+    hmax, vmax, mcus_x, mcus_y = _prog_geometry(sof)
+    id2ci = {c["id"]: i for i, c in enumerate(comps)}
+    sel = [(id2ci[s["id"]], s) for s in scan]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive scan: DC band must be Ss=Se=0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    if not is_dc and ss > se or se > 63:
+        raise ValueError("bad progressive spectral band")
+
+    dctabs = []
+    actab = None
+    for _ci, s in sel:
+        if is_dc and ah == 0:
+            t = dc_tabs.get(s["td"])
+            if t is None:
+                raise ValueError("JPEG missing Huffman/quant table")
+            dctabs.append(t)
+        else:
+            dctabs.append(None)
+    if not is_dc:
+        actab = ac_tabs.get(sel[0][1]["ta"])
+        if actab is None:
+            raise ValueError("JPEG missing Huffman/quant table")
+
+    # block visitation order: interleaved scans raster the MCU grid,
+    # single-component scans raster that component's OWN block grid
+    # (T.81 A.2.2 — its non-padded ceil dims), indexed into the padded
+    # store
+    seq: list[tuple[int, int]] = []  # (sel_idx, block_index)
+    if len(sel) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for idx, (ci, _s) in enumerate(sel):
+                    comp = comps[ci]
+                    bw = mcus_x * comp["h"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            seq.append((
+                                idx,
+                                (my * comp["v"] + by) * bw
+                                + mx * comp["h"] + bx,
+                            ))
+        mcu_blocks = sum(comps[ci]["v"] * comps[ci]["h"] for ci, _ in sel)
+    else:
+        ci0 = sel[0][0]
+        comp = comps[ci0]
+        cw = -(-(sof["w"] * comp["h"]) // hmax)
+        chh = -(-(sof["h"] * comp["v"]) // vmax)
+        bw = mcus_x * comp["h"]
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                seq.append((0, by * bw + bx))
+        mcu_blocks = 1
+
+    preds = [0] * len(sel)
+    eobrun = 0
+    next_marker = 0
+    p1 = 1 << al
+    m1 = -p1
+    for n, (idx, bi) in enumerate(seq):
+        if (
+            dri and n and n % (dri * mcu_blocks) == 0
+        ):
+            if next_marker < len(markers):
+                reader.pos = markers[next_marker]
+                reader.bit = 0
+                next_marker += 1
+            else:
+                reader.byte_align()
+            preds = [0] * len(sel)
+            eobrun = 0
+        blk = coeffs[sel[idx][0]][bi]
+        if is_dc:
+            if ah == 0:
+                t = reader.decode_symbol(dctabs[idx])
+                preds[idx] += _extend(reader.read_bits(t), t)
+                blk[0] = preds[idx] << al
+            else:
+                # refinement: OR the 2^Al bit in (two's-complement &/|
+                # on Python ints matches the C semantics exactly)
+                if reader.read_bit():
+                    blk[0] |= p1
+        elif ah == 0:
+            # AC first pass over the band, with EOB-run codes
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(actab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:
+            # AC refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(actab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        sval = 0  # ZRL: pass 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "corrupt JPEG AC refinement scan"
+                            )
+                        sval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if reader.read_bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if sval and k <= se:
+                        blk[k] = sval
+                    k += 1
+            if eobrun:
+                # EOB block: correction bits for remaining nonzeros
+                while k <= se:
+                    c = blk[k]
+                    if c != 0 and reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return end
+
+
+def _prog_reconstruct(sof, qt, coeffs):
+    comps = sof["comps"]
+    hmax, vmax, mcus_x, mcus_y = _prog_geometry(sof)
+    h, w = sof["h"], sof["w"]
+    chans = []
+    for ci, comp in enumerate(comps):
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError("JPEG missing Huffman/quant table")
+        bh, bw = mcus_y * comp["v"], mcus_x * comp["h"]
+        arr = np.array(coeffs[ci], dtype=np.int64)           # (n, 64)
+        coeff = np.zeros_like(arr)
+        coeff[:, ZIGZAG] = arr                               # de-zigzag
+        blocks = coeff.reshape(-1, 8, 8).astype(np.float64) * q
+        px = (_A.T @ blocks @ _A) + 128.0                    # batched IDCT
+        plane = (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        chans.append(plane[:h, :w])
     img = np.stack(chans, axis=-1)
     if len(comps) == 3:  # JFIF YCbCr → RGB
         y = img[..., 0]

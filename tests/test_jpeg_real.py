@@ -265,12 +265,19 @@ def test_jpeg_rejects_unsupported():
     blob, _, _ = encode_jpeg_gray(px)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" + blob)
-    # progressive SOF2 must be rejected loudly
+    # a BASELINE stream relabeled SOF2 is malformed progressive (its
+    # single scan has Ss=0, Se=63 — an illegal DC band): loud error,
+    # never garbage pixels (real SOF2 decode: test_jpeg_progressive)
     prog = bytearray(blob)
     idx = blob.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="band"):
         decode_jpeg(bytes(prog))
+    # arithmetic-coded SOF9 still rejected loudly
+    arith = bytearray(blob)
+    arith[idx + 1] = 0xC9
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_jpeg(bytes(arith))
 
 
 # ------------------------------------------------------------------
