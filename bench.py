@@ -160,6 +160,91 @@ def bench_cdc_apply(spark) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_skew(spark) -> dict:
+    """D8 storm scenario: a stream where ONE conv_id carries ~60% of
+    all change events, applied end-to-end unsalted vs with the
+    explicit two-phase salt (salt=8).  Records timings + the actual
+    key/bucket imbalance so the salt knob's value (or the map-side
+    combine already absorbing the storm) is measured, not asserted."""
+    from pyspark.sql import functions as F
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import (
+        generate_stream_sharded,
+        write_frames_parquet_dir,
+    )
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    n_convs = max(N_CONVS // 4, 100)
+    n_txns = max(N_TXNS // 4, 1000)
+    tag = f"storm43_c{n_convs}_t{n_txns}_sh{N_SHARDS}"
+    path = os.path.join(CACHE_DIR, f"frames_{tag}")
+    meta = os.path.join(CACHE_DIR, f"frames_{tag}.json")
+    if os.path.isdir(path) and os.path.exists(meta):
+        with open(meta) as f:
+            info = json.load(f)
+    else:
+        stream = generate_stream_sharded(
+            n_shards=N_SHARDS, seed=43,
+            n_convs=max(n_convs // N_SHARDS, 1), max_turns=24,
+            n_extra_txns=max(n_txns // N_SHARDS, 1), hot_fraction=0.6,
+        )
+        write_frames_parquet_dir(stream, path, n_files=64)
+        info = {"n_changes": stream.n_changes, "n_frames": len(stream.frames)}
+        with open(meta, "w") as f:
+            json.dump(info, f)
+
+    frames = spark.read.parquet(path)
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184", decode_parallelism=DECODE_PAR,
+    )
+    workdir = tempfile.mkdtemp(prefix="pb3ld_storm_")
+    try:
+        def apply_once(salt: int, rnd: int) -> tuple[float, SnapshotStore]:
+            store = SnapshotStore.create(
+                spark, os.path.join(workdir, f"t{salt}_{rnd}"),
+                transcripts_schema(), num_buckets=max(CPUS, 8),
+            )
+            pipe = IngestPipeline(spark, store, cfg, salt=salt)
+            t0 = time.time()
+            pipe.apply_frames(frames, batch_id=1)
+            return time.time() - t0, store
+
+        apply_once(0, 99)  # warm
+        res: dict = {}
+        for name, salt in (("unsalted", 0), ("salted", 8)):
+            raws = []
+            store = None
+            for rnd in range(2):
+                waited = 0
+                while os.getloadavg()[0] > 2.0 and waited < 120:
+                    time.sleep(10)
+                    waited += 10
+                el, store = apply_once(salt, rnd)
+                raws.append(round(el, 2))
+            res[name] = {
+                "best_sec": min(raws),
+                "raw_runs_sec": raws,
+                "events_per_sec": round(info["n_changes"] / min(raws), 1),
+            }
+            if store is not None:
+                lin = store.lineage()
+                keys = sorted(int(v["keys"]) for v in lin.values())
+                res[name]["bucket_keys_max"] = keys[-1] if keys else 0
+                res[name]["bucket_keys_median"] = (
+                    keys[len(keys) // 2] if keys else 0
+                )
+        res["n_changes"] = info["n_changes"]
+        res["hot_fraction"] = 0.6  # generator parameter (seed 43)
+        return res
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def bench_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
@@ -188,7 +273,10 @@ def main():
     )
     try:
         cdc = bench_cdc_apply(spark)
+        skew = bench_skew(spark)
         queries = {"cdc_apply": cdc["elapsed_sec"]}
+        queries["cdc_apply_storm_unsalted"] = skew["unsalted"]["best_sec"]
+        queries["cdc_apply_storm_salted"] = skew["salted"]["best_sec"]
         queries.update(bench_queries(spark))
         result = {
             "metric": "change-events/sec applied (MERGE throughput)",
@@ -197,7 +285,7 @@ def main():
             "queries": queries,
             "sf": SF_DIR,
             "cpus": CPUS,
-            "detail": cdc,
+            "detail": {**cdc, "skew": skew},
         }
         print(json.dumps(result))
     finally:
