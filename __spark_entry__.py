@@ -837,6 +837,44 @@ def q_audio_frame_sample(spark, sf_dir):
     )
 
 
+def q_audio_ulaw_frame_sample(spark, sf_dir):
+    """COMPRESSED audio path end-to-end (round 4): synthesize a G.711
+    μ-law WAV per doc (byte i = (doc_id·13 + i·5) mod 256), decode
+    through the real codec (format-7 RIFF walk → 256-entry expansion
+    LUT built from the G.711 segment formula) → 4 windows → RMS/peak.
+    The oracle re-derives every expanded sample ARITHMETICALLY in SQL
+    (invert byte, split sign/exponent/mantissa, ((8m+132)·2^e)−132),
+    so the check spans the whole container+codec+windowing path."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import (
+        encode_wav_g711, sample_audio_frames,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                b = ((int(did) * 13 + np.arange(800) * 5) % 256).astype(
+                    np.uint8
+                )
+                blobs.append(encode_wav_g711(8000, 1, b.tobytes()))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = sample_audio_frames(blobs, n_frames=4)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "frame_idx", "t_ms", "rms", "peak",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_last_wins": q_dedup_last_wins,
     "txn_assembly": q_txn_assembly,
@@ -868,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "media_resize": q_media_resize,
     "audio_frame_sample": q_audio_frame_sample,
+    "audio_ulaw_frame_sample": q_audio_ulaw_frame_sample,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
@@ -1450,7 +1489,33 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _literal_oracles() -> dict[str, str]:
+    # G.711 μ-law expansion, arithmetically: byte → invert → split
+    # sign/exponent/mantissa → ((8·mant + 132)·2^exp) − 132, signed.
+    # `j` is the in-window sample offset; mirrors functions/multimodal
+    # _g711_lut exactly so the oracle is codec-independent SQL.
+    _u = "(255 - ((doc_id * 13 + (s0 + j) * 5) % 256))"
+    _ulaw_val = (
+        f"(CASE WHEN {_u} >= 128 THEN -1 ELSE 1 END) * "
+        f"((({_u} % 16) * 8 + 132) * "
+        f"CAST(pow(2, ({_u} // 16) % 8) AS BIGINT) - 132)"
+    )
     return {
+        "audio_ulaw_frame_sample": f"""
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       least((799 * k) // 3, 720) AS s0
+                FROM documents, range(4) t(k)
+                WHERE doc_id < 200
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST((s0 * 1000) // 8000 AS INT) AS t_ms,
+                   CAST(floor(sqrt(list_sum(list_transform(range(0, 80),
+                        j -> pow(CAST({_ulaw_val} AS DOUBLE), 2))) / 80))
+                        AS INT) AS rms,
+                   CAST(list_max(list_transform(range(0, 80),
+                        j -> abs({_ulaw_val}))) AS INT) AS peak
+            FROM f
+        """,
         "dedup_last_wins": """
             SELECT user_id,
                    event_id AS last_event_id,

@@ -73,19 +73,46 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int]:
     return (w, rows, int(px.mean()), bpp)
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, int]:
-    """REAL image decode for non-interlaced 8-bit PNG (pure stdlib
-    zlib + numpy row unfiltering — no PIL needed).
+# Adam7 pass geometry: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Returns (width, height, mean_pixel_value, bits_per_pixel).
-    Format per the public PNG spec (RFC 2083): 8-byte signature,
-    length-prefixed chunks (IHDR geometry, concatenated IDAT zlib
-    stream), scanlines of 1 filter byte + pixels, 5 filter types
-    (None/Sub/Up/Average/Paeth) reconstructed per row.  Supported:
-    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA); palette and Adam7 interlace are rejected (ValueError,
-    captured per-row by the extractor).
-    """
+
+def _png_unfilter_image(raw, h, w, bpp, offset=0):
+    """Unfilter ``h`` scanlines of ``w`` pixels from ``raw[offset:]``
+    → (h, w*bpp) uint8; returns (array, bytes_consumed)."""
+    stride = w * bpp
+    need = h * (1 + stride)
+    if len(raw) - offset < need:
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = raw[offset + y * (1 + stride): offset + (y + 1) * (1 + stride)]
+        cur = np.frombuffer(line, np.uint8, count=stride, offset=1).astype(
+            np.int64
+        )
+        recon = _unfilter_row(line[0], cur, prev, bpp)
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out, need
+
+
+def _png_decode_full(blob: bytes) -> "np.ndarray":
+    """(h, w, ch) uint8 pixels for 8-bit PNG — the ONE real decode
+    path shared by the summary and pixel APIs.
+
+    Per the public PNG spec (RFC 2083): chunk walk (IHDR, concatenated
+    IDAT, PLTE/tRNS for indexed color), per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth).  Supported: bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette → expanded to RGB, or RGBA when a
+    tRNS alpha table is present), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7 interlaced (round 4: each of the 7 passes
+    is its own filtered sub-image, unfiltered independently and
+    scattered into the output grid by the pass geometry).  Sub-8-bit
+    depths are rejected loudly (disclosed)."""
     import zlib
 
     sig = b"\x89PNG\r\n\x1a\n"
@@ -93,6 +120,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int]:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(blob):
         ln = int.from_bytes(blob[pos:pos + 4], "big")
@@ -100,6 +129,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int]:
         body = blob[pos + 8:pos + 8 + ln]
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -110,42 +143,171 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int]:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None:
         raise ValueError(
-            f"only 8-bit gray/RGB/GA/RGBA PNG (depth={depth}, "
+            f"only 8-bit gray/RGB/palette/GA/RGBA PNG (depth={depth}, "
             f"color_type={color})"
         )
-    if interlace != 0:
-        raise ValueError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(bytes(idat))
-    bpp = channels  # bytes per pixel at depth 8
-    stride = w * bpp
-    if len(raw) < h * (1 + stride):
-        raise ValueError("truncated PNG scanline data")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        line = raw[y * (1 + stride): (y + 1) * (1 + stride)]
-        ftype = line[0]
-        cur = np.frombuffer(line, np.uint8, count=stride, offset=1).astype(
-            np.int64
-        )
-        recon = _unfilter_row(ftype, cur, prev, bpp)
-        out[y] = recon.astype(np.uint8)
-        prev = recon
-    return (w, h, int(out.mean()), depth * channels)
+    if interlace == 0:
+        out, _ = _png_unfilter_image(raw, h, w, channels)
+        img = out.reshape(h, w, channels)
+    else:
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        ofs = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no scanlines at all
+            sub, used = _png_unfilter_image(raw, ph, pw, channels, ofs)
+            ofs += used
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if color == 3:
+        if plte is None or len(plte) < 3:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(
+            plte[: len(plte) // 3 * 3], np.uint8
+        ).reshape(-1, 3)
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        img = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(pal))] = np.frombuffer(
+                trns[: len(pal)], np.uint8
+            )
+            img = np.concatenate([img, alpha[idx][..., None]], axis=-1)
+    return img
 
 
-def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
-    """REAL audio decode for 16-bit PCM WAV (pure numpy).
+def decode_png(blob: bytes) -> tuple[int, int, int, int]:
+    """REAL image decode for 8-bit PNG (pure stdlib zlib + numpy —
+    no PIL needed): (width, height, mean_pixel_value, bits_per_pixel).
+    Full support matrix in :func:`_png_decode_full` (gray/RGB/
+    palette/GA/RGBA, non-interlaced + Adam7)."""
+    px = _png_decode_full(blob)
+    h, w, ch = px.shape
+    return (w, h, int(px.mean()), 8 * ch)
 
-    Returns (sample_rate, n_channels, n_frames, mean_abs_amplitude).
-    RIFF chunk walk per the public WAVE format: 'RIFF'+size+'WAVE',
-    then 'fmt ' (PCM tag 1, channels, rate, bits) and 'data' chunks.
-    """
+
+# G.711 μ-law / A-law expansion LUTs (built lazily from the public
+# segment formulas) and IMA ADPCM tables (public IMA spec / RFC 2361
+# codec 0x11)
+_G711_LUTS: dict[str, "np.ndarray"] = {}
+
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+    dtype=np.int64,
+)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+
+
+def _g711_lut(kind: str) -> "np.ndarray":
+    """256-entry int16 expansion table for μ-law ('ulaw') or A-law
+    ('alaw'), from the G.711 segment formulas."""
+    if kind in _G711_LUTS:
+        return _G711_LUTS[kind]
+    lut = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        if kind == "ulaw":
+            u = ~b & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            v = (((mant << 3) + 0x84) << exp) - 0x84
+        else:  # A-law
+            a = b ^ 0x55
+            sign = a & 0x80
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            if exp == 0:
+                v = (mant << 4) + 8
+            else:
+                v = ((mant << 4) + 0x108) << (exp - 1)
+        lut[b] = -v if sign else v
+    _G711_LUTS[kind] = lut
+    return lut
+
+
+def _ima_adpcm_decode(data: bytes, ch: int, block_align: int) -> "np.ndarray":
+    """Interleaved int16 samples from IMA ADPCM (WAV codec 0x11)
+    blocks: per block and channel a 4-byte header (int16 predictor =
+    the first output sample, uint8 step index), then 4-byte words of
+    eight 4-bit nibbles interleaved per channel.  Per-nibble Python —
+    fixture-scale; media scans at 100 TB use the native hatch."""
+    if ch < 1 or block_align < 4 * ch:
+        raise ValueError("bad IMA ADPCM geometry")
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    steps, idxtab = _IMA_STEPS.tolist(), _IMA_INDEX.tolist()
+    for b0 in range(0, len(data) - 4 * ch + 1, block_align):
+        block = data[b0:b0 + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            p = int.from_bytes(
+                block[c * 4:c * 4 + 2], "little", signed=True
+            )
+            si = block[c * 4 + 2]
+            if si > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(p)
+            idxs.append(si)
+            chans[c].append(p)  # header predictor IS the first sample
+        body = block[4 * ch:]
+        # nibble stream: 4-byte words rotate channels
+        for w0 in range(0, len(body) - 3, 4):
+            c = (w0 // 4) % ch
+            pred, si = preds[c], idxs[c]
+            out = chans[c]
+            for byte in body[w0:w0 + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = steps[si]
+                    diff = step >> 3
+                    if nib & 4:
+                        diff += step
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 1:
+                        diff += step >> 2
+                    pred = pred - diff if nib & 8 else pred + diff
+                    if pred > 32767:
+                        pred = 32767
+                    elif pred < -32768:
+                        pred = -32768
+                    si += idxtab[nib]
+                    if si < 0:
+                        si = 0
+                    elif si > 88:
+                        si = 88
+                    out.append(pred)
+            preds[c], idxs[c] = pred, si
+    n = min(len(x) for x in chans) if chans else 0
+    inter = np.empty(n * ch, dtype=np.int16)
+    for c in range(ch):
+        inter[c::ch] = np.array(chans[c][:n], dtype=np.int16)
+    return inter
+
+
+def wav_samples(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(sample_rate, n_channels, interleaved int16 samples) for the
+    supported WAV codecs: 16-bit PCM (format 1), G.711 μ-law (7) and
+    A-law (6), IMA ADPCM (0x11).  The single real decode path shared
+    by the summary and frame-sample operators."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV (missing RIFF/WAVE magic)")
     pos = 12
@@ -165,17 +327,36 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only 16-bit PCM WAV (format={audio_format}, "
-                         f"bits={bits})")
     if n_channels == 0:
         raise ValueError("WAV with zero channels")
-    samples = np.frombuffer(
-        data[: (len(data) // 2) * 2], dtype="<i2"
-    )
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+    elif audio_format in (6, 7) and bits == 8:
+        lut = _g711_lut("alaw" if audio_format == 6 else "ulaw")
+        samples = lut[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 0x11 and bits == 4:
+        samples = _ima_adpcm_decode(data, n_channels, block_align)
+    else:
+        raise ValueError(
+            "unsupported WAV codec (supported: 16-bit PCM, G.711 "
+            f"u-law/A-law, IMA ADPCM; format={audio_format}, "
+            f"bits={bits})"
+        )
+    return (sample_rate, n_channels, samples)
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
+    """REAL audio decode (pure numpy): (sample_rate, n_channels,
+    n_frames, mean_abs_amplitude).  RIFF chunk walk per the public
+    WAVE format; codec matrix in :func:`wav_samples` (PCM16, G.711
+    μ-law/A-law, IMA ADPCM)."""
+    sample_rate, n_channels, samples = wav_samples(blob)
     n_frames = len(samples) // n_channels
-    mean_abs = int(np.abs(samples.astype(np.int32)).mean()) if len(samples) else 0
+    mean_abs = (
+        int(np.abs(samples.astype(np.int32)).mean()) if len(samples) else 0
+    )
     return (sample_rate, n_channels, n_frames, mean_abs)
 
 
@@ -203,8 +384,10 @@ def _decode_image(blob: bytes, deterministic_fake: bool):
 
 
 def _decode_audio(blob: bytes, deterministic_fake: bool):
-    """Audio decode: REAL for 16-bit PCM WAV; compressed codecs need
-    ffmpeg/torchaudio — stubbed in this sandbox."""
+    """Audio decode: REAL for WAV containers (16-bit PCM, G.711
+    μ-law/A-law, IMA ADPCM — see :func:`wav_samples`); perceptual
+    codecs (MP3/AAC/Opus) need ffmpeg/torchaudio — stubbed in this
+    sandbox."""
     if deterministic_fake:
         return _fake_features(blob)
     if blob[:4] == b"RIFF":
@@ -262,6 +445,25 @@ def encode_wav(rate: int, channels: int, samples: "np.ndarray") -> bytes:
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_g711(
+    rate: int, channels: int, payload: bytes, alaw: bool = False
+) -> bytes:
+    """WAV container around raw G.711 bytes (format tag 7 = μ-law,
+    6 = A-law, 8 bits/sample) — the write side of the compressed-audio
+    path; lets fixtures synthesize REAL codec streams without ffmpeg."""
+    import struct
+
+    tag = 6 if alaw else 7
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate, rate * channels, channels, 8
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
@@ -337,42 +539,8 @@ def decode_image_pixels(blob: bytes) -> "np.ndarray":
 
 
 def _png_pixels(blob: bytes) -> "np.ndarray":
-    """(h, w, ch) pixels via the same unfiltering path as decode_png."""
-    # decode_png validates and unfilters; recompute here to get the
-    # array out (decode_png returns summary features only)
-    import zlib
-
-    pos = 8
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(blob):
-        ln = int.from_bytes(blob[pos:pos + 4], "big")
-        ctype = blob[pos + 4:pos + 8]
-        if ctype == b"IHDR":
-            ihdr = blob[pos + 8:pos + 8 + ln]
-        elif ctype == b"IDAT":
-            idat += blob[pos + 8:pos + 8 + ln]
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    decode_png(blob)  # full validation
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ihdr[9]]
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        line = raw[y * (1 + stride): (y + 1) * (1 + stride)]
-        recon = _unfilter_row(
-            line[0],
-            np.frombuffer(line, np.uint8, count=stride, offset=1).astype(np.int64),
-            prev, ch,
-        )
-        out[y] = recon.astype(np.uint8)
-        prev = recon
-    return out.reshape(h, w, ch)
+    """(h, w, ch) pixels — thin alias over the shared decode path."""
+    return _png_decode_full(blob)
 
 
 def _unfilter_row(ftype, cur, prev, bpp):
@@ -519,19 +687,11 @@ def sample_audio_frames(
                     if blob is None:
                         raise ValueError("null blob")
                     b = bytes(blob)
-                    rate, ch, total, _ = decode_wav(b)
-                    # re-extract samples (decode_wav validates)
-                    pos, data = 12, None
-                    while pos + 8 <= len(b):
-                        cid = b[pos:pos + 4]
-                        size = int.from_bytes(b[pos + 4:pos + 8], "little")
-                        if cid == b"data":
-                            data = b[pos + 8:pos + 8 + size]
-                            break
-                        pos += 8 + size + (size & 1)
-                    samples = np.frombuffer(
-                        data[: (len(data) // 2) * 2], dtype="<i2"
-                    ).astype(np.int64)
+                    # shared decode path: PCM16 / G.711 / IMA ADPCM all
+                    # frame-sample identically once expanded to int16
+                    rate, ch, samples = wav_samples(b)
+                    samples = samples.astype(np.int64)
+                    samples = samples[: len(samples) // ch * ch]
                     mono = samples.reshape(-1, ch).mean(axis=1)
                     win = max(rate // 100, 1)  # 10 ms
                     if len(mono) == 0:

@@ -1,0 +1,258 @@
+"""Compressed-audio WAV codecs (round 4): G.711 μ-law / A-law and
+IMA ADPCM, golden-tested against INDEPENDENT in-test implementations
+(the encoder direction for G.711, a second structurally-different
+decoder for ADPCM) — closing the round-3 'non-WAV-PCM audio stubbed'
+gap with real public-spec codecs rather than library bindings.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pg_pb3_ld_spark.functions.multimodal import (
+    _g711_lut,
+    _IMA_INDEX,
+    _IMA_STEPS,
+    decode_wav,
+    wav_samples,
+)
+
+
+# ------------------------------------------------------------ G.711
+
+
+def ulaw_encode(x: int) -> int:
+    """Independent μ-law compressor per the G.711 segment algorithm."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if x < 0 else 0
+    x = min(abs(x), CLIP) + BIAS
+    exp = x.bit_length() - 8  # position of the segment MSB
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def test_ulaw_lut_properties():
+    lut = _g711_lut("ulaw")
+    # both zero codes decode to 0; table is odd-symmetric in the sign bit
+    assert lut[0xFF] == 0
+    assert int(lut[0x7F]) == 0
+    for b in range(256):
+        assert int(lut[b]) == -int(lut[b ^ 0x80]) or lut[b] == 0
+    # strictly monotone within the positive half (0xFF down to 0x80)
+    pos = [int(lut[b]) for b in range(0xFF, 0x7F, -1)]
+    assert all(b2 > b1 for b1, b2 in zip(pos, pos[1:]))
+
+
+def test_ulaw_roundtrip_quantization_bound():
+    """decode(encode(x)) must land within the segment's quantization
+    step of x — the defining G.711 property, with the encoder written
+    independently of the expansion LUT."""
+    lut = _g711_lut("ulaw")
+    rng = np.random.RandomState(7)
+    xs = np.concatenate([
+        rng.randint(-32000, 32001, 500),
+        np.array([0, 1, -1, 31, -33, 0x84, -0x84, 32635, -32635]),
+    ])
+    for x in xs:
+        x = int(x)
+        b = ulaw_encode(x)
+        d = int(lut[b])
+        exp = (~b & 0x70) >> 4
+        step = 1 << (exp + 3)
+        assert abs(d - max(min(x, 32635), -32635)) <= step, (x, b, d)
+
+
+def test_ulaw_encode_decode_idempotent():
+    """encode(decode(b)) == b for every byte except the two ±0 codes
+    (the classic G.711 involution check)."""
+    lut = _g711_lut("ulaw")
+    for b in range(256):
+        d = int(lut[b])
+        if d == 0:
+            continue  # 0x7F/0xFF both mean zero — ambiguous by design
+        assert ulaw_encode(d) == b, (b, d)
+
+
+def test_alaw_lut_known_values():
+    lut = _g711_lut("alaw")
+    # byte 0x55 → a = 0 → segment 0, mantissa 0 → +8
+    assert int(lut[0x55]) == 8
+    # sign symmetry
+    for b in range(256):
+        assert int(lut[b]) == -int(lut[b ^ 0x80])
+    # segment-0 values are 8, 24, 40, … (16k+8 for 13-bit magnitudes ×8)
+    seg0 = sorted(int(lut[b]) for b in range(256) if 0 < int(lut[b]) <= 256)
+    assert seg0[:4] == [8, 24, 40, 56]
+
+
+# -------------------------------------------------------- IMA ADPCM
+
+
+def ima_encode(samples: np.ndarray, samples_per_block: int) -> bytes:
+    """Independent mono IMA ADPCM encoder (standard forward
+    quantizer; predictor/step updated with the decoder rule)."""
+    steps = _IMA_STEPS.tolist()
+    idxtab = _IMA_INDEX.tolist()
+    out = bytearray()
+    i = 0
+    pred, idx = 0, 0
+    while i < len(samples):
+        chunk = samples[i:i + samples_per_block]
+        i += samples_per_block
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            s = int(s)
+            step = steps[idx]
+            diff = s - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # reconstruct exactly as the decoder will
+            vp = step >> 3
+            if nib & 4:
+                vp += step
+            if nib & 2:
+                vp += step >> 1
+            if nib & 1:
+                vp += step >> 2
+            pred = pred - vp if nib & 8 else pred + vp
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + idxtab[nib]))
+            nibbles.append(nib)
+        while len(nibbles) % 8:
+            nibbles.append(0)  # pad the final 4-byte word
+        for k in range(0, len(nibbles), 2):
+            out.append(nibbles[k] | (nibbles[k + 1] << 4))
+    return bytes(out)
+
+
+def ima_decode_reference(data: bytes, block_align: int) -> list[int]:
+    """Second, structurally different mono decoder (nibble generator +
+    functional state update) for dual-implementation comparison."""
+    steps = _IMA_STEPS.tolist()
+    idxtab = _IMA_INDEX.tolist()
+    out: list[int] = []
+    for b0 in range(0, len(data) - 3, block_align):
+        block = data[b0:b0 + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        idx = block[2]
+        out.append(pred)
+
+        def nibbles():
+            for byte in block[4:]:
+                yield byte & 0x0F
+                yield byte >> 4
+
+        for nib in nibbles():
+            step = steps[idx]
+            mag = (step >> 3) + (step if nib & 4 else 0) \
+                + ((step >> 1) if nib & 2 else 0) \
+                + ((step >> 2) if nib & 1 else 0)
+            pred = pred + (-mag if nib & 8 else mag)
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + idxtab[nib]))
+            out.append(pred)
+    return out
+
+
+def _wav(fmt_tag: int, ch: int, rate: int, bits: int, block_align: int,
+         data: bytes) -> bytes:
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, ch, rate,
+        rate * max(block_align, 1), block_align, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _sine(n: int, amp: int = 12000, period: float = 37.0) -> np.ndarray:
+    t = np.arange(n)
+    return (amp * np.sin(2 * np.pi * t / period)).astype(np.int16)
+
+
+def test_ima_adpcm_engine_matches_independent_decoder():
+    sig = _sine(4 * 505)  # several blocks incl. a padded tail
+    spb = 505  # samples per block → block_align = 4 + 252 = 256
+    data = ima_encode(sig, spb)
+    block_align = 4 + (spb - 1 + 7) // 8 * 4
+    rate, chn, got = wav_samples(_wav(0x11, 1, 8000, 4, block_align, data))
+    want = ima_decode_reference(data, block_align)
+    assert (rate, chn) == (8000, 1)
+    assert got.tolist() == want[: len(got)]
+
+
+def test_ima_adpcm_tracks_the_signal():
+    """ADPCM is lossy but must track a smooth signal closely once the
+    step size adapts (correlation > 0.99 over the tail)."""
+    sig = _sine(1017)
+    spb = 1017
+    data = ima_encode(sig, spb)
+    block_align = 4 + (spb - 1 + 7) // 8 * 4
+    _, _, got = wav_samples(_wav(0x11, 1, 8000, 4, block_align, data))
+    dec = got[: len(sig)].astype(np.float64)
+    ref = sig.astype(np.float64)
+    tail = slice(100, len(sig))
+    corr = np.corrcoef(dec[tail], ref[tail])[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_g711_wav_through_decode_and_framesample():
+    sig = _sine(800)
+    lut = _g711_lut("ulaw")
+    enc = bytes(ulaw_encode(int(s)) for s in sig)
+    blob = _wav(7, 1, 8000, 8, 1, enc)
+    rate, chn, frames, mean_abs = decode_wav(blob)
+    assert (rate, chn, frames) == (8000, 1, 800)
+    # summary mean must equal the LUT expansion exactly
+    want = np.abs(lut[np.frombuffer(enc, np.uint8)].astype(np.int32)).mean()
+    assert mean_abs == int(want)
+
+
+def test_unsupported_codec_still_loud():
+    blob = _wav(2, 1, 8000, 4, 256, b"\x00" * 64)  # MS ADPCM: not impl
+    with pytest.raises(ValueError, match="unsupported WAV codec"):
+        decode_wav(blob)
+
+
+def test_compressed_audio_through_spark_operator(spark):
+    """μ-law and IMA ADPCM WAVs through the mapInPandas frame-sample
+    operator — the full dispatch path, per-row errors stay None."""
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import sample_audio_frames
+
+    sig = _sine(1600)
+    ulaw_blob = _wav(
+        7, 1, 8000, 8, 1, bytes(ulaw_encode(int(s)) for s in sig)
+    )
+    spb = 505
+    adpcm_data = ima_encode(sig, spb)
+    block_align = 4 + (spb - 1 + 7) // 8 * 4
+    adpcm_blob = _wav(0x11, 1, 8000, 4, block_align, adpcm_data)
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "blob": [bytearray(ulaw_blob), bytearray(adpcm_blob)],
+        })
+    )
+    rows = sample_audio_frames(df, n_frames=3).collect()
+    assert len(rows) == 6
+    assert all(r["error"] is None for r in rows)
+    assert any(r["rms"] > 0 for r in rows)

@@ -28,10 +28,9 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def make_png(pixels: np.ndarray, color_type: int, filters) -> bytes:
-    """Independent PNG writer.  ``pixels``: (h, w, channels) uint8;
-    ``filters``: per-row filter type (0-4), applied in the ENCODER
-    direction per the spec."""
+def _forward_filter(pixels: np.ndarray, filters) -> bytes:
+    """Apply per-row filters in the ENCODER direction per the spec;
+    returns the raw (pre-zlib) scanline stream."""
     h, w, ch = pixels.shape
     bpp = ch
     raw = bytearray()
@@ -62,13 +61,66 @@ def make_png(pixels: np.ndarray, color_type: int, filters) -> bytes:
                 enc[x] = (row[x] - pr) % 256
         raw += bytes(enc.astype(np.uint8))
         prev = row
+    return bytes(raw)
+
+
+def make_png(pixels: np.ndarray, color_type: int, filters) -> bytes:
+    """Independent PNG writer.  ``pixels``: (h, w, channels) uint8;
+    ``filters``: per-row filter type (0-4), applied in the ENCODER
+    direction per the spec."""
+    h, w, ch = pixels.shape
+    raw = _forward_filter(pixels, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png_adam7(pixels: np.ndarray, color_type: int, filters) -> bytes:
+    """Independent Adam7 writer: each pass is its own filtered
+    sub-image, concatenated into one IDAT; IHDR interlace=1."""
+    h, w, ch = pixels.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _forward_filter(sub, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
+
+
+def make_png_palette(idx: np.ndarray, palette: np.ndarray, filters,
+                     trns: bytes | None = None) -> bytes:
+    """Indexed-color writer: PLTE (+ optional tRNS) between IHDR and
+    IDAT; scanlines carry the palette indices."""
+    h, w = idx.shape
+    raw = _forward_filter(idx[..., None], filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    parts = [
+        b"\x89PNG\r\n\x1a\n",
+        _chunk(b"IHDR", ihdr),
+        _chunk(b"PLTE", palette.astype(np.uint8).tobytes()),
+    ]
+    if trns is not None:
+        parts.append(_chunk(b"tRNS", trns))
+    parts.append(_chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(_chunk(b"IEND", b""))
+    return b"".join(parts)
 
 
 @pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
@@ -116,15 +168,21 @@ def test_png_rejects_unsupported():
     good = make_png(px, 2, filters=[0])
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"\x89PNX" + good[4:])
-    # palette color type
+    # palette color type is now SUPPORTED (round 4) — but a stream
+    # relabeled palette without a PLTE chunk must fail loudly
     bad = bytearray(good)
     bad[8 + 8 + 9] = 3  # IHDR color_type byte
-    with pytest.raises(ValueError, match="color_type=3"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(bad))
-    # interlaced
+    # a non-interlaced stream relabeled Adam7 has wrong pass lengths
     bad = bytearray(good)
     bad[8 + 8 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # sub-8-bit depth still rejected loudly
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 4  # IHDR bit-depth byte
+    with pytest.raises(ValueError, match="only 8-bit"):
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         # body shorter than h*(1+stride): recompress a short stream
@@ -207,3 +265,86 @@ def test_sample_audio_frames_operator(spark):
     ]
     assert all(r["rms"] == 1000 and r["peak"] == 1000 for r in got)
     assert max(r["t_ms"] for r in got) >= 900  # spans the clip
+
+
+# ---------------------------------------------------- round 4: new
+# color-type / interlace coverage (palette + tRNS + Adam7)
+
+
+def test_png_palette_golden():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 7), dtype=np.uint8)
+    blob = make_png_palette(idx, pal, filters=[0, 1, 2, 3, 4])
+    w, h, mean, bits = decode_png(blob)
+    want = pal[idx]
+    assert (w, h, bits) == (7, 9, 24)
+    assert mean == int(want.astype(np.float64).mean())
+
+
+def test_png_palette_trns_alpha():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    blob = make_png_palette(idx, pal, filters=[0], trns=bytes([10, 200]))
+    from pg_pb3_ld_spark.functions.multimodal import _png_decode_full
+
+    px = _png_decode_full(blob)
+    assert px.shape == (2, 2, 4)
+    # alpha: entry 0 → 10, entry 1 → 200, entry 2 → default 255
+    assert px[0, 0].tolist() == [255, 0, 0, 10]
+    assert px[0, 1].tolist() == [0, 255, 0, 200]
+    assert px[1, 0].tolist() == [0, 0, 255, 255]
+
+
+def test_png_palette_index_out_of_range():
+    pal = np.zeros((2, 3), np.uint8)
+    idx = np.array([[0, 5]], np.uint8)  # index 5 > palette size 2
+    blob = make_png_palette(idx, pal, filters=[0])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(blob)
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+def test_png_adam7_golden(color_type, ch):
+    """Adam7 across odd geometries (pass widths/heights exercise the
+    empty-pass and 1-pixel-pass edges) and all filter types."""
+    rng = np.random.default_rng(100 + color_type)
+    for shape in [(1, 1), (2, 3), (7, 5), (9, 16), (8, 8)]:
+        px = rng.integers(0, 256, size=(*shape, ch), dtype=np.uint8)
+        blob = make_png_adam7(px, color_type, filters=[0, 1, 2, 3, 4])
+        from pg_pb3_ld_spark.functions.multimodal import _png_decode_full
+
+        got = _png_decode_full(blob)
+        np.testing.assert_array_equal(got, px, err_msg=f"{shape}")
+
+
+def test_png_adam7_palette_through_resize(spark):
+    """Interlaced palette PNG through the mapInPandas resize operator
+    — the full dispatch path."""
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import resize_media
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(10, 6), dtype=np.uint8)
+    # interlaced palette: compose Adam7 over index plane + PLTE chunk
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _forward_filter(sub[..., None], filters=[0, 2])
+    ihdr = struct.pack(">IIBBBBB", 6, 10, 8, 3, 0, 0, 1)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "blob": [bytearray(blob)]})
+    )
+    row = resize_media(df, 5, 5).collect()[0]
+    assert row["error"] is None
+    assert (row["out_h"], row["out_w"], row["n_channels"]) == (5, 5, 3)
