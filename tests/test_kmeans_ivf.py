@@ -90,6 +90,50 @@ def test_ivf_topk_reuses_precomputed_lists(spark):
     assert len(inline) == 15
 
 
+def test_ivf_lists_persist_partitioned_and_reused(spark, tmpdir_path):
+    """The 100 TB IVF build story end-to-end: assign once, WRITE the
+    inverted lists partitioned by list_id, read them back, serve
+    ivf_topk from the materialized lists — identical results to the
+    inline build, and the on-disk layout is one directory per list
+    (the probe join's pruning unit)."""
+    import os
+
+    vecs = _clustered(spark, n_clusters=6, per_cluster=20)
+    cents = vecs.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") / 20).cast("int").alias("list_id"), "embedding"
+    )
+    queries = vecs.where(F.col("vec_id").isin(1, 25, 49))
+    path = f"{tmpdir_path}/ivf_lists"
+    ann.ivf_assign(vecs, cents).write.partitionBy("list_id").parquet(path)
+    # layout: list_id=K directories (partition pruning on the probe)
+    dirs = [d for d in os.listdir(path) if d.startswith("list_id=")]
+    assert len(dirs) >= 2
+    lists = spark.read.parquet(path).select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id")
+    )
+    inline = ann.ivf_topk(vecs, queries, cents, k=5, nprobe=2).collect()
+    reused = ann.ivf_topk(
+        vecs, queries, cents, k=5, nprobe=2, lists=lists
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+
+
+def test_ivf_assign_plan_is_hashagg_no_window(spark):
+    """Plan-shape regression guard for the round-4 fix: the scored
+    n×n_lists relation must collapse through a HashAggregate (map-side
+    combine) — a Window or Sort here means the 10^13-row shuffle is
+    back."""
+    vecs = _clustered(spark, n_clusters=3, per_cluster=5)
+    cents = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("list_id"), "embedding"
+    )
+    plan = ann.ivf_assign(vecs, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
 def test_trained_centroids_lift_recall_on_clustered_data(spark):
     """Badly-placed init (first 12 vectors — all from clusters 0-1) vs
     the same init after 3 Lloyd's iterations, nprobe=1 so quantizer
