@@ -837,6 +837,30 @@ def q_audio_frame_sample(spark, sf_dir):
     )
 
 
+def q_doc_train_test_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split (training-data
+    pipeline staple).  The split keys on a PORTABLE hash — first 15
+    md5 hex chars of the doc id, mod 100 — never on RNG, row order,
+    or partitioning, so it is reproducible across engines, runs, and
+    cluster sizes (the property that makes a split auditable at
+    100 TB; same construction as the store's md5 bucket_fn).  At
+    scale this is a pure map — no shuffle, no state."""
+    docs = _documents(spark, sf_dir)
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", b.cast("int").alias("split_bucket"), split.alias("split")
+    )
+
+
 def q_audio_ulaw_frame_sample(spark, sf_dir):
     """COMPRESSED audio path end-to-end (round 4): synthesize a G.711
     μ-law WAV per doc (byte i = (doc_id·13 + i·5) mod 256), decode
@@ -907,6 +931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "audio_frame_sample": q_audio_frame_sample,
     "audio_ulaw_frame_sample": q_audio_ulaw_frame_sample,
+    "doc_train_test_split": q_doc_train_test_split,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
@@ -1500,6 +1525,20 @@ def _literal_oracles() -> dict[str, str]:
         f"CAST(pow(2, ({_u} // 16) % 8) AS BIGINT) - 132)"
     )
     return {
+        "doc_train_test_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x', substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 15
+                       )) AS BIGINT) % 100 AS INT) AS split_bucket
+                FROM documents
+            )
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 90 THEN 'train'
+                        WHEN split_bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
         "audio_ulaw_frame_sample": f"""
             WITH f AS (
                 SELECT doc_id, CAST(k AS INT) AS frame_idx,
