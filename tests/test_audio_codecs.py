@@ -256,3 +256,75 @@ def test_compressed_audio_through_spark_operator(spark):
     assert len(rows) == 6
     assert all(r["error"] is None for r in rows)
     assert any(r["rms"] > 0 for r in rows)
+
+
+def test_ima_adpcm_stereo_word_interleave():
+    """Stereo blocks interleave 4-byte nibble words per channel after
+    the per-channel headers; the decoded stream must equal the
+    frame-interleave of two independent mono decodes."""
+    left = _sine(505, amp=9000, period=29.0)
+    right = _sine(505, amp=5000, period=53.0)
+    spb = 505
+    mono_align = 4 + (spb - 1 + 7) // 8 * 4
+    lb = ima_encode(left, spb)
+    rb = ima_encode(right, spb)
+    assert len(lb) == len(rb) == mono_align
+    # stereo block: ch0 header, ch1 header, then alternating 4-byte
+    # words from each channel's nibble body
+    body_l, body_r = lb[4:], rb[4:]
+    words = bytearray(lb[:4] + rb[:4])
+    for k in range(0, len(body_l), 4):
+        words += body_l[k:k + 4]
+        words += body_r[k:k + 4]
+    stereo_align = 8 + len(body_l) + len(body_r)
+    blob = _wav(0x11, 2, 8000, 4, stereo_align, bytes(words))
+    rate, chn, got = wav_samples(blob)
+    assert (rate, chn) == (8000, 2)
+    want_l = ima_decode_reference(lb, mono_align)
+    want_r = ima_decode_reference(rb, mono_align)
+    n = len(got) // 2
+    assert got[0::2].tolist() == want_l[:n]
+    assert got[1::2].tolist() == want_r[:n]
+
+
+def test_codec_properties_hypothesis():
+    """Property sweeps: μ-law round-trip bound over the full int16
+    domain; ADPCM dual-decoder equality on arbitrary signals."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    lut = _g711_lut("ulaw")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-32768, max_value=32767))
+    def ulaw_bound(x):
+        b = ulaw_encode(x)
+        d = int(lut[b])
+        exp = (~b & 0x70) >> 4
+        step = 1 << (exp + 3)
+        assert abs(d - max(min(x, 32635), -32635)) <= step
+
+    ulaw_bound()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=2, max_size=200,
+        )
+    )
+    def adpcm_dual(sig):
+        arr = np.array(sig, dtype=np.int16)
+        spb = len(arr)
+        data = ima_encode(arr, spb)
+        block_align = 4 + (spb - 1 + 7) // 8 * 4
+        _, _, got = wav_samples(_wav(0x11, 1, 8000, 4, block_align, data))
+        want = ima_decode_reference(data, block_align)
+        assert got.tolist() == want[: len(got)]
+
+    adpcm_dual()
