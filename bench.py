@@ -127,8 +127,16 @@ def bench_cdc_apply(spark) -> dict:
         # job's steady state is the honest number.  All raws + the
         # loadavg they started under are reported for auditability.
         def gated_apply(r):
+            # gate on BOTH the 1-min and 5-min loadavg: bursts on this
+            # host last minutes, and a low 1-min sample at the tail of
+            # a burst (5-min still high) predicts a mid-run rebound —
+            # measured round 4: runs launched at l1<2 but l5>2.5 came
+            # back 25-100% slower than true-quiet launches
             waited = 0
-            while os.getloadavg()[0] > 2.0 and waited < 300:
+            while waited < 300:
+                l1, l5, _ = os.getloadavg()
+                if l1 < 2.0 and l5 < 2.2:
+                    break
                 time.sleep(10)
                 waited += 10
             load = round(os.getloadavg()[0], 2)
