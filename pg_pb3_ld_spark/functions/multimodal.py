@@ -303,10 +303,87 @@ def _ima_adpcm_decode(data: bytes, ch: int, block_align: int) -> "np.ndarray":
     return inter
 
 
+# MS ADPCM (WAV codec 0x02) tables — public format spec (RFC 2361,
+# MS multimedia registration): 7 built-in predictor coefficient pairs
+# and the 16-entry delta adaptation table indexed by unsigned nibble
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_adpcm_decode(
+    data: bytes, ch: int, block_align: int, coefs=None
+) -> "np.ndarray":
+    """Interleaved int16 samples from MS ADPCM blocks: per block and
+    channel a 7-byte header group (predictor-pair index, initial
+    idelta, the two seed samples — fields channel-interleaved), then
+    one 4-bit signed nibble per sample alternating channels.
+    Prediction: (s1·c1 + s2·c2)/256 with C truncation-toward-zero
+    (the MS reference pseudo-code), delta adaptation
+    max(16, adapt[nib]·idelta ≫ 8)."""
+    coefs = coefs or _MS_COEFS
+    hdr = 7 * ch
+    if ch < 1 or block_align <= hdr:
+        raise ValueError("bad MS ADPCM geometry")
+    out: list[int] = []
+    for b0 in range(0, len(data) - hdr + 1, block_align):
+        blk = data[b0:b0 + block_align]
+        pred_i, idelta, s1, s2 = [], [], [], []
+        for c in range(ch):
+            pi = blk[c]
+            if pi >= len(coefs):
+                raise ValueError("MS ADPCM predictor index out of range")
+            pred_i.append(pi)
+        for c in range(ch):
+            idelta.append(int.from_bytes(
+                blk[ch + 2 * c:ch + 2 * c + 2], "little", signed=True
+            ))
+        for c in range(ch):
+            s1.append(int.from_bytes(
+                blk[3 * ch + 2 * c:3 * ch + 2 * c + 2], "little",
+                signed=True,
+            ))
+        for c in range(ch):
+            s2.append(int.from_bytes(
+                blk[5 * ch + 2 * c:5 * ch + 2 * c + 2], "little",
+                signed=True,
+            ))
+        # output starts with the OLDER seed (sample2) then sample1
+        for c in range(ch):
+            out.append(s2[c])
+        for c in range(ch):
+            out.append(s1[c])
+        c = 0
+        for byte in blk[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c1, c2 = coefs[pred_i[c]]
+                pred = s1[c] * c1 + s2[c] * c2
+                # C integer division: truncation toward zero
+                pred = -((-pred) // 256) if pred < 0 else pred // 256
+                signed = nib - 16 if nib >= 8 else nib
+                v = pred + signed * idelta[c]
+                if v > 32767:
+                    v = 32767
+                elif v < -32768:
+                    v = -32768
+                out.append(v)
+                s2[c] = s1[c]
+                s1[c] = v
+                idelta[c] = max(16, (_MS_ADAPT[nib] * idelta[c]) >> 8)
+                c = (c + 1) % ch
+    return np.array(out, dtype=np.int16)
+
+
 def wav_samples(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     """(sample_rate, n_channels, interleaved int16 samples) for the
     supported WAV codecs: 16-bit PCM (format 1), G.711 μ-law (7) and
-    A-law (6), IMA ADPCM (0x11).  The single real decode path shared
+    A-law (6), IMA ADPCM (0x11), MS ADPCM (0x02, built-in or
+    fmt-supplied coefficient pairs).  The single real decode path shared
     by the summary and frame-sample operators."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV (missing RIFF/WAVE magic)")
@@ -338,10 +415,31 @@ def wav_samples(blob: bytes) -> tuple[int, int, "np.ndarray"]:
         samples = lut[np.frombuffer(data, dtype=np.uint8)]
     elif audio_format == 0x11 and bits == 4:
         samples = _ima_adpcm_decode(data, n_channels, block_align)
+    elif audio_format == 0x02 and bits == 4:
+        # custom coefficient pairs may ride in the fmt extra bytes:
+        # cbSize @16, samplesPerBlock @18, numCoef @20, pairs @22
+        coefs = None
+        if len(fmt) >= 22:
+            ncoef = int.from_bytes(fmt[20:22], "little")
+            if 0 < ncoef <= 32 and len(fmt) >= 22 + 4 * ncoef:
+                coefs = [
+                    (
+                        int.from_bytes(
+                            fmt[22 + 4 * i:24 + 4 * i], "little",
+                            signed=True,
+                        ),
+                        int.from_bytes(
+                            fmt[24 + 4 * i:26 + 4 * i], "little",
+                            signed=True,
+                        ),
+                    )
+                    for i in range(ncoef)
+                ]
+        samples = _ms_adpcm_decode(data, n_channels, block_align, coefs)
     else:
         raise ValueError(
             "unsupported WAV codec (supported: 16-bit PCM, G.711 "
-            f"u-law/A-law, IMA ADPCM; format={audio_format}, "
+            f"u-law/A-law, IMA + MS ADPCM; format={audio_format}, "
             f"bits={bits})"
         )
     return (sample_rate, n_channels, samples)

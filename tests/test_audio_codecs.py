@@ -226,7 +226,7 @@ def test_g711_wav_through_decode_and_framesample():
 
 
 def test_unsupported_codec_still_loud():
-    blob = _wav(2, 1, 8000, 4, 256, b"\x00" * 64)  # MS ADPCM: not impl
+    blob = _wav(3, 1, 8000, 32, 4, b"\x00" * 64)  # IEEE float: not impl
     with pytest.raises(ValueError, match="unsupported WAV codec"):
         decode_wav(blob)
 
@@ -328,3 +328,173 @@ def test_codec_properties_hypothesis():
         assert got.tolist() == want[: len(got)]
 
     adpcm_dual()
+
+
+# --------------------------------------------------------- MS ADPCM
+
+
+def ms_encode(samples: np.ndarray, spb: int, pred: int = 1) -> bytes:
+    """Independent mono MS ADPCM encoder: fixed predictor pair,
+    nibble = clamp(round((s - prediction) / idelta)), state updated
+    with the decoder rule."""
+    from pg_pb3_ld_spark.functions.multimodal import _MS_ADAPT, _MS_COEFS
+
+    c1, c2 = _MS_COEFS[pred]
+    out = bytearray()
+    i = 0
+    while i < len(samples):
+        chunk = [int(x) for x in samples[i:i + spb]]
+        i += spb
+        while len(chunk) < 2:
+            chunk.append(0)
+        s2, s1 = chunk[0], chunk[1]
+        idelta = 256
+        out.append(pred)
+        out += struct.pack("<hhh", idelta, s1, s2)
+        nibbles = []
+        for s in chunk[2:]:
+            p = s1 * c1 + s2 * c2
+            p = -((-p) // 256) if p < 0 else p // 256
+            n = max(-8, min(7, int(round((s - p) / idelta))))
+            v = max(-32768, min(32767, p + n * idelta))
+            nibbles.append(n & 0x0F)
+            s2, s1 = s1, v
+            idelta = max(16, (_MS_ADAPT[n & 0x0F] * idelta) >> 8)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for k in range(0, len(nibbles), 2):
+            out.append((nibbles[k] << 4) | nibbles[k + 1])
+    return bytes(out)
+
+
+def ms_decode_reference(data: bytes, block_align: int) -> list[int]:
+    """Second mono decoder, structurally different (functional state
+    tuple), for dual-implementation comparison."""
+    from pg_pb3_ld_spark.functions.multimodal import _MS_ADAPT, _MS_COEFS
+
+    out: list[int] = []
+    for b0 in range(0, len(data) - 6, block_align):
+        blk = data[b0:b0 + block_align]
+        pred = blk[0]
+        idelta, s1, s2 = struct.unpack("<hhh", blk[1:7])
+        c1, c2 = _MS_COEFS[pred]
+        out += [s2, s1]
+        state = (s1, s2, idelta)
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                s1_, s2_, d = state
+                p = s1_ * c1 + s2_ * c2
+                p = -((-p) // 256) if p < 0 else p // 256
+                sn = nib - 16 if nib >= 8 else nib
+                v = max(-32768, min(32767, p + sn * d))
+                out.append(v)
+                state = (v, s1_, max(16, (_MS_ADAPT[nib] * d) >> 8))
+    return out
+
+
+def test_ms_adpcm_engine_matches_independent_decoder():
+    sig = _sine(3 * 500 + 123, amp=11000, period=41.0)
+    spb = 500
+    for pred in (0, 1, 4):
+        data = ms_encode(sig, spb, pred=pred)
+        block_align = 7 + (spb - 2 + 1) // 2
+        rate, chn, got = wav_samples(
+            _wav(0x02, 1, 8000, 4, block_align, data)
+        )
+        want = ms_decode_reference(data, block_align)
+        assert (rate, chn) == (8000, 1)
+        assert got.tolist() == want[: len(got)], f"pred={pred}"
+
+
+def test_ms_adpcm_tracks_the_signal():
+    sig = _sine(1002, amp=10000, period=61.0)
+    data = ms_encode(sig, 1002, pred=0)  # pair (256,0): s ≈ s1
+    block_align = 7 + 500
+    _, _, got = wav_samples(_wav(0x02, 1, 8000, 4, block_align, data))
+    dec = got[: len(sig)].astype(np.float64)
+    ref = sig.astype(np.float64)
+    corr = np.corrcoef(dec[50:], ref[50:len(dec)])[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_ms_adpcm_custom_coef_pairs_from_fmt():
+    """Coefficient pairs supplied in the fmt extra bytes override the
+    built-ins — pair 0 here is deliberately NOT the standard (256,0)."""
+    from pg_pb3_ld_spark.functions.multimodal import _MS_ADAPT
+
+    sig = _sine(66, amp=5000)
+    # encode with custom pair (128, 128)
+    c1, c2 = 128, 128
+    chunk = [int(x) for x in sig]
+    s2, s1, idelta = chunk[0], chunk[1], 256
+    body = bytearray([0]) + struct.pack("<hhh", idelta, s1, s2)
+    nibbles = []
+    for s in chunk[2:]:
+        p = s1 * c1 + s2 * c2
+        p = -((-p) // 256) if p < 0 else p // 256
+        n = max(-8, min(7, int(round((s - p) / idelta))))
+        v = max(-32768, min(32767, p + n * idelta))
+        nibbles.append(n & 0x0F)
+        s2, s1 = s1, v
+        idelta = max(16, (_MS_ADAPT[n & 0x0F] * idelta) >> 8)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for k in range(0, len(nibbles), 2):
+        body.append((nibbles[k] << 4) | nibbles[k + 1])
+    block_align = len(body)
+    # fmt extra: cbSize, samplesPerBlock, numCoef=1, pair (128,128)
+    fmt = struct.pack(
+        "<HHIIHH", 2, 1, 8000, 8000, block_align, 4
+    ) + struct.pack("<HHH", 8, 66, 1) + struct.pack("<hh", c1, c2)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+    )
+    _, _, got = wav_samples(blob)
+    # decoded stream must track the signal tightly (wrong pairs would
+    # diverge immediately at this amplitude)
+    dec = got[: len(sig)].astype(np.float64)
+    corr = np.corrcoef(dec[10:], sig[10:len(dec)].astype(np.float64))[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_ms_adpcm_stereo_nibble_interleave():
+    """Stereo MS ADPCM: channel-interleaved header fields, then one
+    nibble per sample alternating channels (high nibble = ch0)."""
+    from pg_pb3_ld_spark.functions.multimodal import _MS_ADAPT, _MS_COEFS
+
+    left = _sine(202, amp=8000, period=23.0)
+    right = _sine(202, amp=4000, period=47.0)
+    c1, c2 = _MS_COEFS[0]
+
+    def chan_nibbles(sig):
+        chunk = [int(x) for x in sig]
+        s2, s1, idelta = chunk[0], chunk[1], 256
+        nibs, vals = [], [s2, s1]
+        for s in chunk[2:]:
+            p = s1 * c1 + s2 * c2
+            p = -((-p) // 256) if p < 0 else p // 256
+            n = max(-8, min(7, int(round((s - p) / idelta))))
+            v = max(-32768, min(32767, p + n * idelta))
+            nibs.append(n & 0x0F)
+            vals.append(v)
+            s2, s1 = s1, v
+            idelta = max(16, (_MS_ADAPT[n & 0x0F] * idelta) >> 8)
+        return nibs, vals
+
+    ln, lv = chan_nibbles(left)
+    rn, rv = chan_nibbles(right)
+    hdr = bytearray([0, 0])  # predictor index per channel
+    hdr += struct.pack("<hh", 256, 256)                    # idelta
+    hdr += struct.pack("<hh", int(left[1]), int(right[1]))  # sample1
+    hdr += struct.pack("<hh", int(left[0]), int(right[0]))  # sample2
+    body = bytearray(hdr)
+    for k in range(len(ln)):
+        body.append((ln[k] << 4) | rn[k])
+    blob = _wav(0x02, 2, 8000, 4, len(body), bytes(body))
+    rate, chn, got = wav_samples(blob)
+    assert (rate, chn) == (8000, 2)
+    n = len(got) // 2
+    assert got[0::2].tolist() == lv[:n]
+    assert got[1::2].tolist() == rv[:n]
