@@ -5,20 +5,28 @@ columns with typed metadata (the same way the wire format treats
 every PostgreSQL value as opaque output-function bytes,
 ``decoder/fsd.c:150-199``).  The Spark-side plumbing — schema,
 Arrow-batched ``mapInPandas`` signature, per-batch shaping,
-partitioning — is real and tested; the actual codec calls (PIL /
-ffmpeg / torchaudio) are **stubbed** behind ``_decode_image`` /
-``_decode_audio`` because the sandbox has no media libraries: they
-raise ``NotImplementedError`` unless ``deterministic_fake=True``, in
-which case they produce seedless, reproducible pseudo-features pure
-ly from the bytes (so tests and SQL oracles can pin the plumbing
-end-to-end).
+partitioning — is real and tested, and so are the codecs, all
+pure stdlib+numpy from the public specs:
+
+* raster: 24-bit BMP; 8-bit PNG (all 5 filters, gray/RGB/GA/RGBA +
+  palette with tRNS, non-interlaced + Adam7); baseline AND
+  progressive JPEG (``functions/jpeg.py``);
+* audio (WAV containers, shared :func:`wav_samples` path): 16-bit
+  PCM, G.711 μ-law/A-law, IMA ADPCM, MS ADPCM;
+* still stubbed, loudly: perceptual codecs (MP3/AAC/Opus) and
+  video containers — those genuinely need ffmpeg-class libraries,
+  reachable via the opt-in ``PB3LD_NATIVE_CODECS`` executor hatch
+  (:func:`_native_decode`).  ``deterministic_fake=True`` keeps the
+  byte-derived pseudo-features for SQL-oracle plumbing checks.
 
 Scale notes: feature extraction is embarrassingly parallel — the
 operator never shuffles; it maps Arrow batches in place and keeps
 executor memory bounded by ``spark.sql.execution.arrow.
 maxRecordsPerBatch``.  Decode failures are captured per row
 (``error`` column), not raised, so one corrupt blob can't kill a
-100 TB scan.
+100 TB scan.  The serial per-byte/per-nibble codec inner loops are
+the 100-TB wall (measured ~3× headroom exhausted in round 4 —
+BENCH/BASELINE.md); at that scale flip the native hatch.
 """
 
 from __future__ import annotations
