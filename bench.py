@@ -131,11 +131,16 @@ def bench_cdc_apply(spark) -> dict:
             # host last minutes, and a low 1-min sample at the tail of
             # a burst (5-min still high) predicts a mid-run rebound —
             # measured round 4: runs launched at l1<2 but l5>2.5 came
-            # back 25-100% slower than true-quiet launches
+            # back 25-100% slower than true-quiet launches.  The 5-min
+            # threshold must tolerate the bench's OWN duty cycle
+            # (each timed apply pushes all 32 cores for ~15 s, which
+            # alone holds l5 near ~1.5-2 between rounds — a strict
+            # l5<2.2 self-gates into the full wait every round), so it
+            # only filters the sustained multi-core foreign bursts.
             waited = 0
             while waited < 300:
                 l1, l5, _ = os.getloadavg()
-                if l1 < 2.0 and l5 < 2.2:
+                if l1 < 2.0 and l5 < 3.5:
                     break
                 time.sleep(10)
                 waited += 10
