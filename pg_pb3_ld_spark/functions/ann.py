@@ -77,7 +77,12 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: a zero-norm vector yields NULL instead of the ANSI
+    # DIVIDE_BY_ZERO throw (Spark 4 raises even for double 0.0/0.0);
+    # for every non-zero divisor it is bit-identical to plain "/"
+    return F.try_divide(
+        dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    )
 
 
 def banded_candidates(
@@ -199,8 +204,18 @@ def ivf_assign(
     # below any meaningful similarity difference), ties broken to the
     # LOWEST list_id — fully deterministic, |key| < 2^62.  Assumes
     # n_lists < 2^20 (a 100 TB IVF uses ~10^3-10^5 lists).
+    # cosine() is NULL for a zero-norm vector (try_divide; reachable
+    # when quantize_vectors rounds a tiny embedding to all zeros) and
+    # could be NaN from pathological inputs — under Spark 4 ANSI mode
+    # round(NaN).cast('long') THROWS and a NULL key would void the
+    # max().  Map both to a below-range sentinel (-2.0 < any real
+    # cosine) so zero-norm rows deterministically land in the
+    # lowest-id list instead of killing the batch.
+    cs = F.coalesce(
+        F.nanvl(F.col("_cs"), F.lit(-2.0)), F.lit(-2.0)
+    )
     key = (
-        F.round(F.col("_cs") * F.lit(float(1 << 40))).cast("long")
+        F.round(cs * F.lit(float(1 << 40))).cast("long")
         * F.lit(1 << 21)
         + (F.lit(1 << 20) - F.col("list_id"))
     )

@@ -248,6 +248,11 @@ def _g711_lut(kind: str) -> "np.ndarray":
                 v = (mant << 4) + 8
             else:
                 v = ((mant << 4) + 0x108) << (exp - 1)
+            # G.711 A-law sign convention is the OPPOSITE of μ-law's:
+            # bit 7 (untouched by the ^0x55 toggle) SET means positive
+            # (Sun g711.c alaw2linear; byte 0xD5 → +8, 0x55 → -8).
+            lut[b] = v if sign else -v
+            continue
         lut[b] = -v if sign else v
     _G711_LUTS[kind] = lut
     return lut
@@ -604,12 +609,32 @@ def _native_decode(blob: bytes):
 
     try:
         im = Image.open(io.BytesIO(blob))
+        fmt = getattr(im, "format", None)
+        mode = getattr(im, "mode", "")
+        # Convert by mode BEFORE asarray: a palette ('P') image would
+        # otherwise yield raw palette indices, 16-bit gray would wrap
+        # under astype(uint8), and LA/PA would drop alpha — all far
+        # beyond the documented low-bit native-IDCT difference.
+        if mode in ("1", "L", "I", "I;16", "I;16B", "F"):
+            im = im.convert("L")  # true 8-bit gray, no modular wrap
+        elif (
+            mode in ("RGBA", "LA", "PA")
+            or "transparency" in getattr(im, "info", {})
+        ):
+            im = im.convert("RGBA")  # palette indices → real colors
+        else:
+            im = im.convert("RGB")
         px = np.asarray(im)
     except Exception:
         return None  # pure decoders produce the loud per-format error
     if px.ndim == 2:
         px = px[:, :, None]
-    return np.ascontiguousarray(px[:, :, :4]).astype(np.uint8)
+    px = np.ascontiguousarray(px[:, :, :4]).astype(np.uint8)
+    if fmt == "BMP" and px.shape[2] >= 3:
+        # the pure BMP decoder keeps the container's BGR channel
+        # order; PIL normalizes to RGB — flip back so both paths agree
+        px[:, :, :3] = px[:, :, 2::-1]
+    return px
 
 
 def decode_image_pixels(blob: bytes) -> "np.ndarray":

@@ -36,9 +36,15 @@ def _adaptive_shift(
 ) -> int:
     """Smallest shift ≥ ``chunk_shift`` keeping the chunk count (and
     therefore the driver-collected prefix-sum rows) ≤ ``cap`` for the
-    observed frame_seq range — O(log range) iterations."""
+    observed frame_seq range — O(log range) iterations.
+
+    Chunks are ``frame_seq >> shift`` on UNALIGNED values, so the
+    distinct-chunk count is ``(max>>shift) - (min>>shift) + 1`` — one
+    more than ``((max-min)>>shift)+1`` when the range straddles an
+    extra chunk boundary; bound the real quantity so the driver
+    collect is exactly capped."""
     shift = chunk_shift
-    while ((max_f - min_f) >> shift) + 1 > cap:
+    while ((max_f >> shift) - (min_f >> shift)) + 1 > cap:
         shift += 1
     return shift
 

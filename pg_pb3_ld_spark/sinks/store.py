@@ -488,13 +488,72 @@ class SnapshotStore:
                         f"already committed (manifest at {cur}) — "
                         "refresh() and retry the merge"
                     )
+                # Reclaims must be MUTUALLY EXCLUSIVE: two writers can
+                # both judge the same dir dead (both saw the recovered
+                # pointer, or both aged the same orphan past the lease)
+                # and a bare rmtree+rename would let the second rmtree
+                # delete the first writer's fully-renamed snapshot
+                # before its pointer swap — one merge silently lost
+                # while both report success.  Claim the name first by
+                # ATOMICALLY renaming the dead dir to a unique trash
+                # name (os.rename raises for the loser), then rmtree
+                # the trash at leisure.
+                def _reclaim(expected_mtime: float | None = None) -> None:
+                    import uuid as _uuid
+
+                    trash = snap_dir + ".trash-" + _uuid.uuid4().hex
+                    try:
+                        os.rename(snap_dir, trash)
+                    except OSError:
+                        # another writer won the claim — conflict
+                        raise CommitConflictError(
+                            f"snapshot dir {new_id} reclaimed by a "
+                            "concurrent writer — refresh() and retry "
+                            "the merge"
+                        )
+                    if expected_mtime is not None:
+                        # TOCTOU re-verify AFTER the claim: between
+                        # this writer's staleness stat and its rename,
+                        # another reclaimer may have completed its
+                        # ENTIRE reclaim + stage-rename (+ pointer
+                        # swap), making the name a LIVE snapshot — a
+                        # different dir incarnation, detectable by its
+                        # mtime differing from the one the staleness
+                        # check saw.  Restore the stolen dir and
+                        # conflict instead of destroying a committed
+                        # merge.
+                        try:
+                            now_mtime = os.stat(trash).st_mtime
+                        except OSError:
+                            now_mtime = None
+                        if now_mtime != expected_mtime:
+                            try:
+                                os.rename(trash, snap_dir)
+                            except OSError:
+                                pass  # name re-taken — trash kept for audit
+                            raise CommitConflictError(
+                                f"snapshot dir {new_id} was replaced by a "
+                                "live commit during reclaim — refresh() "
+                                "and retry the merge"
+                            )
+                    shutil.rmtree(trash, ignore_errors=True)
+                    try:
+                        os.rename(stage_dir, snap_dir)
+                    except OSError:
+                        # a concurrent writer renamed ITS snapshot into
+                        # the freed name between our rmtree and rename
+                        raise CommitConflictError(
+                            f"snapshot dir {new_id} claimed by a "
+                            "concurrent commit during reclaim — "
+                            "refresh() and retry the merge"
+                        )
+
                 if recovered is not None and cur == recovered:
                     # damaged (recovered-over) snapshot: the pointer was
                     # rolled back past it at open time, so the dir is
                     # unreachable by every reader and owned by THIS
                     # writer's recovery — safe to reclaim the name.
-                    shutil.rmtree(snap_dir)
-                    os.rename(stage_dir, snap_dir)
+                    _reclaim()
                 else:
                     # The pointer not having advanced does NOT prove the
                     # colliding dir is a crashed orphan: a concurrent
@@ -508,12 +567,12 @@ class SnapshotStore:
                     # writer has swapped the pointer, or a true orphan
                     # has aged past the lease).
                     try:
-                        age = time.time() - os.stat(snap_dir).st_mtime
+                        seen_mtime = os.stat(snap_dir).st_mtime
+                        age = time.time() - seen_mtime
                     except OSError:
                         age = None  # dir vanished → live racing writer
                     if age is not None and age > self.ORPHAN_LEASE_SEC:
-                        shutil.rmtree(snap_dir)
-                        os.rename(stage_dir, snap_dir)
+                        _reclaim(expected_mtime=seen_mtime)
                     else:
                         raise CommitConflictError(
                             f"snapshot dir {new_id} already claimed by "

@@ -78,8 +78,10 @@ def test_ulaw_encode_decode_idempotent():
 
 def test_alaw_lut_known_values():
     lut = _g711_lut("alaw")
-    # byte 0x55 → a = 0 → segment 0, mantissa 0 → +8
-    assert int(lut[0x55]) == 8
+    # A-law sign bit SET means POSITIVE (opposite of μ-law; Sun g711.c
+    # alaw2linear): byte 0xD5 (= 0x55 | 0x80) → +8, byte 0x55 → -8.
+    assert int(lut[0xD5]) == 8
+    assert int(lut[0x55]) == -8
     # sign symmetry
     for b in range(256):
         assert int(lut[b]) == -int(lut[b ^ 0x80])

@@ -318,10 +318,21 @@ def test_native_codec_hatch_default_off_and_stub_on(monkeypatch):
     # env set + stub PIL → the native result is returned verbatim
     marker = np.full((2, 2), 7, dtype=np.uint8)
 
+    class _StubIm:
+        format = None
+        mode = "L"
+        info: dict = {}
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return marker
+
     class _StubImage:
         @staticmethod
         def open(fp):
-            return marker  # np.asarray(marker) is the array itself
+            return _StubIm()
 
     stub_pil = types.ModuleType("PIL")
     stub_pil.Image = _StubImage
