@@ -64,6 +64,57 @@ def cached_stream():
     return path, info
 
 
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _busy_jiffies() -> int:
+    """System-wide non-idle jiffies from /proc/stat (all foreign load
+    included)."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _subtree_jiffies() -> int:
+    """CPU jiffies consumed by THIS process and every live descendant
+    (the Spark JVM, pyspark daemons/workers), plus each one's reaped
+    children (cutime/cstime)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    ji: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                s = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # process exited mid-walk
+        rp = s.rfind(")")
+        fields = s[rp + 2:].split()
+        pid = int(d)
+        ppid[pid] = int(fields[1])
+        ji[pid] = sum(map(int, fields[11:15]))  # utime+stime+cutime+cstime
+    kids: dict[int, list[int]] = {}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += ji.get(p, 0)
+        stack.extend(kids.get(p, []))
+    return total
+
+
+# A run is quiet END-TO-END when foreign processes averaged less than
+# this many cores DURING it (quiet sandbox baseline ≈0.1; the
+# documented bursts run 4-20 cores).  Unlike loadavg — which the
+# bench's own 32-core push saturates — this is direct accounting:
+# (system busy jiffies) − (our subtree's jiffies).
+FOREIGN_CORES_MAX = float(os.environ.get("SPARK_GRAFT_FOREIGN_MAX", "1.0"))
+MAX_SESSIONS = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+
+
 def bench_cdc_apply(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -119,24 +170,28 @@ def bench_cdc_apply(spark) -> dict:
             timed_apply.store = store
             return el
 
-        # best-of-N with a quiet-window gate before each timed round,
-        # plus ADAPTIVE extra rounds when the raws disagree >1.4× (a
-        # foreign-load burst hit mid-round): the sandbox shares its
-        # host with load that arrives in multi-minute bursts (measured
-        # 2-20x swings on identical binaries) — a long-running ingest
-        # job's steady state is the honest number.  All raws + the
-        # loadavg they started under are reported for auditability.
-        def gated_apply(r):
-            # gate on BOTH the 1-min and 5-min loadavg: bursts on this
-            # host last minutes, and a low 1-min sample at the tail of
-            # a burst (5-min still high) predicts a mid-run rebound —
-            # measured round 4: runs launched at l1<2 but l5>2.5 came
-            # back 25-100% slower than true-quiet launches.  The 5-min
-            # threshold must tolerate the bench's OWN duty cycle
-            # (each timed apply pushes all 32 cores for ~15 s, which
-            # alone holds l5 near ~1.5-2 between rounds — a strict
-            # l5<2.2 self-gates into the full wait every round), so it
-            # only filters the sustained multi-core foreign bursts.
+        # The RECORDED number must come from a run that was quiet
+        # END-TO-END, not merely quiet at launch: round 4's official
+        # artifact recorded 144.5k ev/s from a session a mid-run
+        # foreign burst polluted, while the same code measured 204k
+        # under a quiet window the same day.  Each timed run therefore
+        # carries (a) a loadavg trace sampled every 2 s DURING the run
+        # and (b) direct foreign-CPU accounting ((system busy) − (our
+        # subtree) jiffies — loadavg alone can't separate a burst from
+        # the bench's own 32-core push).  A run whose foreign load
+        # averaged > FOREIGN_CORES_MAX cores is discarded from the
+        # headline; if a whole session yields no quiet run, the
+        # session is retried (bounded), and every discarded run stays
+        # in the artifact with its evidence.
+        import threading
+
+        run_no = [0]
+
+        def monitored_apply() -> dict:
+            # launch gate (cheap pre-filter; the real filter is the
+            # during-run accounting below): bursts last minutes, and a
+            # high 5-min loadavg at launch predicts a mid-run rebound.
+            # l5 threshold 3.5 tolerates the bench's own duty cycle.
             waited = 0
             while waited < 300:
                 l1, l5, _ = os.getloadavg()
@@ -144,29 +199,79 @@ def bench_cdc_apply(spark) -> dict:
                     break
                 time.sleep(10)
                 waited += 10
-            load = round(os.getloadavg()[0], 2)
-            return timed_apply(r), load
+            trace: list[float] = []
+            stop = threading.Event()
 
-        raws, loads = [], []
-        for r in range(3):
-            el, load = gated_apply(r)
-            raws.append(round(el, 2))
-            loads.append(load)
-        extra = 0
-        while max(raws) / min(raws) > 1.4 and extra < 3:
-            el, load = gated_apply(3 + extra)
-            raws.append(round(el, 2))
-            loads.append(load)
-            extra += 1
-        elapsed = min(raws)
+            def poll():
+                while not stop.wait(2.0):
+                    trace.append(round(os.getloadavg()[0], 2))
+
+            load0 = round(os.getloadavg()[0], 2)
+            b0, s0 = _busy_jiffies(), _subtree_jiffies()
+            th = threading.Thread(target=poll, daemon=True)
+            th.start()
+            el = timed_apply(run_no[0])
+            run_no[0] += 1
+            stop.set()
+            th.join(timeout=3)
+            b1, s1 = _busy_jiffies(), _subtree_jiffies()
+            foreign = max(0, (b1 - b0) - (s1 - s0)) / _HZ
+            return {
+                "sec": round(el, 2),
+                "loadavg_at_start": load0,
+                "foreign_cores_avg": round(foreign / el, 2),
+                "quiet": foreign / el <= FOREIGN_CORES_MAX,
+                "loadavg_trace": trace,
+            }
+
+        sessions: list[list[dict]] = []
+        headline = None
+        for attempt in range(MAX_SESSIONS):
+            runs = [monitored_apply() for _ in range(3)]
+            # adaptive extras when the QUIET raws still disagree >1.4×
+            # (burst slipped under the cores threshold) or none quiet
+            extra = 0
+            while extra < 3:
+                q = [r["sec"] for r in runs if r["quiet"]]
+                if q and max(q) / min(q) <= 1.4:
+                    break
+                runs.append(monitored_apply())
+                extra += 1
+            sessions.append(runs)
+            quiet = [r for r in runs if r["quiet"]]
+            if quiet:
+                headline = min(quiet, key=lambda r: r["sec"])
+                break
+        if headline is None:
+            # every session burst-polluted: report the best raw run,
+            # loudly flagged — never silently
+            allruns = [r for s in sessions for r in s]
+            headline = min(allruns, key=lambda r: r["sec"])
+        elapsed = headline["sec"]
         return {
             "elapsed_sec": round(elapsed, 2),
             "events_per_sec": round(info["n_changes"] / elapsed, 1),
             "n_changes": info["n_changes"],
             "n_frames": n_frames,
             "wire_bytes": info["bytes"],
-            "raw_runs_sec": raws,
-            "loadavg_at_start": loads,
+            "headline_run_quiet_end_to_end": bool(headline["quiet"]),
+            "headline_foreign_cores_avg": headline["foreign_cores_avg"],
+            "headline_loadavg_trace": headline["loadavg_trace"],
+            "raw_runs_sec": [r["sec"] for s in sessions for r in s],
+            "loadavg_at_start": [
+                r["loadavg_at_start"] for s in sessions for r in s
+            ],
+            "sessions": [
+                [
+                    {k: v for k, v in r.items() if k != "loadavg_trace"}
+                    for r in s
+                ]
+                for s in sessions
+            ],
+            "gate": {
+                "foreign_cores_max": FOREIGN_CORES_MAX,
+                "accounting": "/proc/stat busy minus own-subtree jiffies",
+            },
             "final_rows": timed_apply.store.read_table().count(),
         }
     finally:
@@ -217,10 +322,13 @@ def bench_skew(spark) -> dict:
     )
     workdir = tempfile.mkdtemp(prefix="pb3ld_storm_")
     try:
-        def apply_once(salt: int, rnd: int) -> tuple[float, SnapshotStore]:
+        def apply_once(
+            salt: int, rnd: int, hot_split: int = 0
+        ) -> tuple[float, SnapshotStore]:
             store = SnapshotStore.create(
-                spark, os.path.join(workdir, f"t{salt}_{rnd}"),
+                spark, os.path.join(workdir, f"t{salt}_{hot_split}_{rnd}"),
                 transcripts_schema(), num_buckets=max(CPUS, 8),
+                hot_split_rows=hot_split,
             )
             pipe = IngestPipeline(spark, store, cfg, salt=salt)
             t0 = time.time()
@@ -229,7 +337,11 @@ def bench_skew(spark) -> dict:
 
         apply_once(0, 99)  # warm
         res: dict = {}
-        for name, salt in (("unsalted", 0), ("salted", 8)):
+        # hot_split threshold chosen so the storm's hot bucket (22k
+        # keys vs 3.4k median) splits ~4-way while cold buckets don't
+        for name, salt, hot_split in (
+            ("unsalted", 0, 0), ("salted", 8, 0), ("hot_split", 0, 6000),
+        ):
             raws = []
             store = None
             for rnd in range(2):
@@ -237,7 +349,7 @@ def bench_skew(spark) -> dict:
                 while os.getloadavg()[0] > 2.0 and waited < 120:
                     time.sleep(10)
                     waited += 10
-                el, store = apply_once(salt, rnd)
+                el, store = apply_once(salt, rnd, hot_split)
                 raws.append(round(el, 2))
             res[name] = {
                 "best_sec": min(raws),
@@ -251,6 +363,14 @@ def bench_skew(spark) -> dict:
                 res[name]["bucket_keys_median"] = (
                     keys[len(keys) // 2] if keys else 0
                 )
+                # write-task granularity: rows per leaf dir (a split
+                # bucket contributes one leaf per sub) — the spread
+                # the hot_split exists to bound
+                leaves = sorted(store.leaf_file_rows().values())
+                if leaves:
+                    res[name]["leaf_rows_max"] = leaves[-1]
+                    res[name]["leaf_rows_median"] = leaves[len(leaves) // 2]
+                    res[name]["n_leaves"] = len(leaves)
         res["n_changes"] = info["n_changes"]
         res["hot_fraction"] = 0.6  # generator parameter (seed 43)
         return res

@@ -82,13 +82,24 @@ class SnapshotStore:
         schema: TargetSchema,
         num_buckets: int = 32,
         bucket_fn: str = "xxhash64",
+        hot_split_rows: int = 0,
     ) -> "SnapshotStore":
         """``bucket_fn``: ``"xxhash64"`` (default — fastest, JVM-side)
         or ``"md5"`` (portable: the same bucket is computable in any
         engine with md5 + hex parsing, which is what lets an external
         system — or the DuckDB lineage oracle — independently verify
         per-bucket lineage).  Persisted in the table meta; all readers
-        and writers derive buckets from it."""
+        and writers derive buckets from it.
+
+        ``hot_split_rows`` (0 = off): COW write-amplification guard for
+        hot buckets — a bucket whose merged row count exceeds this
+        threshold is written as ``_bucket=K/_sub=J`` sub-dirs, with J a
+        deterministic hash of the FULL key (so one hot conv_id's turns
+        spread across subs).  Reads union the subs transparently
+        (recursive listing under the bucket dir); the bucket function —
+        and therefore lineage, pruning, and the portable md5 oracle —
+        is untouched.  At 10^10 events one storm bucket otherwise
+        serializes the write path behind a single task."""
         if bucket_fn not in ("xxhash64", "md5"):
             raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
         os.makedirs(os.path.join(root, "snapshots", "000000"), exist_ok=True)
@@ -107,6 +118,7 @@ class SnapshotStore:
                 for c in schema.columns
             ],
             "num_buckets": num_buckets,
+            "hot_split_rows": int(hot_split_rows),
             "files": {},           # bucket -> dir relpath; absent = empty
             "hwm": {"lsn": -1, "frame_seq": -1},
             "lineage": {},
@@ -263,6 +275,59 @@ class SnapshotStore:
     def read_table(self) -> DataFrame:
         return self.read().drop("_bucket")
 
+    @staticmethod
+    def _bucket_row_counts(data_dir: str) -> dict[int, int]:
+        """Per-bucket row counts of a staged write from local parquet
+        footers (metadata-only reads, no Spark job)."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        for d in os.listdir(data_dir):
+            if not d.startswith("_bucket="):
+                continue
+            b = int(d.split("=")[1])
+            n = 0
+            for dirpath, _dirs, fns in os.walk(os.path.join(data_dir, d)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        n += (
+                            pq.ParquetFile(os.path.join(dirpath, fn))
+                            .metadata.num_rows
+                        )
+            out[b] = n
+        return out
+
+    def leaf_file_rows(self) -> dict[str, int]:
+        """Rows per LEAF write-partition of the current snapshot —
+        ``"K"`` for an unsplit bucket, ``"K/J"`` per sub of a
+        hot-split one.  This is the write-task granularity the
+        hot-split exists to bound; the bench records its spread."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for b, rel in self._meta["files"].items():
+            bdir = os.path.join(self.root, rel)
+            subs = [
+                d for d in os.listdir(bdir) if d.startswith("_sub=")
+            ]
+            targets = (
+                {f"{b}/{d.split('=')[1]}": os.path.join(bdir, d)
+                 for d in subs}
+                if subs
+                else {str(b): bdir}
+            )
+            for leaf, path in targets.items():
+                n = 0
+                for dirpath, _dirs, fns in os.walk(path):
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            n += (
+                                pq.ParquetFile(os.path.join(dirpath, fn))
+                                .metadata.num_rows
+                            )
+                out[leaf] = n
+        return out
+
     # ------------------------------------------------------------ evolve
 
     def evolved_schema(
@@ -373,15 +438,74 @@ class SnapshotStore:
                 obs,
                 F.count(F.lit(1)).alias("rows_written"),
             )
+
+            # Hot-bucket sub-splitting (write-amplification guard):
+            # project each affected bucket's merged size as its last
+            # known row count (lineage) plus this batch's keys; any
+            # bucket over the threshold is spread across
+            # ceil(projected / threshold) sub-partitions keyed by a
+            # hash of the FULL key — one hot conv_id's turns split
+            # across subs (a conv_id hash would keep them together).
+            # The (bucket, n_sub) table rides a broadcast join, not a
+            # literal map: per-batch literals in generated code force
+            # serial Janino recompiles.
+            hot_rows = int(self._meta.get("hot_split_rows", 0) or 0)
+            lineage_prev = self._meta["lineage"]
+            n_sub: dict[int, int] = {}
+            for r in stats:
+                b = int(r["_bucket"])
+                projected = (
+                    int(lineage_prev.get(str(b), {}).get("rows", 0))
+                    + int(r["n_keys"])
+                )
+                n_sub[b] = (
+                    min(32, -(-projected // hot_rows))
+                    if hot_rows > 0 and projected > hot_rows
+                    else 1
+                )
+            if any(v > 1 for v in n_sub.values()):
+                nsub_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        sorted(n_sub.items()), "_bucket int, _nsub int"
+                    )
+                )
+                key_hash = F.xxhash64(*[F.col(k) for k in keys])
+                result = (
+                    result.join(nsub_df, "_bucket", "left")
+                    .withColumn(
+                        "_sub",
+                        F.pmod(
+                            key_hash, F.coalesce(F.col("_nsub"), F.lit(1))
+                        ).cast("int"),
+                    )
+                    .drop("_nsub")
+                )
+                part_cols = [F.col("_bucket"), F.col("_sub")]
+                write_parts = ["_bucket", "_sub"]
+                total_parts = sum(n_sub.values())
+            else:
+                part_cols = [F.col("_bucket")]
+                write_parts = ["_bucket"]
+                total_parts = max(len(affected), 1)
+
             _t0 = _time.time()
             (
-                result.repartition(max(len(affected), 1), F.col("_bucket"))
+                result.repartition(total_parts, *part_cols)
                 .sortWithinPartitions(*keys)
-                .write.partitionBy("_bucket")
+                .write.partitionBy(*write_parts)
                 .mode("overwrite")
                 .parquet(data_dir)
             )
-            rows_written = obs.get["rows_written"]
+            try:
+                rows_written = obs.get["rows_written"]
+            except Exception:
+                # AQE's empty-relation propagation can eliminate the
+                # CollectMetrics node when the merged result is empty
+                # at runtime (e.g. a delete-all batch) — recount
+                # exactly from the staged parquet footers instead
+                rows_written = sum(
+                    self._bucket_row_counts(data_dir).values()
+                )
             _t["write"] = _time.time() - _t0
 
             # files map: affected buckets → new dirs; others inherited.
@@ -407,15 +531,25 @@ class SnapshotStore:
             else:
                 batch_lsn = max(int(r["lsn_max"]) for r in stats)
                 batch_frame = max(int(r["frame_max"]) for r in stats)
+            # written rows per bucket from the staged parquet footers:
+            # drives the NEXT merge's hot-split projection and the
+            # lineage metrics.  Driver-side metadata reads only —
+            # bounded by (affected buckets × files), no Spark job.
+            bucket_rows = self._bucket_row_counts(data_dir)
             lineage = dict(self._meta["lineage"])
             for r in stats:
-                lineage[str(int(r["_bucket"]))] = {
+                b = int(r["_bucket"])
+                ent = {
                     "last_batch": batch_id,
                     "keys": int(r["n_keys"]),
                     "deletes": int(r["n_del"]),
                     "changes": int(r["n_changes"]),
                     "lsn_range": [int(r["lsn_min"]), int(r["lsn_max"])],
+                    "rows": int(bucket_rows.get(b, 0)),
                 }
+                if n_sub.get(b, 1) > 1:
+                    ent["n_sub"] = n_sub[b]
+                lineage[str(b)] = ent
             meta = {
                 **self._meta,
                 "snapshot_id": new_id,
