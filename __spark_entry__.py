@@ -328,6 +328,125 @@ def q_cdc_lineage(spark, sf_dir):
     )
 
 
+def q_cdc_multi_table(spark, sf_dir):
+    """Multi-table routing (VERDICT r4 #4) — ONE wire stream carrying
+    three interleaved tables (transcripts, doc_tags, and an UNTRACKED
+    audit_log whose columns are unknown to both) is decoded once and
+    routed through `MultiTablePipeline` into two REAL SnapshotStores
+    over a two-batch prefix replay.  Output = the union of both final
+    table states tagged by table; the DuckDB oracle re-derives both
+    last-write-wins states from the same deterministic change rule.
+    The untracked table's rows must reach neither store and its
+    unknown columns must not evolve a tracked schema (per-table
+    evolution probe) — any leak changes row counts or values.
+
+    Change rule (mirrored in SQL): events with event_id%5==0, ordered
+    by event_id; user_id%3==1 → transcripts(conv_id='c'+user_id%50,
+    turn_idx=event_id%6, text='t'+event_id); user_id%3==0 →
+    doc_tags(doc_id='d'+user_id%40, label=event_type,
+    score=event_id%1000); user_id%3==2 → audit_log (untracked).
+    event_type=='error' emits DELETE, else INSERT."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import _frames_table, encode_routed_changes
+    from pg_pb3_ld_spark.pb3 import wire
+    from pg_pb3_ld_spark.pipeline import MultiTablePipeline
+    from pg_pb3_ld_spark.schema import (
+        TargetColumn, TargetSchema, transcripts_schema,
+    )
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    src = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .collect()
+    )
+    changes = []
+    for r in src:
+        eid, uid, etype = int(r["event_id"]), int(r["user_id"]), r["event_type"]
+        route = uid % 3
+        if route == 1:
+            key = [("conv_id", f"c{uid % 50}", wire.OID_TEXT),
+                   ("turn_idx", eid % 6, wire.OID_INT4)]
+            if etype == "error":
+                changes.append(("public", "transcripts", "DELETE", key, []))
+            else:
+                changes.append((
+                    "public", "transcripts", "INSERT", key,
+                    [("text", f"t{eid}", wire.OID_TEXT)],
+                ))
+        elif route == 0:
+            key = [("doc_id", f"d{uid % 40}", wire.OID_TEXT)]
+            if etype == "error":
+                changes.append(("public", "doc_tags", "DELETE", key, []))
+            else:
+                changes.append((
+                    "public", "doc_tags", "INSERT", key,
+                    [("label", etype, wire.OID_TEXT),
+                     ("score", eid % 1000, wire.OID_INT4)],
+                ))
+        else:
+            changes.append((
+                "public", "audit_log", "INSERT",
+                [("audit_id", f"a{eid % 10}", wire.OID_TEXT)],
+                [("payload", f"p{eid}", wire.OID_TEXT)],
+            ))
+
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    frames = encode_routed_changes(changes, cfg, txn_every=25)
+    doc_tags = TargetSchema(
+        "doc_tags",
+        [
+            TargetColumn("doc_id", wire.OID_TEXT, "string", is_key=True),
+            TargetColumn("label", wire.OID_TEXT, "string"),
+            TargetColumn("score", wire.OID_INT4, "int"),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="pb3ld_multi_")
+    try:
+        fpath = os.path.join(root, "frames.parquet")
+        pq.write_table(_frames_table(frames), fpath)
+        fdf = spark.read.parquet(fpath)
+        stores = {
+            "transcripts": SnapshotStore.create(
+                spark, os.path.join(root, "tt"), transcripts_schema(),
+                num_buckets=8,
+            ),
+            "doc_tags": SnapshotStore.create(
+                spark, os.path.join(root, "dt"), doc_tags, num_buckets=8,
+            ),
+        }
+        pipe = MultiTablePipeline(spark, stores, cfg)
+        mid = frames[len(frames) // 2][0]
+        pipe.apply_frames(fdf.where(f"frame_seq <= {mid}"), batch_id=1)
+        pipe.apply_frames(fdf, batch_id=2)
+        for s in stores.values():
+            s.refresh()
+            tracked = [c.name for c in s.schema.columns]
+            assert "payload" not in tracked and "audit_id" not in tracked
+        rows = [
+            ("transcripts", r["conv_id"], int(r["turn_idx"]), r["text"])
+            for r in stores["transcripts"].read_table().collect()
+        ] + [
+            ("doc_tags", r["doc_id"], 0, f"{r['label']}:{r['score']}")
+            for r in stores["doc_tags"].read_table().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl string, k1 string, k2 int, val string"
+    )
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup (training-data op): md5-hash groups over document
     text; keep canonical min doc_id, count duplicates."""
@@ -910,6 +1029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_type_dispatch": q_change_type_dispatch,
     "empty_txn_suppression": q_empty_txn_suppression,
     "cdc_lineage": q_cdc_lineage,
+    "cdc_multi_table": q_cdc_multi_table,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -1637,6 +1757,37 @@ def _literal_oracles() -> dict[str, str]:
         # independently recomputes what every bucket's committed
         # lineage MUST say after the two merges: same deterministic
         # fold, same portable md5 bucket, last-batch-wins per bucket
+        "cdc_multi_table": """
+            WITH m AS (
+                SELECT event_id, event_type,
+                       CASE WHEN user_id % 3 = 1 THEN 'transcripts'
+                            ELSE 'doc_tags' END AS tbl,
+                       CASE WHEN user_id % 3 = 1
+                            THEN concat('c', CAST(user_id % 50 AS VARCHAR))
+                            ELSE concat('d', CAST(user_id % 40 AS VARCHAR))
+                            END AS k1,
+                       CASE WHEN user_id % 3 = 1
+                            THEN CAST(event_id % 6 AS INT)
+                            ELSE 0 END AS k2,
+                       CASE WHEN user_id % 3 = 1
+                            THEN concat('t', CAST(event_id AS VARCHAR))
+                            ELSE concat(event_type, ':',
+                                        CAST(event_id % 1000 AS VARCHAR))
+                            END AS val
+                FROM events
+                WHERE event_id % 5 = 0 AND user_id % 3 IN (0, 1)
+            ),
+            last AS (
+                SELECT tbl, k1, k2, val, event_type,
+                       row_number() OVER (
+                           PARTITION BY tbl, k1, k2
+                           ORDER BY event_id DESC
+                       ) AS rn
+                FROM m
+            )
+            SELECT tbl, k1, k2, val
+            FROM last WHERE rn = 1 AND event_type <> 'error'
+        """,
         "cdc_lineage": """
             WITH c AS (
                 SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c

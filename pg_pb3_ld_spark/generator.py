@@ -375,6 +375,68 @@ def generate_stream_sharded(
     return GeneratedStream(frames, oracle, schema, n_changes, n_txns)
 
 
+def encode_routed_changes(
+    changes: list[tuple],
+    config: EngineConfig | None = None,
+    txn_every: int = 20,
+) -> list[tuple[int, int, bytes]]:
+    """Encode an ordered change list spanning MULTIPLE tables into
+    pg_pb3_ld frames — the multi-table routing fixture (the reference
+    emits every replica-identity table's messages interleaved, one
+    TableDescription per message, decoder/pg_pb3_ld.c:274-293).
+
+    ``changes``: ``(schema_name, table_name, op, key_cols, val_cols)``
+    with op INSERT/UPDATE/DELETE and cols as (name, value, oid)
+    triples.  Key cols ride ``key_fields`` for UPDATE/DELETE and are
+    prepended to ``new_values`` (fsd_populate_from_tuple logs all
+    columns).  Returns (frame_seq, lsn, frame) rows for
+    ``_frames_table`` / parquet writers."""
+    cfg = config or EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    batcher = WireBatcher(cfg)
+    tds: dict[tuple[str, str], bytes] = {}
+
+    def fv(name: str, value, oid: int) -> FieldValue:
+        if value is None:
+            return FieldValue(name, None, oid)
+        binary = cfg.binary_output_for(oid)
+        return FieldValue(
+            name, encode_value(value, oid, binary), oid, is_binary=binary
+        )
+
+    open_n = 0
+    for schema_name, table, op, key_cols, val_cols in changes:
+        if open_n == 0:
+            batcher.begin_txn()
+        td = tds.setdefault(
+            (schema_name, table), encode_table(schema_name, table)
+        )
+        keys = [fv(*k) for k in key_cols]
+        vals = [fv(*v) for v in val_cols]
+        fs = lambda cols: encode_field_set(  # noqa: E731
+            cols, cfg.type_oids_mode, cfg.formats_mode
+        )
+        if op == "INSERT":
+            batcher.change(wire.WMSG_INSERT, encode_insert(td, fs(keys + vals)))
+        elif op == "UPDATE":
+            batcher.change(
+                wire.WMSG_UPDATE, encode_update(td, fs(keys), fs(keys + vals))
+            )
+        elif op == "DELETE":
+            batcher.change(wire.WMSG_DELETE, encode_delete(td, fs(keys)))
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        open_n += 1
+        if open_n >= txn_every:
+            batcher.commit_txn()
+            open_n = 0
+    if open_n:
+        batcher.commit_txn()
+    return [(i, lsn, fr) for i, (lsn, fr) in enumerate(batcher.frames())]
+
+
 def _frames_table(frames: list[tuple[int, int, bytes]]):
     import pyarrow as pa
 

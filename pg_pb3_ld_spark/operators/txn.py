@@ -191,9 +191,18 @@ def summary_agg_df(typed: DataFrame) -> DataFrame:
                 )
             ).alias("xp", "x"),
             "op", "lsn", "frame_seq", "offset_idx", "_split",
+            "table_name",
             packed.alias("_packed"),
         )
-        .groupBy(F.col("x.n").alias("name"))
+        # (name, table) grouping: the probe must say WHICH table an
+        # unknown wire column belongs to, or an untracked table's
+        # columns would evolve the tracked table's schema.  Still a
+        # handful of fixed-width groups ⇒ HashAggregate unchanged.
+        .groupBy(
+            F.col("x.n").alias("name"),
+            F.when(F.col("x.n").isNull(), F.lit(None))
+            .otherwise(F.col("table_name")).alias("tbl"),
+        )
         .agg(
             F.max("x.o").alias("oid"),
             F.max(F.when(is_commit, F.col("_packed"))).alias("cpacked"),
@@ -230,6 +239,7 @@ def batch_summary_typed(typed: DataFrame) -> dict:
 
     rows = summary_agg_df(typed).collect()
     names: dict[str, int] = {}
+    names_by_table: dict[str, dict[str, int]] = {}
     cpacked = clsn = None
     max_lsn = -1
     max_f = -1
@@ -240,6 +250,8 @@ def batch_summary_typed(typed: DataFrame) -> dict:
         if r["name"] is not None:
             oid = int(r["oid"] or 0)
             names[r["name"]] = max(oid, names.get(r["name"], 0))
+            tn = names_by_table.setdefault(r["tbl"] or "", {})
+            tn[r["name"]] = max(oid, tn.get(r["name"], 0))
         if r["cpacked"] is not None and (
             cpacked is None or r["cpacked"] > cpacked
         ):
@@ -262,6 +274,9 @@ def batch_summary_typed(typed: DataFrame) -> dict:
     return {
         "commit_ord": commit_ord,
         "names": list(names.items()),
+        "names_by_table": {
+            t: list(m.items()) for t, m in names_by_table.items()
+        },
         "max_lsn": max_lsn,
         "max_frame_seq": max_f,
         "min_frame_seq": min_f,

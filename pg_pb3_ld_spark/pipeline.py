@@ -131,7 +131,12 @@ class IngestPipeline:
                     )
 
             data = typed_all.where(F.col("table_name") == schema.table)
-            if self.evolve_schema and summary["names"]:
+            # evolution reads the PER-TABLE probe: an untracked table's
+            # unknown columns must never evolve the tracked schema
+            # (the stream interleaves every replica-identity table,
+            # decoder/pg_pb3_ld.c:300-334)
+            own_names = summary["names_by_table"].get(schema.table, [])
+            if self.evolve_schema and own_names:
                 # evolution batch: unknown wire columns appeared.  The
                 # probe carries their raw wire values, so the evolved
                 # columns are derived from the persisted typed rows
@@ -141,7 +146,7 @@ class IngestPipeline:
                     project_evolved_from_probe,
                 )
 
-                evolved = self.store.evolved_schema(summary["names"])
+                evolved = self.store.evolved_schema(own_names)
                 new_cols = [
                     c for c in evolved.columns
                     if all(c.name != o.name for o in schema.columns)
@@ -206,4 +211,167 @@ class IngestPipeline:
 
         if self.profile:
             metrics["phase_sec"] = {k: round(v, 2) for k, v in times.items()}
+        return metrics
+
+
+@dataclass
+class MultiTablePipeline:
+    """Route ONE decoded CDC stream into N per-table stores.
+
+    The reference stream interleaves every replica-identity table's
+    messages (TableDescription per message,
+    decoder/pg_pb3_ld.c:274-293,300-334); a real CDC consumer has N
+    target tables.  The single-pass discipline holds: the frames are
+    decoded EXACTLY ONCE, against the union schema of all routed
+    tables (``schema.union_schema`` — name-colliding columns must
+    agree on type), and each table's slice is then gated, folded, and
+    MERGEd into its own store with its own watermark + lineage.
+
+    * Untracked tables are ignored entirely: their change rows never
+      reach any store, and — because the schema-evolution probe is
+      per-table — their unknown columns never evolve a tracked schema.
+    * Watermarks are per store: the pre-decode replay filter uses the
+      MIN watermark across stores, and each table re-applies its own
+      (a store that lagged, e.g. created later, catches up from its
+      own point while the others skip re-applies idempotently).
+    * Per-table merges are separate Spark actions over the persisted
+      typed rows (N cache scans, one shuffle per table's folded rows);
+      the decode — the dominant cost — stays single-pass.
+    """
+
+    spark: SparkSession
+    stores: dict[str, SnapshotStore]
+    config: EngineConfig = field(default_factory=EngineConfig)
+    salt: int = 0
+    evolve_schema: bool = True
+
+    def apply_frames(
+        self,
+        frames_df: DataFrame,
+        batch_id: int = 0,
+        pending_out: str | None = None,
+    ) -> dict:
+        from pg_pb3_ld_spark.operators.project import (
+            can_project_from_probe,
+            project_evolved_from_probe,
+        )
+        from pg_pb3_ld_spark.schema import union_schema
+
+        for t, s in self.stores.items():
+            if s.schema.table != t:
+                raise ValueError(
+                    f"store routed under {t!r} targets table "
+                    f"{s.schema.table!r}"
+                )
+        hwms = {t: s.hwm() for t, s in self.stores.items()}
+        lo_lsn, lo_frame = min(hwms.values())
+        fresh = frames_df.where(
+            (F.col("lsn") > lo_lsn)
+            | ((F.col("lsn") == lo_lsn) & (F.col("frame_seq") > lo_frame))
+        )
+        par = (
+            self.config.decode_parallelism
+            or self.spark.sparkContext.defaultParallelism
+        )
+        union = union_schema([s.schema for s in self.stores.values()])
+        typed_all = decode_typed_changes(
+            fresh, union, self.config, parallelism=par
+        ).persist()
+        metrics: dict = {"tables": {}}
+        try:
+            summary = batch_summary_typed(typed_all)
+            if self.config.strict_frame_order and summary["n_frames"]:
+                span = summary["max_frame_seq"] - summary["min_frame_seq"] + 1
+                if summary["n_frames"] != span:
+                    raise RuntimeError(
+                        "out-of-order frame delivery: batch covers "
+                        f"frame_seq [{summary['min_frame_seq']}, "
+                        f"{summary['max_frame_seq']}] but holds only "
+                        f"{summary['n_frames']} frames — fix the "
+                        "landing-zone ordering or disable "
+                        "config.strict_frame_order"
+                    )
+            commit_ord = summary["commit_ord"]
+            batch_hwm = None
+            if self.config.commit_messages and commit_ord is not None:
+                batch_hwm = (commit_ord[2], commit_ord[0])
+
+            # per-table evolution decision (probe-projection fast path;
+            # ONE shared re-decode with the evolved union if any table
+            # needs the full fallback — rare × rare)
+            evolved: dict[str, "TargetSchema"] = {}
+            new_cols_by_table: dict[str, list] = {}
+            probe_ok = True
+            for t, s in self.stores.items():
+                own = summary["names_by_table"].get(t, [])
+                if self.evolve_schema and own:
+                    ev = s.evolved_schema(own)
+                    ncols = [
+                        c for c in ev.columns
+                        if all(c.name != o.name for o in s.schema.columns)
+                    ]
+                    evolved[t] = ev
+                    new_cols_by_table[t] = ncols
+                    if ncols and not can_project_from_probe(
+                        ncols, self.config
+                    ):
+                        probe_ok = False
+                else:
+                    evolved[t] = s.schema
+                    new_cols_by_table[t] = []
+            if not probe_ok:
+                typed_all.unpersist()
+                union = union_schema(list(evolved.values()))
+                typed_all = decode_typed_changes(
+                    fresh, union, self.config, parallelism=par
+                ).persist()
+
+            if self.config.commit_messages and commit_ord is None:
+                for t in self.stores:
+                    metrics["tables"][t] = {
+                        "applied_keys": 0, "applied_changes": 0,
+                        "skipped": True,
+                    }
+            else:
+                for t, store in self.stores.items():
+                    schema_t = evolved[t]
+                    data = typed_all.where(F.col("table_name") == t)
+                    if hwms[t] > (lo_lsn, lo_frame):
+                        h_lsn, h_frame = hwms[t]
+                        data = data.where(
+                            (F.col("lsn") > h_lsn)
+                            | (
+                                (F.col("lsn") == h_lsn)
+                                & (F.col("frame_seq") > h_frame)
+                            )
+                        )
+                    if probe_ok and new_cols_by_table[t]:
+                        data = project_evolved_from_probe(
+                            data, new_cols_by_table[t]
+                        )
+                    data = data.drop(*PROBE_COLS, "_split")
+                    gated = gate_by_commit_watermark(
+                        data, commit_ord,
+                        has_commits=self.config.commit_messages,
+                    )
+                    folded = fold_changes(gated, schema_t, salt=self.salt)
+                    metrics["tables"][t] = store.merge(
+                        folded, schema=schema_t, batch_id=batch_id,
+                        hwm_override=batch_hwm,
+                    )
+        finally:
+            typed_all.unpersist()
+
+        n_pending = 0
+        if pending_out is not None and self.config.commit_messages:
+            from pyspark.sql import Observation
+
+            wm_frame = commit_ord[0] if commit_ord else lo_frame
+            obs = Observation(f"pending_mt_{batch_id}")
+            pending = fresh.where(F.col("frame_seq") > wm_frame).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            pending.write.mode("overwrite").parquet(pending_out)
+            n_pending = int(obs.get["n"])
+        metrics["pending_frames"] = n_pending
         return metrics

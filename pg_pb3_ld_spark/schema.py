@@ -73,6 +73,41 @@ OID_TO_SPARK = {
 }
 
 
+def union_schema(schemas: list[TargetSchema]) -> TargetSchema:
+    """Column union (by name) across routed tables, for the ONE typed
+    decode a multi-table apply shares (the reference stream interleaves
+    every replica-identity table's messages —
+    decoder/pg_pb3_ld.c:300-334 — and decoding once is the whole point
+    of the single-pass plan).
+
+    A column is a key in the union if it is a key in ANY table: key
+    columns additionally read ``key_fields`` on the wire, and a table
+    whose messages don't carry that name simply falls back to
+    ``new_values`` — per-table semantics are preserved.  A name
+    colliding with DIFFERENT types across tables cannot share one
+    typed column and raises (route such tables through a separate
+    pipeline)."""
+    seen: dict[str, TargetColumn] = {}
+    for s in schemas:
+        for c in s.columns:
+            prev = seen.get(c.name)
+            if prev is None:
+                seen[c.name] = c
+                continue
+            if (prev.spark_type, prev.type_oid) != (c.spark_type, c.type_oid):
+                raise ValueError(
+                    f"column {c.name!r} has conflicting types across "
+                    f"routed tables ({prev.spark_type}/oid {prev.type_oid}"
+                    f" vs {c.spark_type}/oid {c.type_oid}) — decode "
+                    "these tables in separate pipelines"
+                )
+            if c.is_key and not prev.is_key:
+                seen[c.name] = TargetColumn(
+                    c.name, c.type_oid, c.spark_type, is_key=True
+                )
+    return TargetSchema("__union__", list(seen.values()))
+
+
 def transcripts_schema() -> TargetSchema:
     return TargetSchema(
         "transcripts",
