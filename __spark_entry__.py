@@ -447,6 +447,36 @@ def q_cdc_multi_table(spark, sf_dir):
     )
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data staple): documents
+    with doc_id % 37 == 0 act as the eval/benchmark set; every other
+    document is corpus.  A corpus doc is flagged when ≥50% of its
+    distinct word-3-grams appear in ANY eval doc (broadcast eval
+    shingle set, eval-shingle corpus-frequency cap 200 with surfaced
+    drops — `dedup.decontaminate_dropped`).  Output carries the global
+    flagged fraction on every row (never silent)."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    out = dedup.decontaminate(
+        corpus, eval_docs, threshold=0.5, max_shingle_docs=200
+    )
+    frac = out.agg(
+        (F.floor(F.avg(F.col("flagged").cast("double")) * 1000000)
+         / 1000000).alias("flagged_frac")
+    )
+    return out.join(frac).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_overlap",
+        "overlap_ratio",
+        "flagged",
+        "flagged_frac",
+    )
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup (training-data op): md5-hash groups over document
     text; keep canonical min doc_id, count duplicates."""
@@ -1030,6 +1060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_txn_suppression": q_empty_txn_suppression,
     "cdc_lineage": q_cdc_lineage,
     "cdc_multi_table": q_cdc_multi_table,
+    "doc_decontaminate": q_doc_decontaminate,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -1843,6 +1874,53 @@ def _literal_oracles() -> dict[str, str]:
                     PARTITION BY bucket ORDER BY batch DESC
                 ) AS rn FROM per
             ) WHERE rn = 1
+        """,
+        "doc_decontaminate": f"""
+            WITH {_SHINGLE_CTE},
+            dsh AS (
+                SELECT doc_id, unnest(list_distinct(s)) AS shingle
+                FROM sh_lists
+            ),
+            eval_sh AS (
+                SELECT DISTINCT shingle FROM dsh WHERE doc_id % 37 = 0
+            ),
+            corp AS (SELECT * FROM dsh WHERE doc_id % 37 <> 0),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_shingles
+                FROM corp GROUP BY doc_id
+            ),
+            m AS (
+                SELECT c.doc_id, c.shingle
+                FROM corp c JOIN eval_sh USING (shingle)
+            ),
+            oksh AS (
+                SELECT shingle FROM m GROUP BY shingle
+                HAVING count(*) <= 200
+            ),
+            ov AS (
+                SELECT doc_id, count(*) AS n_overlap
+                FROM m JOIN oksh USING (shingle) GROUP BY doc_id
+            ),
+            j AS (
+                SELECT s.doc_id, s.n_shingles,
+                       COALESCE(o.n_overlap, 0) AS n_overlap
+                FROM sizes s LEFT JOIN ov o USING (doc_id)
+            ),
+            fr AS (
+                SELECT floor(avg(
+                           CASE WHEN n_overlap
+                                     / CAST(n_shingles AS DOUBLE) >= 0.5
+                                THEN 1.0 ELSE 0.0 END) * 1000000)
+                       / 1000000 AS flagged_frac
+                FROM j
+            )
+            SELECT doc_id, n_shingles, n_overlap,
+                   floor(n_overlap / CAST(n_shingles AS DOUBLE) * 10000)
+                       / 10000 AS overlap_ratio,
+                   n_overlap / CAST(n_shingles AS DOUBLE) >= 0.5
+                       AS flagged,
+                   flagged_frac
+            FROM j CROSS JOIN fr
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -344,3 +344,114 @@ def near_dup_clusters(
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def _distinct_shingles(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _shs: distinct word-shingle array) with the module's plan
+    discipline (own projection + collapse barrier; empty docs out)."""
+    sh = textops.shingles(textops.tokens(F.col(text_col)), shingle_n)
+    return (
+        docs.select(id_col, F.array_distinct(sh).alias("_shs"))
+        .where(F.size("_shs") > 0)
+        .repartition(F.col(id_col))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose distinct
+    word-``shingle_n``-gram overlap with ANY eval/benchmark document
+    meets ``threshold`` (overlap ratio = matched distinct shingles /
+    the doc's distinct shingles).  The training-data staple: eval
+    questions that leak into the corpus inflate benchmark scores.
+
+    Scale shape (same bucketed-join discipline as
+    :func:`lsh_candidate_pairs` — never all-pairs):
+
+    * the eval side collapses to DISTINCT shingles and is BROADCAST —
+      an eval suite is small by definition (~10^5-10^6 shingles; for a
+      pathologically large one, swap the broadcast for a join bucketed
+      on the shingle hash);
+    * the corpus side is a per-doc map (tokenize → distinct shingles)
+      + one explode; the only shuffles key on MATCHED rows, bounded by
+      eval_size × ``max_shingle_docs``;
+    * ``max_shingle_docs`` caps an eval shingle's corpus
+      doc-frequency: a shingle matching more corpus docs than the cap
+      is boilerplate ("in conclusion ..."), carries no contamination
+      signal, and would concentrate the match join on one hot key —
+      capped matches only LOWER ratios (conservative), and
+      :func:`decontaminate_dropped` surfaces exactly what was excluded
+      (never silent).
+
+    Returns (id, n_shingles, n_overlap, overlap_ratio, flagged).
+    """
+    corpus_sh = _distinct_shingles(corpus, id_col, text_col, shingle_n)
+    sizes = corpus_sh.select(id_col, F.size("_shs").alias("n_shingles"))
+    ex = corpus_sh.select(
+        id_col, F.posexplode_outer("_shs").alias("_i", "shingle")
+    ).drop("_i")
+    eval_sh = (
+        _distinct_shingles(eval_docs, id_col, text_col, shingle_n)
+        .select(F.explode("_shs").alias("shingle"))
+        .distinct()
+    )
+    matched = ex.join(F.broadcast(eval_sh), "shingle")
+    if max_shingle_docs is not None:
+        ok = (
+            matched.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_shingle_docs)
+            .drop("_n")
+        )
+        matched = matched.join(F.broadcast(ok), "shingle")
+    per_doc = matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    out = (
+        sizes.join(per_doc, id_col, "left")
+        .fillna({"n_overlap": 0})
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        # floor, not round: half-up vs half-even differs across engines
+        (F.floor(ratio * 10000) / 10000).alias("overlap_ratio"),
+        (ratio >= F.lit(threshold)).alias("flagged"),
+    )
+
+
+def decontaminate_dropped(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_shingle_docs: int = 1000,
+) -> DataFrame:
+    """(shingle, corpus_doc_count) for eval shingles excluded by
+    :func:`decontaminate`'s cap — the surfaced drop record."""
+    ex = _distinct_shingles(corpus, id_col, text_col, shingle_n).select(
+        id_col, F.posexplode_outer("_shs").alias("_i", "shingle")
+    ).drop("_i")
+    eval_sh = (
+        _distinct_shingles(eval_docs, id_col, text_col, shingle_n)
+        .select(F.explode("_shs").alias("shingle"))
+        .distinct()
+    )
+    return (
+        ex.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("corpus_doc_count"))
+        .where(F.col("corpus_doc_count") > max_shingle_docs)
+    )

@@ -99,3 +99,84 @@ def test_minhash_bands_shape(spark):
     assert by_doc[0] == by_doc[1]
     # band keys are 8-hex-char md5 slices
     assert all(len(r["bk"]) == 8 for r in rows)
+
+
+# ------------------------------------------------- decontamination
+
+
+def _decon_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            # exact copy of eval doc 100 → ratio 1.0
+            (1, "alpha beta gamma delta epsilon"),
+            # half-overlap: shares 'alpha beta gamma' shingle only
+            (2, "alpha beta gamma zeta eta"),
+            # no overlap
+            (3, "one two three four five"),
+            # too short for a 3-gram → excluded entirely
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    return corpus, eval_docs
+
+
+def test_decontaminate_flags_and_ratios(spark):
+    from pg_pb3_ld_spark.functions.dedup import decontaminate
+
+    corpus, eval_docs = _decon_docs(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, eval_docs, threshold=0.5).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["overlap_ratio"] == 1.0 and rows[1]["flagged"]
+    # doc 2: 3 shingles, 1 matched ('alpha beta gamma') → 0.3333
+    assert rows[2]["n_shingles"] == 3 and rows[2]["n_overlap"] == 1
+    assert abs(rows[2]["overlap_ratio"] - 0.3333) < 1e-9
+    assert not rows[2]["flagged"]
+    assert rows[3]["n_overlap"] == 0 and not rows[3]["flagged"]
+
+
+def test_decontaminate_cap_drops_boilerplate_and_surfaces_it(spark):
+    from pg_pb3_ld_spark.functions.dedup import (
+        decontaminate, decontaminate_dropped,
+    )
+
+    # 'in conclusion thanks' appears in EVERY corpus doc (boilerplate)
+    # and in the eval set; the real leak is doc 1 (a full eval copy)
+    corpus = spark.createDataFrame(
+        [(1, "secret eval question in conclusion thanks")]
+        + [(i, f"unique{i} token{i} word{i} in conclusion thanks")
+           for i in range(2, 6)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "secret eval question in conclusion thanks")],
+        "doc_id long, text string",
+    )
+    capped = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            corpus, eval_docs, threshold=0.4, max_shingle_docs=2
+        ).collect()
+    }
+    # 'in conclusion thanks' hits all 5 docs > cap 2 → dropped; doc
+    # 1's three genuine shingles survive (3/4 = 0.75 ≥ 0.4)
+    assert capped[1]["flagged"] and capped[1]["n_overlap"] == 3
+    assert all(
+        not capped[i]["flagged"] and capped[i]["n_overlap"] == 0
+        for i in (2, 3, 4, 5)
+    )
+    dropped = {
+        r["shingle"]: r["corpus_doc_count"]
+        for r in decontaminate_dropped(
+            corpus, eval_docs, max_shingle_docs=2
+        ).collect()
+    }
+    assert dropped, "cap must surface what it excluded"
+    assert all(v > 2 for v in dropped.values())
