@@ -245,10 +245,10 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             # progressive: spectral band + successive approximation
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             if coeffs is None:
-                coeffs = _prog_alloc(sof)
+                coeffs, nzpos = _prog_alloc(sof)
             pos = _decode_progressive_scan(
                 blob, pos + 2 + seglen, sof, scan, dc_tabs, ac_tabs,
-                restart_interval, coeffs,
+                restart_interval, coeffs, nzpos,
                 ss, se, ahal >> 4, ahal & 0xF,
             )
             continue
@@ -481,16 +481,25 @@ def _prog_geometry(sof):
 def _prog_alloc(sof):
     """Per-component coefficient store: one 64-int list per block
     (plain ints — scan updates are scalar reads/writes, where numpy
-    scalar access would box per element), padded to the MCU grid."""
+    scalar access would box per element), padded to the MCU grid.
+
+    Returns (coeffs, nzpos): ``nzpos[ci][bi]`` is the SORTED list of
+    AC positions holding a nonzero coefficient — maintained on every
+    first write (AC-first values, refinement insertions; corrections
+    never zero a coefficient), so refinement EOB blocks iterate only
+    their nonzeros instead of walking all 63 band slots."""
     _hmax, _vmax, mcus_x, mcus_y = _prog_geometry(sof)
-    return [
+    coeffs = [
         [[0] * 64 for _ in range(mcus_y * c["v"] * mcus_x * c["h"])]
         for c in sof["comps"]
     ]
+    nzpos = [[[] for _ in comp] for comp in coeffs]
+    return coeffs, nzpos
 
 
 def _decode_progressive_scan(
-    blob, pos, sof, scan, dc_tabs, ac_tabs, dri, coeffs, ss, se, ah, al
+    blob, pos, sof, scan, dc_tabs, ac_tabs, dri, coeffs, nzpos,
+    ss, se, ah, al,
 ):
     """Decode ONE progressive scan's entropy data into ``coeffs``;
     returns the blob index of the next marker.
@@ -560,33 +569,77 @@ def _decode_progressive_scan(
                 seq.append((0, by * bw + bx))
         mcu_blocks = 1
 
+    # The hot loop inlines the fused 48-bit-window reads exactly like
+    # the baseline `_decode_scan` (round 4): one int.from_bytes per
+    # (Huffman symbol + payload bits) pair, single-bit refinement
+    # reads as one byte index, zero method calls.  The method-call
+    # version of this path measured ~2.1× the baseline's per-pixel
+    # cost; the windows are byte-identical in output (goldens below).
+    from bisect import insort
+
+    ext = reader._ext
+    n_bits = reader.n_bits
+    frombytes = int.from_bytes
+    exhausted = ValueError("JPEG entropy data exhausted")
+    badcode = ValueError("invalid JPEG Huffman code")
+    dcluts = [
+        (t.lut_len, t.lut_sym) if t is not None else None for t in dctabs
+    ]
+    if actab is not None:
+        alen_, asym_ = actab.lut_len, actab.lut_sym
+    bitpos = 0
     preds = [0] * len(sel)
     eobrun = 0
     next_marker = 0
     p1 = 1 << al
     m1 = -p1
-    for n, (idx, bi) in enumerate(seq):
+    for n, (idx, blkno) in enumerate(seq):
         if (
             dri and n and n % (dri * mcu_blocks) == 0
         ):
             if next_marker < len(markers):
-                reader.pos = markers[next_marker]
-                reader.bit = 0
+                bitpos = markers[next_marker] << 3
                 next_marker += 1
             else:
-                reader.byte_align()
+                bitpos = (bitpos + 7) & ~7  # byte-align
             preds = [0] * len(sel)
             eobrun = 0
-        blk = coeffs[sel[idx][0]][bi]
+        ci = sel[idx][0]
+        blk = coeffs[ci][blkno]
+        nz = nzpos[ci][blkno]
         if is_dc:
             if ah == 0:
-                t = reader.decode_symbol(dctabs[idx])
-                preds[idx] += _extend(reader.read_bits(t), t)
+                if bitpos >= n_bits:
+                    raise exhausted
+                bi = bitpos >> 3
+                win = frombytes(ext[bi:bi + 6], "big")
+                sb = 48 - (bitpos & 7)
+                peek = (win >> (sb - 16)) & 0xFFFF
+                dlen, dsym = dcluts[idx]
+                ln = dlen[peek]
+                if ln == 0:
+                    raise badcode
+                bitpos += ln
+                if bitpos > n_bits:
+                    raise exhausted
+                t = dsym[peek]
+                if t:
+                    if bitpos + t > n_bits:
+                        raise exhausted
+                    v = (win >> (sb - ln - t)) & ((1 << t) - 1)
+                    bitpos += t
+                    preds[idx] += (
+                        v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    )
                 blk[0] = preds[idx] << al
             else:
                 # refinement: OR the 2^Al bit in (two's-complement &/|
                 # on Python ints matches the C semantics exactly)
-                if reader.read_bit():
+                if bitpos >= n_bits:
+                    raise exhausted
+                b = (ext[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                bitpos += 1
+                if b:
                     blk[0] |= p1
         elif ah == 0:
             # AC first pass over the band, with EOB-run codes
@@ -595,33 +648,72 @@ def _decode_progressive_scan(
                 continue
             k = ss
             while k <= se:
-                rs = reader.decode_symbol(actab)
+                if bitpos >= n_bits:
+                    raise exhausted
+                bi = bitpos >> 3
+                win = frombytes(ext[bi:bi + 6], "big")
+                sb = 48 - (bitpos & 7)
+                peek = (win >> (sb - 16)) & 0xFFFF
+                ln = alen_[peek]
+                if ln == 0:
+                    raise badcode
+                bitpos += ln
+                if bitpos > n_bits:
+                    raise exhausted
+                rs = asym_[peek]
                 r, s = rs >> 4, rs & 15
                 if s == 0:
                     if r < 15:
                         eobrun = (1 << r) - 1
                         if r:
-                            eobrun += reader.read_bits(r)
+                            if bitpos + r > n_bits:
+                                raise exhausted
+                            eobrun += (win >> (sb - ln - r)) & ((1 << r) - 1)
+                            bitpos += r
                         break
                     k += 16  # ZRL
                     continue
                 k += r
                 if k > se:
                     raise ValueError("JPEG AC index overflow")
-                blk[k] = _extend(reader.read_bits(s), s) << al
+                if bitpos + s > n_bits:
+                    raise exhausted
+                v = (win >> (sb - ln - s)) & ((1 << s) - 1)
+                bitpos += s
+                blk[k] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                ) << al
+                insort(nz, k)
                 k += 1
         else:
             # AC refinement
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = reader.decode_symbol(actab)
+                    if bitpos >= n_bits:
+                        raise exhausted
+                    bi = bitpos >> 3
+                    win = frombytes(ext[bi:bi + 6], "big")
+                    sb = 48 - (bitpos & 7)
+                    peek = (win >> (sb - 16)) & 0xFFFF
+                    ln = alen_[peek]
+                    if ln == 0:
+                        raise badcode
+                    bitpos += ln
+                    if bitpos > n_bits:
+                        raise exhausted
+                    rs = asym_[peek]
                     r, s = rs >> 4, rs & 15
                     if s == 0:
                         if r < 15:
                             eobrun = 1 << r
                             if r:
-                                eobrun += reader.read_bits(r)
+                                if bitpos + r > n_bits:
+                                    raise exhausted
+                                eobrun += (
+                                    (win >> (sb - ln - r)) & ((1 << r) - 1)
+                                )
+                                bitpos += r
                             break
                         sval = 0  # ZRL: pass 16 zero-history coeffs
                     else:
@@ -629,11 +721,22 @@ def _decode_progressive_scan(
                             raise ValueError(
                                 "corrupt JPEG AC refinement scan"
                             )
-                        sval = p1 if reader.read_bit() else m1
+                        if bitpos >= n_bits:
+                            raise exhausted
+                        sval = (
+                            p1
+                            if (ext[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                            else m1
+                        )
+                        bitpos += 1
                     while k <= se:
                         c = blk[k]
                         if c != 0:
-                            if reader.read_bit() and (c & p1) == 0:
+                            if bitpos >= n_bits:
+                                raise exhausted
+                            b = (ext[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                            bitpos += 1
+                            if b and (c & p1) == 0:
                                 blk[k] = c + (p1 if c >= 0 else m1)
                         else:
                             if r == 0:
@@ -642,14 +745,27 @@ def _decode_progressive_scan(
                         k += 1
                     if sval and k <= se:
                         blk[k] = sval
+                        insort(nz, k)
                     k += 1
             if eobrun:
-                # EOB block: correction bits for remaining nonzeros
-                while k <= se:
-                    c = blk[k]
-                    if c != 0 and reader.read_bit() and (c & p1) == 0:
-                        blk[k] = c + (p1 if c >= 0 else m1)
-                    k += 1
+                # EOB block: correction bits for the remaining
+                # nonzeros ONLY — iterate the maintained sorted
+                # nonzero positions instead of walking all 63 band
+                # slots (the dominant cost of refinement scans on
+                # mostly-zero blocks; positions ≥ k are untouched by
+                # this scan so the list is exact here)
+                for kk in nz:
+                    if kk < k:
+                        continue
+                    if kk > se:
+                        break
+                    c = blk[kk]
+                    if bitpos >= n_bits:
+                        raise exhausted
+                    b = (ext[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    bitpos += 1
+                    if b and (c & p1) == 0:
+                        blk[kk] = c + (p1 if c >= 0 else m1)
                 eobrun -= 1
     return end
 
