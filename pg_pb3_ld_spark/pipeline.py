@@ -129,6 +129,25 @@ class IngestPipeline:
                         "landing-zone ordering or disable "
                         "config.strict_frame_order)"
                     )
+                # watermark CONTINUITY: intra-batch density alone
+                # misses a resume that skips frames between the
+                # applied watermark and the batch start — e.g. a Kafka
+                # consumer that committed the DELIVERED offset instead
+                # of the watermark-derived one, losing the held-back
+                # mid-transaction tail across a rebalance
+                if (
+                    hwm_frame >= 0
+                    and summary["min_frame_seq"] != hwm_frame + 1
+                ):
+                    raise RuntimeError(
+                        "out-of-order frame delivery: resume gap — the "
+                        f"applied watermark is frame_seq {hwm_frame} "
+                        f"but the batch starts at "
+                        f"{summary['min_frame_seq']}; frames in between "
+                        "were never delivered (commit source offsets "
+                        "from the applied watermark, not the delivered "
+                        "position)"
+                    )
 
             data = typed_all.where(F.col("table_name") == schema.table)
             # evolution reads the PER-TABLE probe: an untracked table's
@@ -290,6 +309,17 @@ class MultiTablePipeline:
                         f"{summary['n_frames']} frames — fix the "
                         "landing-zone ordering or disable "
                         "config.strict_frame_order"
+                    )
+                if (
+                    lo_frame >= 0
+                    and summary["min_frame_seq"] != lo_frame + 1
+                ):
+                    raise RuntimeError(
+                        "out-of-order frame delivery: resume gap — the "
+                        f"minimum applied watermark is frame_seq "
+                        f"{lo_frame} but the batch starts at "
+                        f"{summary['min_frame_seq']}; frames in between "
+                        "were never delivered"
                     )
             commit_ord = summary["commit_ord"]
             batch_hwm = None

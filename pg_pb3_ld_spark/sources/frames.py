@@ -91,6 +91,93 @@ def kafka_frames(
     return project_kafka_records(df)
 
 
+# the EXACT output schema of the spark-sql-kafka source (key/value/
+# topic/partition/offset/timestamp/timestampType/headers) — recorded
+# topics use it verbatim so the projection and resume logic run
+# against the real record shape without a broker
+KAFKA_RECORD_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int, "
+    "headers array<struct<key: string, value: binary>>"
+)
+
+
+def write_kafka_recording(
+    frames: list[tuple[int, int, bytes]],
+    path: str,
+    topic: str = "pb3ld",
+    partition: int = 0,
+) -> None:
+    """Persist (frame_seq, lsn, frame) triples as a RECORDED Kafka
+    topic: parquet rows in ``KAFKA_RECORD_DDL`` — ``offset`` :=
+    frame_seq (dense within the partition, exactly what a
+    one-partition-per-slot relay produces), LSN as an 8-byte
+    big-endian ``'lsn'`` header, key = big-endian frame_seq,
+    timestamp = LSN as epoch micros (deterministic)."""
+    import struct as _struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hdr_t = pa.list_(
+        pa.struct([("key", pa.utf8()), ("value", pa.binary())])
+    )
+    tbl = pa.table(
+        {
+            "key": pa.array(
+                [_struct.pack(">q", f[0]) for f in frames], pa.binary()
+            ),
+            "value": pa.array([f[2] for f in frames], pa.binary()),
+            "topic": pa.array([topic] * len(frames), pa.utf8()),
+            "partition": pa.array([partition] * len(frames), pa.int32()),
+            "offset": pa.array([f[0] for f in frames], pa.int64()),
+            "timestamp": pa.array(
+                [f[1] for f in frames], pa.timestamp("us")
+            ),
+            "timestampType": pa.array([0] * len(frames), pa.int32()),
+            "headers": pa.array(
+                [
+                    [
+                        {"key": "lsn", "value": _struct.pack(">q", f[1])},
+                    ]
+                    for f in frames
+                ],
+                hdr_t,
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def recorded_kafka_frames(
+    spark: SparkSession,
+    path: str,
+    starting_offsets: dict[int, int],
+    max_records: int | None = None,
+) -> DataFrame:
+    """Replay a recorded topic the way the Kafka batch source delivers
+    it for ``startingOffsets = {partition: next_offset}``: rows with
+    ``offset >= next_offset`` per partition, optionally capped like
+    ``maxOffsetsPerTrigger``, then the standard projection.
+
+    The RESUME CONTRACT this exists to test: the offset a consumer
+    commits must be derived from the SINK's applied watermark
+    (``store.hwm()[1] + 1``), not from what was delivered — a batch
+    cut mid-transaction holds its uncommitted tail back, and a
+    consumer that committed the delivered position would lose those
+    frames across a rebalance.  See tests/test_kafka_resume.py."""
+    df = spark.read.schema(KAFKA_RECORD_DDL).parquet(path)
+    cond = None
+    for p, off in starting_offsets.items():
+        c = (F.col("partition") == p) & (F.col("offset") >= off)
+        if max_records is not None:
+            c = c & (F.col("offset") < off + max_records)
+        cond = c if cond is None else (cond | c)
+    if cond is not None:
+        df = df.where(cond)
+    return project_kafka_records(df)
+
+
 def project_kafka_records(df: DataFrame) -> DataFrame:
     """Kafka record shape → (frame_seq, lsn, frame).
 
