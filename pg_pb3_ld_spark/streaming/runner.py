@@ -44,16 +44,52 @@ def run_stream(
     Returns the list of per-batch metrics dicts (also appended to
     ``collect_metrics`` if given, for callers that want live access).
     """
+    pipe = IngestPipeline(spark, store, config or EngineConfig(), salt=salt)
+    return _run_foreach_batch(
+        spark, frames_dir, pipe, store.root, checkpoint_dir,
+        max_files_per_trigger, collect_metrics,
+    )
+
+
+def run_stream_multi(
+    spark: SparkSession,
+    frames_dir: str,
+    stores: dict[str, SnapshotStore],
+    config: EngineConfig | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    collect_metrics: list | None = None,
+):
+    """Multi-table streaming consume (availableNow): one decoded
+    stream routed into N per-table stores per micro-batch — the
+    streaming face of ``pipeline.MultiTablePipeline`` with the same
+    pending-tail carryover and per-store watermark semantics.  The
+    carryover files live under the FIRST store's root (sorted by
+    table name) — any shared durable dir works; what matters is that
+    the landing files re-feed with increasing mtimes."""
+    from pg_pb3_ld_spark.pipeline import MultiTablePipeline
+
+    pipe = MultiTablePipeline(spark, stores, config or EngineConfig())
+    pending_root = stores[sorted(stores)[0]].root
+    return _run_foreach_batch(
+        spark, frames_dir, pipe, pending_root, checkpoint_dir,
+        max_files_per_trigger, collect_metrics,
+    )
+
+
+def _run_foreach_batch(
+    spark, frames_dir, pipe, pending_root, checkpoint_dir,
+    max_files_per_trigger, collect_metrics,
+):
     import os
 
     metrics = collect_metrics if collect_metrics is not None else []
-    pipe = IngestPipeline(spark, store, config or EngineConfig(), salt=salt)
     # uncommitted-tail carryover: a micro-batch may end mid-transaction
     # (the file source cuts on file boundaries, not commit boundaries);
     # those frames are written here and unioned into the next batch —
     # the store hwm makes double-feeding idempotent
-    pending_a = os.path.join(store.root, "pending_a")
-    pending_b = os.path.join(store.root, "pending_b")
+    pending_a = os.path.join(pending_root, "pending_a")
+    pending_b = os.path.join(pending_root, "pending_b")
 
     def apply_batch(df, batch_id: int):
         src, dst = (

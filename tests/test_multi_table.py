@@ -263,3 +263,56 @@ def test_union_schema_conflict_raises():
     )
     u = union_schema([a, c])
     assert u.column("v").is_key
+
+
+def test_streaming_multi_table_routing(spark, tmpdir_path):
+    """run_stream_multi: micro-batched file-source consume (1 file per
+    trigger, cuts land mid-transaction) routed into two stores; both
+    converge, and the pending-tail carryover + per-store watermarks
+    keep the replay exactly-once."""
+    import pyarrow.parquet as pq
+
+    from pg_pb3_ld_spark.streaming.runner import run_stream_multi
+
+    changes = []
+    for i in range(30):
+        changes.append(tt("INSERT", f"c{i % 5}", i % 4, f"t{i}"))
+        changes.append(dt("INSERT", f"d{i % 7}", f"l{i}", i))
+    frames = encode_routed_changes(changes, CFG, txn_every=4)
+    land = os.path.join(tmpdir_path, "landing")
+    os.makedirs(land)
+    # one parquet file per 3 frames, increasing mtimes
+    import time as _time
+
+    from pg_pb3_ld_spark.generator import _frames_table
+
+    for i in range(0, len(frames), 3):
+        pq.write_table(
+            _frames_table(frames[i:i + 3]),
+            os.path.join(land, f"f{i:04d}.parquet"),
+        )
+        _time.sleep(0.02)
+    stores = {
+        "transcripts": SnapshotStore.create(
+            spark, os.path.join(tmpdir_path, "tt"), transcripts_schema(),
+            num_buckets=2,
+        ),
+        "doc_tags": SnapshotStore.create(
+            spark, os.path.join(tmpdir_path, "dt"), doc_tags_schema(),
+            num_buckets=2,
+        ),
+    }
+    metrics = run_stream_multi(
+        spark, land, stores, CFG,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=4,
+    )
+    assert len(metrics) >= 2  # genuinely micro-batched
+    # expected last-wins states
+    want_tt = {}
+    want_dt = {}
+    for i in range(30):
+        want_tt[(f"c{i % 5}", i % 4)] = f"t{i}"
+        want_dt[f"d{i % 7}"] = (f"l{i}", i)
+    assert _tt_state(stores["transcripts"]) == want_tt
+    assert _dt_state(stores["doc_tags"]) == want_dt
