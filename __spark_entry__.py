@@ -1048,6 +1048,65 @@ def q_audio_ulaw_frame_sample(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (round 5): most-common-2-gram
+    fraction + duplicated 2-/3-gram occurrence fractions per doc —
+    the boilerplate/spam filter staple for LLM corpora.  Pure
+    Catalyst shingles → one explode + hash aggs with map-side
+    combine; no UDFs, no windows."""
+    from pg_pb3_ld_spark.functions.textops import repetition_signals
+
+    return repetition_signals(_documents(spark, sf_dir))
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """REAL video-container path end-to-end (round 5): synthesize an
+    AVI-MJPEG blob per doc (8 frames, 16×16, four flat 8×8 blocks
+    with value (doc_id·7 + frame·31 + block·50) mod 256, all-ones
+    quant table), then RIFF-walk the container → sample 4 equally-
+    spaced frames → decode each through the REAL JPEG entropy/IDCT
+    path → per-frame features.  Flat blocks with q=1 are DC-only and
+    round-trip EXACTLY, so the oracle recomputes every decoded pixel
+    arithmetically in SQL — the check spans container walk + Huffman
+    decode + dequant + IDCT + feature extraction."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.video import (
+        encode_avi_mjpeg, encode_jpeg_gray_flat, sample_video_frames,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 150
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(8):
+                    bv = np.array([
+                        [(did * 7 + f * 31) % 256,
+                         (did * 7 + f * 31 + 50) % 256],
+                        [(did * 7 + f * 31 + 100) % 256,
+                         (did * 7 + f * 31 + 150) % 256],
+                    ])
+                    frames.append(encode_jpeg_gray_flat(bv))
+                blobs.append(encode_avi_mjpeg(frames, 16, 16, rate=4))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = sample_video_frames(blobs, n_frames=4)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "frame_idx", "t_ms", "width", "height",
+        "mean_pixel", "corner00",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_last_wins": q_dedup_last_wins,
     "txn_assembly": q_txn_assembly,
@@ -1082,6 +1141,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "audio_frame_sample": q_audio_frame_sample,
     "audio_ulaw_frame_sample": q_audio_ulaw_frame_sample,
+    "video_frame_sample": q_video_frame_sample,
+    "doc_repetition": q_doc_repetition,
     "doc_train_test_split": q_doc_train_test_split,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
@@ -1938,6 +1999,74 @@ def _literal_oracles() -> dict[str, str]:
                    CAST(doc_id % 256 AS INT) AS corner00,
                    CAST((doc_id + 164) % 256 AS INT) AS corner11
             FROM documents WHERE doc_id < 200
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(t)),
+                    k -> t[k] || ' ' || t[k + 1])) AS g
+                FROM toks
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            a2 AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+                       CAST(max(c) AS BIGINT) AS top2,
+                       CAST(sum(c - 1) AS BIGINT) AS dup2
+                FROM c2 GROUP BY 1
+            ),
+            g3 AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(t) - 1),
+                    k -> t[k] || ' ' || t[k + 1] || ' ' || t[k + 2])) AS g
+                FROM toks
+            ),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            a3 AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+                       CAST(sum(c - 1) AS BIGINT) AS dup3
+                FROM c3 GROUP BY 1
+            )
+            SELECT toks.doc_id,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   COALESCE(n2, 0) AS n_2grams,
+                   COALESCE(top2, 0) AS top_2gram_count,
+                   CASE WHEN n2 > 0 THEN
+                        floor(top2 / CAST(n2 AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS top_2gram_frac,
+                   CASE WHEN n2 > 0 THEN
+                        floor(dup2 / CAST(n2 AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN n3 > 0 THEN
+                        floor(dup3 / CAST(n3 AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS dup_3gram_frac
+            FROM toks
+            LEFT JOIN a2 ON toks.doc_id = a2.doc_id
+            LEFT JOIN a3 ON toks.doc_id = a3.doc_id
+        """,
+        "video_frame_sample": """
+            -- flat DC-only blocks with q=1 decode EXACTLY, so every
+            -- decoded pixel is (doc_id*7 + orig*31 + block*50) % 256;
+            -- 8 frames at rate 4/1, 4 sampled -> orig = 2k, t = 250ms/f
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       CAST(2 * k AS INT) AS orig
+                FROM documents, range(4) t(k)
+                WHERE doc_id < 150
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(orig * 250 AS INT) AS t_ms,
+                   CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CAST(floor((
+                        CAST((doc_id * 7 + orig * 31) % 256 AS DOUBLE)
+                      + (doc_id * 7 + orig * 31 + 50) % 256
+                      + (doc_id * 7 + orig * 31 + 100) % 256
+                      + (doc_id * 7 + orig * 31 + 150) % 256) / 4)
+                        AS INT) AS mean_pixel,
+                   CAST((doc_id * 7 + orig * 31) % 256 AS INT) AS corner00
+            FROM f
         """,
         "audio_frame_sample": """
             WITH f AS (

@@ -166,6 +166,8 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     sof = None
     restart_interval = 0
     coeffs = None  # progressive: per-component zigzag coefficient grids
+    dac_dc: dict[int, tuple[int, int]] = {}   # DC conditioning (L, U)
+    dac_ac: dict[int, int] = {}               # AC conditioning Kx
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -197,7 +199,8 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):
+            # SOF0 baseline / SOF2 progressive / SOF9 arith sequential
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG")
@@ -210,13 +213,25 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             sof = {
                 "h": h, "w": w, "comps": comps,
                 "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
             }
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker - 0xC0}) — "
-                "baseline sequential + progressive (SOF2) only"
+                "baseline/progressive Huffman + sequential arithmetic "
+                "(SOF9) only"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                if tc == 0:
+                    dac_dc[tb] = (cs & 0xF, cs >> 4)   # (L, U)
+                else:
+                    dac_ac[tb] = cs                    # Kx
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -236,6 +251,14 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                 scan.append({"id": cs, "td": tt >> 4, "ta": tt & 0xF})
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
+            if sof.get("arith"):
+                from pg_pb3_ld_spark.functions.jpeg_arith import (
+                    decode_scan_arith,
+                )
+                return decode_scan_arith(
+                    blob, pos + 2 + seglen, sof, scan, qt,
+                    dac_dc, dac_ac, restart_interval,
+                )
             if not sof.get("progressive"):
                 pos = pos + 2 + seglen
                 return _decode_scan(
@@ -308,9 +331,6 @@ def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
 
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
-    ]
     by_id = {s["id"]: s for s in scan}
     # Two-phase decode (round 4): phase 1 is the serial entropy walk
     # with the bit reads INLINED — one fused 48-bit window serves each
@@ -421,6 +441,20 @@ def _decode_scan(blob, pos, sof, scan, qt, dc_tabs, ac_tabs, dri):
                         comp_zz[ci].append(zz)
             mcu_count += 1
 
+    return _reconstruct_from_zz(sof, qt, comp_zz, mcus_x, mcus_y)
+
+
+def _reconstruct_from_zz(sof, qt, comp_zz, mcus_x, mcus_y):
+    """Shared tail of sequential decodes (Huffman baseline AND
+    arithmetic SOF9): de-zigzag, dequant, batched IDCT, MCU raster
+    placement, upsample, YCbCr→RGB."""
+    comps = sof["comps"]
+    h, w = sof["h"], sof["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
     for ci, comp in enumerate(comps):
         if not comp_zz[ci]:
             continue

@@ -140,3 +140,72 @@ def fingerprint(text: Column) -> Column:
         F.lit(":"),
         F.floor(F.length(text) / 100).cast("int").cast("string"),
     )
+
+
+def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public paper): the fraction of a document occupied by repeated
+    word n-grams — the staple filter for boilerplate/spam in LLM
+    training corpora (alongside ``quality_score``'s length/TTR
+    heuristics).
+
+    Per document, over whitespace tokens:
+
+    * ``n_2grams`` / ``top_2gram_count`` / ``top_2gram_frac`` — total
+      2-gram occurrences, the most frequent 2-gram's count, and its
+      fraction (repeated headers/boilerplate push this up);
+    * ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of n-gram
+      occurrences beyond each gram's first (Σ(c−1)/Σc).
+
+    Scale shape: n-grams come from pure-Catalyst array slices
+    (``shingles``), then ONE explode + two hash aggregations per n —
+    counts get map-side partial aggregation, so the shuffle carries
+    (doc, gram, partial-count), not raw occurrences; the per-doc
+    rollup and final join shuffle on ``doc_id`` only.  No windows, no
+    UDFs, no driver state — the same discipline as ``minhash_lsh``.
+    Fractions are floor-truncated to 4 decimals (cross-engine-stable,
+    see ``stopword_ratio``).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_t")
+    )
+
+    def gram_stats(n: int, prefix: str):
+        g = base.select(
+            id_col, F.explode(shingles(F.col("_t"), n)).alias("_g")
+        )
+        counts = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        return counts.groupBy(id_col).agg(
+            F.sum("_c").alias(f"n_{prefix}grams"),
+            F.max("_c").alias(f"top_{prefix}gram_count"),
+            F.sum(F.col("_c") - 1).alias(f"_dup_{prefix}"),
+        )
+
+    a2 = gram_stats(2, "2")
+    a3 = gram_stats(3, "3").select(
+        id_col, F.col("n_3grams").alias("_n3"), "_dup_3"
+    )
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.floor(num / den * 10000) / 10000
+        ).otherwise(F.lit(0.0))
+
+    return (
+        base.select(id_col, "n_tokens")
+        .join(a2, id_col, "left")
+        .join(a3, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
+            frac(F.col("top_2gram_count"), F.col("n_2grams"))
+                .alias("top_2gram_frac"),
+            frac(F.col("_dup_2"), F.col("n_2grams")).alias("dup_2gram_frac"),
+            frac(F.col("_dup_3"), F.col("_n3")).alias("dup_3gram_frac"),
+        )
+    )

@@ -180,3 +180,30 @@ def test_decontaminate_cap_drops_boilerplate_and_surfaces_it(spark):
     }
     assert dropped, "cap must surface what it excluded"
     assert all(v > 2 for v in dropped.values())
+
+
+# ----- repetition signals (Gopher-style, round 5) -------------------
+
+
+def test_repetition_signals_hand_computed(spark):
+    from pg_pb3_ld_spark.functions.textops import repetition_signals
+
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> n2=5,
+    # top=3 (a b), dup = (3-1)+(2-1) = 3
+    # 3-grams = [a b a, b a b, a b a, b a b] -> n3=4, dup=2
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_2grams, r1.top_2gram_count) == (6, 5, 3)
+    assert r1.top_2gram_frac == 0.6
+    assert r1.dup_2gram_frac == 0.6
+    assert r1.dup_3gram_frac == 0.5
+    r2 = out[2]  # all grams distinct
+    assert (r2.n_2grams, r2.top_2gram_count) == (3, 1)
+    assert r2.dup_2gram_frac == 0.0 and r2.dup_3gram_frac == 0.0
+    r3 = out[3]  # single token: no grams at all
+    assert (r3.n_tokens, r3.n_2grams, r3.top_2gram_count) == (1, 0, 0)
+    assert r3.top_2gram_frac == 0.0

@@ -273,11 +273,12 @@ def test_jpeg_rejects_unsupported():
     prog[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="band"):
         decode_jpeg(bytes(prog))
-    # arithmetic-coded SOF9 still rejected loudly
-    arith = bytearray(blob)
-    arith[idx + 1] = 0xC9
+    # lossless SOF3 (a process we really don't implement; SOF9
+    # arithmetic is now real — test_jpeg_arith) still rejected loudly
+    lossless = bytearray(blob)
+    lossless[idx + 1] = 0xC3
     with pytest.raises(ValueError, match="unsupported JPEG process"):
-        decode_jpeg(bytes(arith))
+        decode_jpeg(bytes(lossless))
 
 
 # ------------------------------------------------------------------
