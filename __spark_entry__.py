@@ -1059,6 +1059,67 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_signals(_documents(spark, sf_dir))
 
 
+def _augmented_pii_docs(spark, sf_dir):
+    """documents with a deterministic PII tail appended (the corpus
+    itself is plain words — verified zero '@'/URL/dotted-quad
+    content) so every row exercises all four redaction patterns and
+    the oracle can derive the scrubbed text arithmetically."""
+    d = F.col("doc_id").cast("string")
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d, F.lit("@mail.example.com node 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 id "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction (round 5): regex scrub of emails/IPv4s/SSNs/
+    phones with typed placeholders + per-category counts — the
+    compliance staple of web training pipelines.  Pure per-row
+    Catalyst projection (whole-stage codegen, no shuffle); the
+    oracle re-derives counts AND the full scrubbed string
+    arithmetically from doc_id, so a regex that over- or
+    under-matches fails the hash."""
+    from pg_pb3_ld_spark.functions.textops import pii_scrub
+
+    return pii_scrub(_augmented_pii_docs(spark, sf_dir))
+
+
+def q_doc_domain_stats(spark, sf_dir):
+    """URL-domain census (round 5): extract every http(s) URL,
+    aggregate (domain → n_urls, n_docs) — the pre-filter census for
+    domain-level sampling.  One explode + stacked hash aggs with
+    map-side combine; oracle derives the census arithmetically from
+    the injected URL tails."""
+    from pg_pb3_ld_spark.functions.textops import domain_stats
+
+    base = _documents(spark, sf_dir)
+    docs = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p"), F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net/x.js"),
+        ).alias("text"),
+    )
+    return domain_stats(docs)
+
+
 def q_video_frame_sample(spark, sf_dir):
     """REAL video-container path end-to-end (round 5): synthesize an
     AVI-MJPEG blob per doc (8 frames, 16×16, four flat 8×8 blocks
@@ -1143,6 +1204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_ulaw_frame_sample": q_audio_ulaw_frame_sample,
     "video_frame_sample": q_video_frame_sample,
     "doc_repetition": q_doc_repetition,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_domain_stats": q_doc_domain_stats,
     "doc_train_test_split": q_doc_train_test_split,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
@@ -1999,6 +2062,32 @@ def _literal_oracles() -> dict[str, str]:
                    CAST(doc_id % 256 AS INT) AS corner00,
                    CAST((doc_id + 164) % 256 AS INT) AS corner11
             FROM documents WHERE doc_id < 200
+        """,
+        "doc_pii_scrub": """
+            -- the corpus text is plain words (zero PII-shaped
+            -- content, verified), so counts and the scrubbed string
+            -- are derivable arithmetically: a regex that over- or
+            -- under-matches on the real text fails the hash
+            SELECT doc_id,
+                   CAST(1 AS INT) AS n_email,
+                   CAST(1 AS INT) AS n_ipv4,
+                   CAST(1 AS INT) AS n_ssn,
+                   CAST(1 AS INT) AS n_phone,
+                   text || ' contact <EMAIL> node <IP> id <SSN>'
+                        || ' call <PHONE>' AS scrubbed
+            FROM documents
+        """,
+        "doc_domain_stats": """
+            WITH d AS (
+                SELECT doc_id, 'site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.org' AS domain FROM documents
+                UNION ALL
+                SELECT doc_id, 'cdn' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.example.net' FROM documents
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM d GROUP BY domain
         """,
         "doc_repetition": """
             WITH toks AS (

@@ -209,3 +209,80 @@ def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
             frac(F.col("_dup_3"), F.col("_n3")).alias("dup_3gram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL/domain analysis (training-data compliance staples)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex intersection of Java (Spark) and
+# RE2 (DuckDB): char classes, bounded quantifiers, alternation, \b —
+# NO lookaround, NO backrefs — so the exact same pattern string runs
+# on both engines and the scrub is cross-engine byte-identical.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # order matters: SSN (3-2-4) before phone (3-3-4) keeps the
+    # classes disjoint on shared separators
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_%+-]*"
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Redact emails / IPv4s / SSNs / phone numbers with typed
+    placeholder tokens and count each category (size of
+    ``regexp_extract_all`` — identical semantics on DuckDB, so the
+    whole operator has an exact SQL oracle).
+
+    Scale shape: a pure per-row Catalyst projection — no shuffle, no
+    UDFs, whole-stage codegen end-to-end; at 100 TB this is a
+    map-only pass that pushes column pruning into the scan.
+    Counting runs BEFORE redaction; replacement applies the patterns
+    in ``PII_PATTERNS`` order on the running text so earlier
+    redactions can't be double-counted by later patterns.
+    """
+    text = F.col(text_col)
+    cols = [F.col(id_col)]
+    scrubbed = text
+    for name, (pat, token) in PII_PATTERNS.items():
+        cols.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .alias(f"n_{name}"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    cols.append(scrubbed.alias("scrubbed"))
+    return df.select(*cols)
+
+
+def domain_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-level URL-domain frequency table: extract every
+    ``http(s)://`` URL, keep its host, aggregate (domain →
+    n_urls, n_docs).  The per-corpus URL/domain census every web
+    training pipeline runs before domain-level filtering/sampling.
+
+    Scale shape: regexp_extract_all + ONE explode, then a hash
+    aggregation with map-side combine on ``domain`` — the shuffle
+    carries (domain, partial count, partial distinct-doc sketch),
+    never raw URLs.  ``n_docs`` uses count(distinct) over the
+    (domain, doc) pre-dedup — expressed as two stacked aggs so both
+    stay HashAggregates.
+    """
+    urls = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("_url"),
+    ).where(F.col("_url").isNotNull())
+    per_doc = urls.select(
+        "_doc",
+        F.regexp_extract("_url", DOMAIN_PATTERN, 1).alias("domain"),
+    ).groupBy("domain", "_doc").agg(F.count("*").alias("_c"))
+    return per_doc.groupBy("domain").agg(
+        F.sum("_c").alias("n_urls"),
+        F.count("*").alias("n_docs"),
+    )

@@ -207,3 +207,48 @@ def test_repetition_signals_hand_computed(spark):
     r3 = out[3]  # single token: no grams at all
     assert (r3.n_tokens, r3.n_2grams, r3.top_2gram_count) == (1, 0, 0)
     assert r3.top_2gram_frac == 0.0
+
+
+# ----- PII scrub + domain census (round 5) --------------------------
+
+
+def test_pii_scrub_hand_cases(spark):
+    from pg_pb3_ld_spark.functions.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org twice"),
+            (2, "host 192.168.0.1 ssn 123-45-6789 tel 555-123-4567"),
+            (3, "clean text no pii 1234 5.5"),
+            (4, "dot phone 555.123.4567 edge"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_ssn, r1.n_phone) == (2, 0, 0, 0)
+    assert r1.scrubbed == "mail <EMAIL> and <EMAIL> twice"
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_ssn, r2.n_phone) == (0, 1, 1, 1)
+    assert r2.scrubbed == "host <IP> ssn <SSN> tel <PHONE>"
+    r3 = out[3]
+    assert (r3.n_email, r3.n_ipv4, r3.n_ssn, r3.n_phone) == (0, 0, 0, 0)
+    assert r3.scrubbed == "clean text no pii 1234 5.5"
+    assert out[4].scrubbed == "dot phone <PHONE> edge"
+
+
+def test_domain_stats_counts_urls_and_docs(spark):
+    from pg_pb3_ld_spark.functions.textops import domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.org/x and https://a.org/y plus http://b.net/"),
+            (2, "only https://a.org/z here"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.domain: r for r in domain_stats(docs).collect()}
+    assert set(out) == {"a.org", "b.net"}
+    assert (out["a.org"].n_urls, out["a.org"].n_docs) == (3, 2)
+    assert (out["b.net"].n_urls, out["b.net"].n_docs) == (1, 1)
