@@ -1083,6 +1083,45 @@ def _augmented_pii_docs(spark, sf_dir):
     )
 
 
+def q_audio_flac_frame_sample(spark, sf_dir):
+    """REAL FLAC path end-to-end (round 5): per doc, synthesize a
+    deterministic int16 waveform s[n] = ((doc_id·13 + 7n) mod 4001)
+    − 2000 (n < 2048), encode it with the engine's spec-conformant
+    FLAC writer (FIXED predictors + Rice residuals, blocksize 512),
+    decode through the full FLAC frame parser (sync/CRC-8/CRC-16,
+    subframes, Rice partitions) and emit exact per-frame integer
+    stats.  FLAC is LOSSLESS, so the oracle re-derives every stat
+    arithmetically in SQL — the check spans encoder, container walk,
+    entropy decode, and prediction reconstruction."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.flac import encode_flac, flac_frame_sample
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = np.arange(2048, dtype=np.int64)
+                pcm = ((did * 13 + 7 * n) % 4001) - 2000
+                blobs.append(encode_flac(pcm, 16000, blocksize=512))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = flac_frame_sample(blobs)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "frame_idx", "n_samples", "n_channels",
+        "sum_abs", "max_s", "min_s",
+    )
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII redaction (round 5): regex scrub of emails/IPv4s/SSNs/
     phones with typed placeholders + per-category counts — the
@@ -1206,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_domain_stats": q_doc_domain_stats,
+    "audio_flac_frame_sample": q_audio_flac_frame_sample,
     "doc_train_test_split": q_doc_train_test_split,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
@@ -2062,6 +2102,25 @@ def _literal_oracles() -> dict[str, str]:
                    CAST(doc_id % 256 AS INT) AS corner00,
                    CAST((doc_id + 164) % 256 AS INT) AS corner11
             FROM documents WHERE doc_id < 200
+        """,
+        "audio_flac_frame_sample": """
+            -- FLAC is lossless, so decoded samples equal the
+            -- generated waveform exactly: v = (doc_id*13 + 7n) %
+            -- 4001 - 2000; 2048 samples, blocksize 512 -> 4 frames
+            WITH s AS (
+                SELECT doc_id, CAST(f.k AS INT) AS frame_idx,
+                       ((doc_id * 13 + 7 * (f.k * 512 + j.j)) % 4001)
+                           - 2000 AS v
+                FROM documents, range(4) f(k), range(512) j(j)
+                WHERE doc_id < 200
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(512 AS INT) AS n_samples,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                   CAST(max(v) AS INT) AS max_s,
+                   CAST(min(v) AS INT) AS min_s
+            FROM s GROUP BY 1, 2
         """,
         "doc_pii_scrub": """
             -- the corpus text is plain words (zero PII-shaped

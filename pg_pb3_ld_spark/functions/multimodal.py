@@ -503,9 +503,18 @@ def _decode_audio(blob: bytes, deterministic_fake: bool):
         return _fake_features(blob)
     if blob[:4] == b"RIFF":
         return decode_wav(blob)
+    if blob[:4] == b"fLaC":
+        from pg_pb3_ld_spark.functions.flac import decode_flac
+
+        sr, nch, _bits, frames = decode_flac(blob)
+        if frames:
+            allsamp = np.concatenate(frames).astype(np.int64)
+            return (sr, nch, allsamp.shape[0],
+                    int(np.abs(allsamp).mean()))
+        return (sr, nch, 0, 0)
     raise NotImplementedError(
-        "non-WAV audio decoding needs ffmpeg/torchaudio — not in "
-        "this sandbox"
+        "perceptual audio (MP3/AAC/Opus) needs ffmpeg/torchaudio — "
+        "not in this sandbox (WAV + FLAC are decoded natively)"
     )
 
 
