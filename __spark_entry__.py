@@ -1083,6 +1083,51 @@ def _augmented_pii_docs(spark, sf_dir):
     )
 
 
+def q_gif_frame_sample(spark, sf_dir):
+    """REAL animated-GIF path end-to-end (round 5): per doc,
+    synthesize a 4-frame 16×8 GIF (two vertical halves with palette
+    indices (d+f)%8 and (d+2f+1)%8, palette channel values linear in
+    the index), encode with the engine's real LZW writer, decode
+    through the full GIF parser (LZW, palette, compositing) and emit
+    per-frame channel means.  GIF is lossless, so the oracle derives
+    every mean arithmetically: mean_c = (pal[a][c]+pal[b][c])//2."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.gif import encode_gif, gif_frame_sample
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 150
+    )
+    pal = np.array(
+        [[i * 30, 200 - i * 20, i * 10 + 3] for i in range(8)],
+        dtype=np.uint8,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(4):
+                    fr = np.empty((8, 16), dtype=np.uint8)
+                    fr[:, :8] = (did + f) % 8
+                    fr[:, 8:] = (did + 2 * f + 1) % 8
+                    frames.append(fr)
+                blobs.append(encode_gif(frames, pal, delay_cs=5))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = gif_frame_sample(blobs)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "frame_idx", "width", "height", "delay_cs",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
 def q_audio_flac_frame_sample(spark, sf_dir):
     """REAL FLAC path end-to-end (round 5): per doc, synthesize a
     deterministic int16 waveform s[n] = ((doc_id·13 + 7n) mod 4001)
@@ -1246,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_domain_stats": q_doc_domain_stats,
     "audio_flac_frame_sample": q_audio_flac_frame_sample,
+    "gif_frame_sample": q_gif_frame_sample,
     "doc_train_test_split": q_doc_train_test_split,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
@@ -2102,6 +2148,27 @@ def _literal_oracles() -> dict[str, str]:
                    CAST(doc_id % 256 AS INT) AS corner00,
                    CAST((doc_id + 164) % 256 AS INT) AS corner11
             FROM documents WHERE doc_id < 200
+        """,
+        "gif_frame_sample": """
+            -- GIF is lossless: each frame is two vertical halves
+            -- with palette indices a=(d+f)%8, b=(d+2f+1)%8 and
+            -- palette (i*30, 200-i*20, i*10+3); 64+64 pixels ->
+            -- mean_c = (pal_c(a) + pal_c(b)) // 2
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       (doc_id + k) % 8 AS a,
+                       (doc_id + 2 * k + 1) % 8 AS b
+                FROM documents, range(4) t(k)
+                WHERE doc_id < 150
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+                   CAST(5 AS INT) AS delay_cs,
+                   CAST((a * 30 + b * 30) // 2 AS INT) AS mean_r,
+                   CAST((200 - a * 20 + 200 - b * 20) // 2 AS INT)
+                       AS mean_g,
+                   CAST((a * 10 + 3 + b * 10 + 3) // 2 AS INT) AS mean_b
+            FROM f
         """,
         "audio_flac_frame_sample": """
             -- FLAC is lossless, so decoded samples equal the

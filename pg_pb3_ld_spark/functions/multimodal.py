@@ -487,6 +487,14 @@ def _decode_image(blob: bytes, deterministic_fake: bool):
         from pg_pb3_ld_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from pg_pb3_ld_spark.functions.gif import decode_gif
+
+        w, h, frames = decode_gif(blob)
+        if not frames:
+            raise ValueError("GIF stream has no image frames")
+        rgb = frames[0][1].astype(np.int64)
+        return (w, h, int(rgb.mean()), 8)
     raise NotImplementedError(
         "image format not recognized (real decoders: BMP, PNG, "
         "baseline JPEG; others need PIL/torchvision — not in this "
