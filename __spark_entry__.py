@@ -1083,6 +1083,41 @@ def _augmented_pii_docs(spark, sf_dir):
     )
 
 
+def q_transcript_render(spark, sf_dir):
+    """Chat-template rendering (round 5): deterministic turns derived
+    from documents (conv = doc_id//5, turn = doc_id%5, role by turn
+    parity) → per-conversation ``<|role|>text`` concatenation in
+    turn order — the SFT sample-construction step.  One bounded
+    groupBy on conv_id; the md5 digest pins exact bytes."""
+    from pg_pb3_ld_spark.functions.textops import render_chat
+
+    turns = _documents(spark, sf_dir).select(
+        (F.col("doc_id") / 5).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 5 == 0, "system")
+        .when(F.col("doc_id") % 5 % 2 == 1, "user")
+        .otherwise("assistant").alias("role"),
+        "text",
+    )
+    return render_chat(turns)
+
+
+def q_doc_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (round 5): shard =
+    doc_id%8, docs laid head-to-tail in doc_id order per shard,
+    token stream cut every 512 tokens — each doc's span and chunk
+    range.  One per-shard window (the shard is the parallel unit at
+    scale); oracle replays the identical cumulative sum in SQL."""
+    from pg_pb3_ld_spark.functions.textops import pack_sequences, tokens
+
+    base = _documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return pack_sequences(base, budget=512)
+
+
 def q_gif_frame_sample(spark, sf_dir):
     """REAL animated-GIF path end-to-end (round 5): per doc,
     synthesize a 4-frame 16×8 GIF (two vertical halves with palette
@@ -1292,6 +1327,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_stats": q_doc_domain_stats,
     "audio_flac_frame_sample": q_audio_flac_frame_sample,
     "gif_frame_sample": q_gif_frame_sample,
+    "transcript_render": q_transcript_render,
+    "doc_pack_chunks": q_doc_pack_chunks,
     "doc_train_test_split": q_doc_train_test_split,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
@@ -2148,6 +2185,49 @@ def _literal_oracles() -> dict[str, str]:
                    CAST(doc_id % 256 AS INT) AS corner00,
                    CAST((doc_id + 164) % 256 AS INT) AS corner11
             FROM documents WHERE doc_id < 200
+        """,
+        "transcript_render": """
+            WITH turns AS (
+                SELECT CAST(doc_id // 5 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 5 AS INT) AS turn_idx,
+                       CASE WHEN doc_id % 5 = 0 THEN 'system'
+                            WHEN (doc_id % 5) % 2 = 1 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       text
+                FROM documents
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(length(string_agg('<|' || role || '|>' || text,
+                        chr(10) ORDER BY turn_idx)) AS INT)
+                       AS rendered_chars,
+                   md5(string_agg('<|' || role || '|>' || text,
+                        chr(10) ORDER BY turn_idx)) AS digest
+            FROM turns GROUP BY conv_id
+        """,
+        "doc_pack_chunks": """
+            WITH base AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(string_split(text, ' ')) AS INT)
+                           AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT *, CAST(sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS incl
+                FROM base
+            )
+            SELECT doc_id, shard, n_tokens,
+                   incl - n_tokens AS start_tok,
+                   CAST((incl - n_tokens) // 512 AS BIGINT)
+                       AS first_chunk,
+                   CAST((incl - 1) // 512 AS BIGINT) AS last_chunk,
+                   CAST((incl - 1) // 512
+                        - (incl - n_tokens) // 512 + 1 AS BIGINT)
+                       AS n_chunks
+            FROM c
         """,
         "gif_frame_sample": """
             -- GIF is lossless: each frame is two vertical halves

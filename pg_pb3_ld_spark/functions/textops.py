@@ -286,3 +286,87 @@ def domain_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         F.sum("_c").alias("n_urls"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT sample construction: chat-template rendering + sequence packing
+# ---------------------------------------------------------------------------
+
+def render_chat(df, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                role_col: str = "role", text_col: str = "text",
+                sep: str = "\n"):
+    """Render multi-turn conversations into training strings: per
+    conversation, turns sorted by ``turn_idx`` and concatenated as
+    ``<|role|>text`` — the deterministic chat-template step every
+    SFT pipeline runs before tokenization.  Returns (conv_id,
+    n_turns, rendered_chars, digest) with ``digest = md5(rendered)``
+    so correctness pins the exact byte sequence, not just lengths.
+
+    Scale shape: ONE hash-partitioned groupBy on ``conv_id`` with
+    bounded group size (turns per conversation); ``collect_list`` +
+    ``array_sort`` keeps ordering deterministic regardless of
+    partitioning — no global window, no driver state.
+    """
+    turn = F.struct(
+        F.col(turn_col).alias("i"),
+        F.col(role_col).alias("r"),
+        F.col(text_col).alias("t"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(turn)),
+            lambda x: F.concat(
+                F.lit("<|"), x["r"], F.lit("|>"), x["t"]
+            ),
+        ),
+        sep,
+    )
+    return (
+        df.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            rendered.alias("_rendered"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.length("_rendered").alias("rendered_chars"),
+            F.md5("_rendered").alias("digest"),
+        )
+    )
+
+
+def pack_sequences(df, budget: int, shard_col: str = "shard",
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens"):
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): within each shard, documents are laid head-to-tail in
+    ``id_col`` order and the token stream is cut every ``budget``
+    tokens.  Emits each document's span: its start offset in the
+    shard's token stream and the first/last chunk it lands in.
+
+    Scale shape: ONE window per shard partition (cumulative sum,
+    ROWS UNBOUNDED PRECEDING) — the shard is the parallel unit, so
+    at 100 TB you shard first (split/bucket) and every shard's
+    packing is an independent partition-local scan; there is no
+    global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    incl = F.sum(tokens_col).over(w)
+    start = (incl - F.col(tokens_col)).alias("start_tok")
+    first = F.floor((incl - F.col(tokens_col)) / budget)
+    last = F.floor((incl - 1) / budget)
+    return df.select(
+        id_col,
+        shard_col,
+        tokens_col,
+        start,
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        (last - first + 1).cast("long").alias("n_chunks"),
+    )

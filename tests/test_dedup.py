@@ -252,3 +252,54 @@ def test_domain_stats_counts_urls_and_docs(spark):
     assert set(out) == {"a.org", "b.net"}
     assert (out["a.org"].n_urls, out["a.org"].n_docs) == (3, 2)
     assert (out["b.net"].n_urls, out["b.net"].n_docs) == (1, 1)
+
+
+# ----- chat rendering + sequence packing (round 5) ------------------
+
+
+def test_render_chat_order_and_digest(spark):
+    import hashlib
+
+    from pg_pb3_ld_spark.functions.textops import render_chat
+
+    # turns arrive out of order; rendering must sort by turn_idx
+    turns = spark.createDataFrame(
+        [
+            (1, 2, "assistant", "fine"),
+            (1, 0, "system", "be nice"),
+            (1, 1, "user", "how are you"),
+            (2, 0, "system", "solo"),
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = {r.conv_id: r for r in render_chat(turns).collect()}
+    expect1 = "<|system|>be nice\n<|user|>how are you\n<|assistant|>fine"
+    assert out[1].n_turns == 3
+    assert out[1].rendered_chars == len(expect1)
+    assert out[1].digest == hashlib.md5(expect1.encode()).hexdigest()
+    expect2 = "<|system|>solo"
+    assert out[2].digest == hashlib.md5(expect2.encode()).hexdigest()
+
+
+def test_pack_sequences_chunk_spans(spark):
+    from pg_pb3_ld_spark.functions.textops import pack_sequences
+
+    # one shard, budget 10: docs of 4,8,10,3 tokens laid head-to-tail
+    # offsets 0,4,12,22 -> chunks [0,0],[0,1],[1,2],[2,2]
+    base = spark.createDataFrame(
+        [(0, 0, 4), (1, 0, 8), (2, 0, 10), (3, 0, 3), (10, 1, 25)],
+        "doc_id long, shard long, n_tokens int",
+    )
+    out = {r.doc_id: r for r in pack_sequences(base, budget=10).collect()}
+    assert (out[0].start_tok, out[0].first_chunk, out[0].last_chunk) == \
+        (0, 0, 0)
+    assert (out[1].start_tok, out[1].first_chunk, out[1].last_chunk) == \
+        (4, 0, 1)
+    assert (out[2].start_tok, out[2].first_chunk, out[2].last_chunk) == \
+        (12, 1, 2)
+    assert (out[3].start_tok, out[3].first_chunk, out[3].last_chunk) == \
+        (22, 2, 2)
+    assert out[3].n_chunks == 1
+    # a doc larger than the budget spans ceil(25/10)=3 chunks
+    assert (out[10].first_chunk, out[10].last_chunk, out[10].n_chunks) == \
+        (0, 2, 3)
