@@ -23,6 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+_PY_NODES = ("EvalPython", "MapInPandas", "MapInArrow",
+             "FlatMapGroupsInPandas", "AggregateInPandas")
+
+
+def _has_python(plan: str) -> bool:
+    """True only for real Python EXECUTION nodes — the string
+    'Python' alone also appears in createDataFrame's
+    applySchemaToPythonRDD scan description."""
+    return any(n in plan for n in _PY_NODES)
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -97,6 +108,39 @@ def main():
     sections.append(("IVF assignment build "
                      "(expect HashAggregate, NO Window/Sort)", ivf_plan))
 
+    # round 5: the new text/compliance operators must stay pure
+    # Catalyst — zero Python nodes — and shuffle only on their
+    # aggregation keys
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} x{i % 4} " * 6) for i in range(60)],
+        "doc_id long, text string",
+    )
+    pii_plan = plan_of(textops.pii_scrub(docs))
+    sections.append(("PII scrub (expect pure projection: no shuffle, "
+                     "no Python, codegen)", pii_plan))
+    dom_plan = plan_of(textops.domain_stats(docs))
+    sections.append(("domain census (expect HashAggregates, "
+                     "no Python)", dom_plan))
+    rep_plan = plan_of(textops.repetition_signals(docs))
+    sections.append(("repetition signals (expect hash aggs with "
+                     "partial combine, no Python, no Window)", rep_plan))
+    turns = spark.createDataFrame(
+        [(i // 5, i % 5, "user", f"t{i}") for i in range(50)],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    render_plan = plan_of(textops.render_chat(turns))
+    sections.append(("chat rendering (expect ONE aggregation on "
+                     "conv_id, no Python)", render_plan))
+    pack_base = spark.createDataFrame(
+        [(i, i % 4, 10 + i % 17) for i in range(60)],
+        "doc_id long, shard long, n_tokens int",
+    )
+    pack_plan = plan_of(textops.pack_sequences(pack_base, 512))
+    sections.append(("sequence packing (expect ONE shard-partitioned "
+                     "Window, no global sort/exchange-single)", pack_plan))
+
     checks = {
         "IVF assign is hash-aggregated (no window/sort)": (
             "HashAggregate" in ivf_plan
@@ -120,6 +164,24 @@ def main():
         ),
         "partial aggregation (map-side combine)": (
             "partial_" in sections[2][1] or "HashAggregate" in sections[2][1]
+        ),
+        "pii scrub is a pure map (no exchange, no python)": (
+            "Exchange" not in pii_plan and not _has_python(pii_plan)
+        ),
+        "domain census hash-aggregated, no python": (
+            "HashAggregate" in dom_plan and not _has_python(dom_plan)
+        ),
+        "repetition signals: no python, no window": (
+            not _has_python(rep_plan) and "Window" not in rep_plan
+        ),
+        "chat render: no python, single agg key": (
+            not _has_python(render_plan)
+            and "SinglePartition" not in render_plan
+        ),
+        "packing window is shard-partitioned (no single partition)": (
+            "Window" in pack_plan
+            and "SinglePartition" not in pack_plan
+            and not _has_python(pack_plan)
         ),
     }
 
