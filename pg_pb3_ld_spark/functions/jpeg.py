@@ -1,13 +1,17 @@
 """JPEG decoder — pure stdlib + numpy (no PIL/libjpeg).
 
-Supports the baseline sequential DCT process AND progressive DCT
-(SOF2, spectral selection + successive approximation — the most
-common real-crawl variants): 8-bit precision, Huffman entropy coding,
-1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
-markers, multi-scan coefficient accumulation with EOB runs and
-refinement bits.  Arithmetic-coded, hierarchical, lossless, 12-bit,
-and CMYK streams are rejected with ``ValueError`` (captured per-row
-by the media extractor).
+Supports the baseline sequential DCT process, extended sequential
+(SOF1, incl. 12-bit sample precision with 16-bit DQT entries), AND
+progressive DCT (SOF2, spectral selection + successive approximation
+— the most common real-crawl variants): 8/12-bit precision, Huffman
+entropy coding, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
+subsampling, restart markers, multi-scan coefficient accumulation
+with EOB runs and refinement bits.  Sequential arithmetic coding
+(SOF9, 8-bit) is handled in ``jpeg_arith.py``; hierarchical,
+lossless, and CMYK streams are rejected with ``ValueError``
+(captured per-row by the media extractor).  12-bit streams decode at
+native precision (uint16, level shift 2048, clamp 0..4095) and reach
+the operator surface scaled to the uniform 8-bit pixel contract.
 
 Decode path per the public ITU-T T.81 spec:
 
@@ -156,7 +160,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
-    """(h, w, ncomp) uint8 pixels from a baseline JFIF stream."""
+    """(h, w, ncomp) uint8 pixels.  12-bit streams are decoded at
+    native precision and scaled to 8 bits (v >> 4) so every consumer
+    (features, resize, video sampling) sees one pixel contract."""
+    px = decode_jpeg_pixels_native(blob)
+    if px.dtype == np.uint16:
+        px = (px >> 4).astype(np.uint8)
+    return px
+
+
+def decode_jpeg_pixels_native(blob: bytes) -> np.ndarray:
+    """(h, w, ncomp) pixels at the stream's sample precision: uint8
+    for 8-bit processes, uint16 in [0, 4095] for 12-bit extended
+    sequential (SOF1) / progressive (SOF2) streams."""
     if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -191,19 +207,33 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(
-                    body[i + 1:i + 65], dtype=np.uint8
-                ).astype(np.int64)
+                if pq == 0:       # 8-bit quantizer entries
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body[i + 1:i + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 65
+                elif pq == 1:     # 16-bit entries (12-bit precision)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body[i + 1:i + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 129
+                else:
+                    raise ValueError("invalid DQT precision field")
                 qt[tq] = tbl.reshape(8, 8)
-                i += 65
-        elif marker in (0xC0, 0xC2, 0xC9):
-            # SOF0 baseline / SOF2 progressive / SOF9 arith sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive / SOF9 arith sequential.  T.81 limits
+            # baseline to 8-bit samples; the extended and progressive
+            # DCT processes also allow 12-bit (B.2.2) — medical /
+            # scientific crawls carry them with 16-bit DQT entries.
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG")
+            allowed = (8,) if marker in (0xC0, 0xC9) else (8, 12)
+            if prec not in allowed:
+                raise ValueError(
+                    f"unsupported JPEG sample precision {prec} for "
+                    f"SOF{marker - 0xC0}"
+                )
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
@@ -211,16 +241,16 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                     "id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq,
                 })
             sof = {
-                "h": h, "w": w, "comps": comps,
+                "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": marker == 0xC2,
                 "arith": marker == 0xC9,
             }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker - 0xC0}) — "
-                "baseline/progressive Huffman + sequential arithmetic "
-                "(SOF9) only"
+                "baseline/extended/progressive Huffman + sequential "
+                "arithmetic (SOF9) only"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             i = 0
@@ -450,6 +480,7 @@ def _reconstruct_from_zz(sof, qt, comp_zz, mcus_x, mcus_y):
     placement, upsample, YCbCr→RGB."""
     comps = sof["comps"]
     h, w = sof["h"], sof["w"]
+    mid = 1 << (sof.get("prec", 8) - 1)       # level shift: 128 / 2048
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = [
@@ -463,7 +494,7 @@ def _reconstruct_from_zz(sof, qt, comp_zz, mcus_x, mcus_y):
         coeff = np.zeros_like(arr)
         coeff[:, ZIGZAG] = arr                               # de-zigzag
         blocks = coeff.reshape(-1, 8, 8).astype(np.float64) * q
-        px = (_A.T @ blocks @ _A) + 128.0                    # batched IDCT
+        px = (_A.T @ blocks @ _A) + float(mid)               # batched IDCT
         # blocks were appended in (my, mx, by, bx) raster order, so
         # placement is a pure reshape/transpose — no per-block loop
         v_, h_ = comp["v"], comp["h"]
@@ -482,16 +513,26 @@ def _reconstruct_from_zz(sof, qt, comp_zz, mcus_x, mcus_y):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         chans.append(p[:h, :w])
     img = np.stack(chans, axis=-1)
-    if len(comps) == 3:  # JFIF YCbCr → RGB
+    return _finish_native(img, sof)
+
+
+def _finish_native(img: np.ndarray, sof: dict) -> np.ndarray:
+    """Shared colorspace + clamp tail: YCbCr→RGB at native precision,
+    clip to [0, 2^prec − 1]; uint8 for 8-bit, uint16 for 12-bit."""
+    prec = sof.get("prec", 8)
+    mid = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    if len(sof["comps"]) == 3:  # JFIF YCbCr → RGB (chroma centred at mid)
         y = img[..., 0]
-        cb = img[..., 1] - 128.0
-        cr = img[..., 2] - 128.0
+        cb = img[..., 1] - mid
+        cr = img[..., 2] - mid
         img = np.stack([
             y + 1.402 * cr,
             y - 0.344136 * cb - 0.714136 * cr,
             y + 1.772 * cb,
         ], axis=-1)
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    out = np.clip(np.round(img), 0, maxv)
+    return out.astype(np.uint8 if prec == 8 else np.uint16)
 
 
 # --------------------------------------------------------------------
@@ -818,7 +859,9 @@ def _prog_reconstruct(sof, qt, coeffs):
         coeff = np.zeros_like(arr)
         coeff[:, ZIGZAG] = arr                               # de-zigzag
         blocks = coeff.reshape(-1, 8, 8).astype(np.float64) * q
-        px = (_A.T @ blocks @ _A) + 128.0                    # batched IDCT
+        px = (_A.T @ blocks @ _A) + float(
+            1 << (sof.get("prec", 8) - 1)
+        )                                                    # batched IDCT
         plane = (
             px.reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -829,21 +872,14 @@ def _prog_reconstruct(sof, qt, coeffs):
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         chans.append(plane[:h, :w])
     img = np.stack(chans, axis=-1)
-    if len(comps) == 3:  # JFIF YCbCr → RGB
-        y = img[..., 0]
-        cb = img[..., 1] - 128.0
-        cr = img[..., 2] - 128.0
-        img = np.stack([
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ], axis=-1)
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    return _finish_native(img, sof)
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, int]:
     """Summary features (width, height, mean_pixel, bits) — the
     media-extractor contract shape (matches decode_bmp/decode_png)."""
-    px = decode_jpeg_pixels(blob)
+    native = decode_jpeg_pixels_native(blob)
+    prec = 12 if native.dtype == np.uint16 else 8
+    px = (native >> 4).astype(np.uint8) if prec == 12 else native
     h, w, ch = px.shape
-    return (w, h, int(px.mean()), 8 * ch)
+    return (w, h, int(px.mean()), prec * ch)
