@@ -477,6 +477,19 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_span_dedup(spark, sf_dir):
+    """Exact-substring span dedup (round 5; Lee et al. 2022 suffix-
+    array semantics on a fixed 8-token probe): flag every position
+    starting an 8-gram whose exact text occurs ≥2 times corpus-wide
+    (cross-doc or within-doc), then per doc union the fixed-length
+    spans into a duplicated-token coverage count + fraction.  Three
+    linear map-side-combining shuffles — gram hash agg, flag join,
+    per-doc interval union — never a suffix array, never all-pairs."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    return dedup.span_dedup(_documents(spark, sf_dir))
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup (training-data op): md5-hash groups over document
     text; keep canonical min doc_id, count duplicates."""
@@ -1300,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lineage": q_cdc_lineage,
     "cdc_multi_table": q_cdc_multi_table,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_span_dedup": q_doc_span_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -2168,6 +2182,51 @@ def _literal_oracles() -> dict[str, str]:
                        AS flagged,
                    flagged_frac
             FROM j CROSS JOIN fr
+        """,
+        "doc_span_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sizes AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+            grams AS (
+                SELECT doc_id, i AS start,
+                       md5(array_to_string(
+                           list_slice(t, i + 1, i + 8), ' ')) AS gram_h
+                FROM toks, LATERAL (
+                    SELECT unnest(range(0, greatest(len(t) - 7, 0))) AS i
+                )
+            ),
+            dup AS (
+                SELECT gram_h FROM grams GROUP BY 1 HAVING count(*) >= 2
+            ),
+            flagged AS (
+                SELECT g.doc_id, g.start
+                FROM grams g JOIN dup USING (gram_h)
+            ),
+            cover AS (
+                SELECT doc_id,
+                       least(8, coalesce(
+                           lead(start) OVER (PARTITION BY doc_id
+                                             ORDER BY start) - start,
+                           8)) AS cov
+                FROM flagged
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_dup_grams,
+                       sum(cov) AS dup_token_cov
+                FROM cover GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT)
+                       AS n_dup_grams,
+                   CAST(COALESCE(a.dup_token_cov, 0) AS BIGINT)
+                       AS dup_token_cov,
+                   CASE WHEN s.n_tokens > 0
+                        THEN floor(COALESCE(a.dup_token_cov, 0) * 10000
+                                   / s.n_tokens) / 10000
+                        ELSE 0.0 END AS cov_frac
+            FROM sizes s LEFT JOIN agg a USING (doc_id)
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

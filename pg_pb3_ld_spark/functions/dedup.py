@@ -455,3 +455,94 @@ def decontaminate_dropped(
         .agg(F.count(F.lit(1)).alias("corpus_doc_count"))
         .where(F.col("corpus_doc_count") > max_shingle_docs)
     )
+
+
+def span_dedup(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span duplication (the suffix-array dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al., 2022), re-expressed Spark-first): flag every token
+    position that starts a ``gram_len``-token span whose exact text
+    occurs ≥ ``min_count`` times across the WHOLE corpus (cross-doc
+    AND within-doc repeats — matching suffix-array semantics, where
+    any repeated substring counts), and report per doc how many
+    tokens are covered by the union of those spans.
+
+    Scale shape — a suffix array over 100 TB is not buildable, but
+    the fixed-length-probe formulation is three map-side-combining
+    shuffles, each linear in corpus tokens:
+
+    * gram generation is a per-row array op (``shingles`` + one
+      posexplode) — no shuffle;
+    * the occurrence count groups by the gram's md5 — HashAggregate
+      with map-side combine; a boilerplate mega-gram collapses to ONE
+      row per partition before the shuffle, so hot grams cannot skew
+      it and no cap is needed (unlike candidate-pair joins, the join
+      back fans out each (doc, start) row exactly once);
+    * coverage unions fixed-length intervals per doc: a window keyed
+      on (doc, start) over FLAGGED rows only — ``min(gram_len,
+      next_start − start)`` — so the final shuffle carries just the
+      duplicated positions.
+
+    Returns (id, n_tokens, n_dup_grams, dup_token_cov, cov_frac).
+    """
+    from pyspark.sql.window import Window
+
+    base = corpus.select(
+        F.col(id_col), textops.tokens(F.col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        textops.shingles(F.col("_t"), gram_len).alias("_g"),
+    )
+    sizes = base.select(id_col, "n_tokens")
+    ex = (
+        base.select(id_col, F.posexplode_outer("_g").alias("start", "_gram"))
+        .where(F.col("_gram").isNotNull())
+        .select(id_col, "start", F.md5("_gram").alias("gram_h"))
+    )
+    dup_grams = (
+        ex.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("gram_h")
+    )
+    flagged = ex.join(dup_grams, "gram_h").select(id_col, "start")
+    w = Window.partitionBy(id_col).orderBy("start")
+    cov = (
+        flagged.withColumn("_nxt", F.lead("start").over(w))
+        .select(
+            id_col,
+            F.least(
+                F.lit(gram_len),
+                F.coalesce(
+                    F.col("_nxt") - F.col("start"), F.lit(gram_len)
+                ),
+            ).alias("_cov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("_cov").alias("dup_token_cov"),
+        )
+    )
+    out = sizes.join(cov, id_col, "left").fillna(
+        {"n_dup_grams": 0, "dup_token_cov": 0}
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        # floor, not round: half-up vs half-even differs across engines
+        F.floor(F.col("dup_token_cov") * 10000 / F.col("n_tokens")) / 10000,
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.col("dup_token_cov").cast("long").alias("dup_token_cov"),
+        frac.alias("cov_frac"),
+    )

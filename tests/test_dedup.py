@@ -303,3 +303,37 @@ def test_pack_sequences_chunk_spans(spark):
     # a doc larger than the budget spans ceil(25/10)=3 chunks
     assert (out[10].first_chunk, out[10].last_chunk, out[10].n_chunks) == \
         (0, 2, 3)
+
+
+def test_span_dedup_coverage_semantics(spark):
+    """Hand-built corpus with known duplicated spans (gram_len=3):
+
+    * docs 0 and 1 share the exact run "a b c d" → grams (a b c) and
+      (b c d) duplicated; overlapping starts 0,1 union to 4 covered
+      tokens in each doc;
+    * doc 2 repeats "x y z" twice WITHIN itself separated by a unique
+      token → suffix-array semantics counts it (2 starts, gap 4 > 3
+      → 6 covered tokens);
+    * doc 3 is all-unique → zero coverage;
+    * doc 4 is shorter than the gram → no grams, zero coverage.
+    """
+    from pg_pb3_ld_spark.functions.dedup import span_dedup
+
+    rows = [
+        (0, "a b c d p q r"),
+        (1, "u v a b c d w"),
+        (2, "x y z m x y z"),
+        (3, "one two three four five"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, gram_len=3).collect()}
+    assert out[0].n_tokens == 7 and out[1].n_tokens == 7
+    assert out[0].n_dup_grams == 2 and out[1].n_dup_grams == 2
+    # starts 0,1 (doc 0) / 2,3 (doc 1): min(3, 1) + 3 = 4 tokens
+    assert out[0].dup_token_cov == 4 and out[1].dup_token_cov == 4
+    assert abs(out[0].cov_frac - 0.5714) < 1e-9
+    assert out[2].n_dup_grams == 2 and out[2].dup_token_cov == 6
+    assert out[3].n_dup_grams == 0 and out[3].dup_token_cov == 0
+    assert out[3].cov_frac == 0.0
+    assert out[4].n_tokens == 2 and out[4].dup_token_cov == 0
