@@ -1300,6 +1300,55 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def q_video_mp4_frame_sample(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) path end-to-end (round 5): synthesize an
+    MJPEG-in-MP4 blob per doc (10 frames, 16×16, four flat 8×8 blocks
+    valued (doc_id·11 + frame·29 + block·40) mod 256, 3 samples per
+    chunk so the stsc table has TWO runs), then walk the real sample
+    tables (stsc × stsz × stco, stts timing) → sample 4 equally-
+    spaced frames → decode through the real JPEG path.  Flat DC-only
+    blocks round-trip exactly, so the oracle recomputes every decoded
+    pixel arithmetically — the check spans box tree, sample-table
+    reconstruction, Huffman decode, IDCT, and timing math."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.mp4 import (
+        encode_mp4_mjpeg, sample_mp4_frames,
+    )
+    from pg_pb3_ld_spark.functions.video import encode_jpeg_gray_flat
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 150
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(10):
+                    bv = np.array([
+                        [(did * 11 + f * 29) % 256,
+                         (did * 11 + f * 29 + 40) % 256],
+                        [(did * 11 + f * 29 + 80) % 256,
+                         (did * 11 + f * 29 + 120) % 256],
+                    ])
+                    frames.append(encode_jpeg_gray_flat(bv))
+                blobs.append(encode_mp4_mjpeg(frames, 16, 16))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    out = sample_mp4_frames(blobs, n_frames=4)
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "frame_idx", "t_ms", "width", "height",
+        "mean_pixel", "corner00",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_last_wins": q_dedup_last_wins,
     "txn_assembly": q_txn_assembly,
@@ -1336,6 +1385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_frame_sample": q_audio_frame_sample,
     "audio_ulaw_frame_sample": q_audio_ulaw_frame_sample,
     "video_frame_sample": q_video_frame_sample,
+    "video_mp4_frame_sample": q_video_mp4_frame_sample,
     "doc_repetition": q_doc_repetition,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_domain_stats": q_doc_domain_stats,
@@ -2420,6 +2470,28 @@ def _literal_oracles() -> dict[str, str]:
                       + (doc_id * 7 + orig * 31 + 150) % 256) / 4)
                         AS INT) AS mean_pixel,
                    CAST((doc_id * 7 + orig * 31) % 256 AS INT) AS corner00
+            FROM f
+        """,
+        "video_mp4_frame_sample": """
+            -- flat DC-only blocks decode exactly: pixels are
+            -- (doc_id*11 + orig*29 + block*40) % 256; 10 frames at
+            -- timescale 1000 / delta 250, 4 sampled -> orig = k*10//4
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       CAST((k * 10) // 4 AS INT) AS orig
+                FROM documents, range(4) t(k)
+                WHERE doc_id < 150
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(orig * 250 AS INT) AS t_ms,
+                   CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CAST(floor((
+                        CAST((doc_id * 11 + orig * 29) % 256 AS DOUBLE)
+                      + (doc_id * 11 + orig * 29 + 40) % 256
+                      + (doc_id * 11 + orig * 29 + 80) % 256
+                      + (doc_id * 11 + orig * 29 + 120) % 256) / 4)
+                        AS INT) AS mean_pixel,
+                   CAST((doc_id * 11 + orig * 29) % 256 AS INT) AS corner00
             FROM f
         """,
         "audio_frame_sample": """
