@@ -447,6 +447,207 @@ def q_cdc_multi_table(spark, sf_dir):
     )
 
 
+def q_cdc_mor_apply(spark, sf_dir):
+    """Merge-on-read apply (sinks/store.py merge_mor/compact): a
+    THREE-batch deterministic change stream replays through REAL
+    ``merge_mor`` delta commits into a SnapshotStore — no base
+    rewrite per batch — with the even buckets compacted between
+    batches 2 and 3, so the final read resolves a MIX of compacted
+    base files and outstanding delta logs.  Output = the resolved
+    final table state.
+
+    Column-level semantics under test (the part COW gets "for free"
+    from its join but MoR must reconstruct across the delta log):
+    each batch's action per key is its LAST event; event_type maps
+    error→DELETE / click→REPLACE / else PATCH, and each column is
+    wire-present by a modular rule (role: event_id%3=0, text: %2=0,
+    tool: %7=0).  A REPLACE rebuilds the row (absent columns NULL), a
+    DELETE-then-PATCH revives with untouched columns NULL, a PATCH
+    keeps target values for absent columns.  The DuckDB oracle
+    re-derives the same state with barrier/arg_max algebra — so the
+    hash gate checks real cross-delta resolution, not just row
+    membership."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cuts = ev.agg(
+        F.floor(F.max("event_id") / 3).cast("long").alias("c1"),
+        F.floor(F.max("event_id") * 2 / 3).cast("long").alias("c2"),
+    ).collect()[0]
+    c1, c2 = int(cuts["c1"]), int(cuts["c2"])
+
+    def fold_batch(lo_excl, hi_incl):
+        df = ev.where(
+            (F.col("event_id") > lo_excl) & (F.col("event_id") <= hi_incl)
+        ).select(
+            F.concat(F.lit("c"), (F.col("user_id") % 40).cast("string"))
+            .alias("conv_id"),
+            (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+            "event_id",
+            "event_type",
+        )
+        agg = df.groupBy("conv_id", "turn_idx").agg(
+            F.max(F.struct("event_id", "event_type")).alias("_last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        eid = F.col("_last.event_id")
+        kind = (
+            F.when(F.col("_last.event_type") == "error", "DELETE")
+            .when(F.col("_last.event_type") == "click", "REPLACE")
+            .otherwise("PATCH")
+        )
+        is_barrier = kind.isin("REPLACE", "DELETE")
+        cols = [F.col("conv_id"), F.col("turn_idx"), kind.alias("kind")]
+        for name, tag, mod in (
+            ("role", "r", 3), ("text", "t", 2), ("tool", "x", 7)
+        ):
+            present = (eid % mod) == 0
+            val = F.when(
+                present & (kind != "DELETE"),
+                F.concat(F.lit(tag), eid.cast("string")),
+            )
+            cols.append(val.alias(name))
+            cols.append((present | is_barrier).alias(f"{name}_set"))
+        cols += [
+            F.lit(None).cast("timestamp").alias("ts"),
+            is_barrier.alias("ts_set"),
+            eid.alias("last_lsn"),
+            eid.alias("last_frame_seq"),
+            F.col("n_changes"),
+        ]
+        return agg.select(*cols)
+
+    root = tempfile.mkdtemp(prefix="pb3ld_mor_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        store.merge_mor(fold_batch(-1, c1), batch_id=1)
+        store.merge_mor(fold_batch(c1, c2), batch_id=2)
+        store.compact(buckets=[0, 2, 4, 6])
+        store.merge_mor(fold_batch(c2, 1 << 62), batch_id=3)
+        # the resolved state is ≤ (40 convs × 5 turns) rows — collect
+        # before the store dir is removed
+        rows = [
+            (r["conv_id"], int(r["turn_idx"]), r["role"], r["text"],
+             r["tool"])
+            for r in store.read_table()
+            .select("conv_id", "turn_idx", "role", "text", "tool")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string",
+    )
+
+
+def q_cdc_bootstrap(spark, sf_dir):
+    """Initial-load → incremental switchover (store.bootstrap): the
+    pre-cutoff last-write-wins state bulk-loads as the initial
+    snapshot (watermark pinned to the cutoff LSN), then ONE
+    incremental folded batch (events > cutoff) merges on top — the
+    Debezium/DMS "snapshot then stream" pattern against a REAL store.
+    Output = final table state; the oracle recomputes both stages:
+    keys whose pre-cutoff last event was a delete are ABSENT from the
+    snapshot (a post-cutoff patch re-inserts them), and post-cutoff
+    deletes drop bootstrapped rows."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = int(
+        ev.agg(
+            F.floor(F.max("event_id") / 2).cast("long").alias("c")
+        ).collect()[0]["c"]
+    )
+
+    keyed = ev.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 40).cast("string"))
+        .alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        "event_id",
+        "event_type",
+    )
+
+    def last_per_key(df):
+        return df.groupBy("conv_id", "turn_idx").agg(
+            F.max(F.struct("event_id", "event_type")).alias("_last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+
+    # stage 1: the consistent initial snapshot (pre-cutoff LWW state,
+    # deleted keys absent)
+    snap = (
+        last_per_key(keyed.where(F.col("event_id") <= cutoff))
+        .where(F.col("_last.event_type") != "error")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lit(None).cast("string").alias("role"),
+            F.concat(
+                F.lit("t"), F.col("_last.event_id").cast("string")
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+
+    # stage 2: the incremental tail as ONE folded batch
+    tail = last_per_key(keyed.where(F.col("event_id") > cutoff)).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("_last.event_type") == "error", "DELETE")
+        .otherwise("PATCH")
+        .alias("kind"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(False).alias("role_set"),
+        F.concat(
+            F.lit("t"), F.col("_last.event_id").cast("string")
+        ).alias("text"),
+        F.lit(True).alias("text_set"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(False).alias("tool_set"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(False).alias("ts_set"),
+        F.col("_last.event_id").alias("last_lsn"),
+        F.col("_last.event_id").alias("last_frame_seq"),
+        "n_changes",
+    )
+
+    root = tempfile.mkdtemp(prefix="pb3ld_boot_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        store.bootstrap(snap, as_of=(cutoff, cutoff), batch_id=0)
+        store.merge(tail, batch_id=1)
+        rows = [
+            (r["conv_id"], int(r["turn_idx"]), r["text"])
+            for r in store.read_table()
+            .select("conv_id", "turn_idx", "text")
+            .collect()
+        ]
+        hwm_lsn, _ = store.hwm()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    return out.withColumn("hwm_lsn", F.lit(hwm_lsn).cast("long"))
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-data staple): documents
     with doc_id % 37 == 0 act as the eval/benchmark set; every other
@@ -722,6 +923,61 @@ def q_doc_quality(spark, sf_dir):
         textops.quality_score(F.col("text"), toks).alias("quality"),
         textops.fingerprint(F.col("text")).alias("fp"),
     )
+
+
+def q_doc_lm_ppl(spark, sf_dir):
+    """Bigram-LM perplexity filter (textops.lm_bigram_scores): add-1
+    smoothed bigram model self-trained on the corpus, every document
+    scored by mean bigram NLL — the CCNet-style quality signal.
+    avg_nll floored at 4 decimals for a stable cross-engine hash."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    out = textops.lm_bigram_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(F.col("avg_nll") * 10000) / 10000).alias("avg_nll_r"),
+    )
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: k=50 docs per language
+    stratum, ranked by md5(doc_id) (a portable, seedless random
+    order) — the exact-quota sampler a data-mixture pipeline uses.
+    One shuffle (window per stratum); at 100 TB the same plan holds
+    because strata partition the data."""
+    docs = _documents(spark, sf_dir)
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(order, F.col("doc_id"))
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= 50)
+    )
+
+
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup against a historical corpus (the
+    per-ingest-batch dedup of a continuously-crawled dataset): docs
+    with doc_id % 3 == 0 are 'history'; a new doc survives iff its
+    content hash never appeared in history.  The history side
+    collapses to DISTINCT hashes before a broadcast anti-join — the
+    index, not the corpus, is what ships to the executors."""
+    docs = _documents(spark, sf_dir)
+    h = F.md5(F.col("text"))
+    history = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(h.alias("content_md5"))
+        .distinct()
+    )
+    fresh = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", h.alias("content_md5")
+    )
+    return fresh.join(
+        F.broadcast(history), "content_md5", "left_anti"
+    ).select("doc_id", "content_md5")
 
 
 def _cosine_expr():
@@ -1361,6 +1617,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_txn_suppression": q_empty_txn_suppression,
     "cdc_lineage": q_cdc_lineage,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_mor_apply": q_cdc_mor_apply,
+    "cdc_bootstrap": q_cdc_bootstrap,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -1375,6 +1633,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_regex_tokens": q_doc_regex_tokens,
     "emb_neardup_clusters": q_emb_neardup_clusters,
     "doc_quality": q_doc_quality,
+    "doc_lm_ppl": q_doc_lm_ppl,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_banded_topk": q_ann_banded_topk,
@@ -2130,6 +2391,140 @@ def _literal_oracles() -> dict[str, str]:
             SELECT tbl, k1, k2, val
             FROM last WHERE rn = 1 AND event_type <> 'error'
         """,
+        "cdc_mor_apply": """
+            WITH cuts AS (
+                SELECT CAST(floor(max(event_id) / 3) AS BIGINT) AS c1,
+                       CAST(floor(max(event_id) * 2 / 3) AS BIGINT) AS c2
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 40 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 5 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT c1 FROM cuts) THEN 1
+                            WHEN event_id <= (SELECT c2 FROM cuts) THEN 2
+                            ELSE 3 END AS batch
+                FROM events
+            ),
+            lastev AS (
+                SELECT conv_id, turn_idx, batch, event_id,
+                       CASE WHEN event_type = 'error' THEN 'DELETE'
+                            WHEN event_type = 'click' THEN 'REPLACE'
+                            ELSE 'PATCH' END AS kind
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            cols AS (
+                SELECT conv_id, turn_idx, batch, kind,
+                       CASE WHEN event_id % 3 = 0 AND kind <> 'DELETE'
+                            THEN concat('r', CAST(event_id AS VARCHAR))
+                            END AS role_v,
+                       (event_id % 3 = 0
+                        OR kind IN ('REPLACE', 'DELETE')) AS role_s,
+                       CASE WHEN event_id % 2 = 0 AND kind <> 'DELETE'
+                            THEN concat('t', CAST(event_id AS VARCHAR))
+                            END AS text_v,
+                       (event_id % 2 = 0
+                        OR kind IN ('REPLACE', 'DELETE')) AS text_s,
+                       CASE WHEN event_id % 7 = 0 AND kind <> 'DELETE'
+                            THEN concat('x', CAST(event_id AS VARCHAR))
+                            END AS tool_v,
+                       (event_id % 7 = 0
+                        OR kind IN ('REPLACE', 'DELETE')) AS tool_s
+                FROM lastev
+            ),
+            bar AS (
+                SELECT conv_id, turn_idx,
+                       max(batch) FILTER (
+                           WHERE kind IN ('REPLACE', 'DELETE')
+                       ) AS barrier,
+                       max(batch) AS last_b
+                FROM cols GROUP BY conv_id, turn_idx
+            ),
+            alive AS (
+                SELECT b.conv_id, b.turn_idx, b.barrier
+                FROM bar b
+                JOIN cols lk ON lk.conv_id = b.conv_id
+                    AND lk.turn_idx = b.turn_idx AND lk.batch = b.last_b
+                WHERE lk.kind <> 'DELETE'
+            ),
+            picks AS (
+                SELECT c.conv_id, c.turn_idx,
+                       max(c.batch) FILTER (WHERE c.role_s
+                           AND (a.barrier IS NULL
+                                OR c.batch >= a.barrier)) AS rb,
+                       max(c.batch) FILTER (WHERE c.text_s
+                           AND (a.barrier IS NULL
+                                OR c.batch >= a.barrier)) AS tb,
+                       max(c.batch) FILTER (WHERE c.tool_s
+                           AND (a.barrier IS NULL
+                                OR c.batch >= a.barrier)) AS xb
+                FROM cols c
+                JOIN alive a USING (conv_id, turn_idx)
+                GROUP BY c.conv_id, c.turn_idx
+            )
+            SELECT p.conv_id, p.turn_idx,
+                   cr.role_v AS role, ct.text_v AS text,
+                   cx.tool_v AS tool
+            FROM picks p
+            LEFT JOIN cols cr ON cr.conv_id = p.conv_id
+                AND cr.turn_idx = p.turn_idx AND cr.batch = p.rb
+            LEFT JOIN cols ct ON ct.conv_id = p.conv_id
+                AND ct.turn_idx = p.turn_idx AND ct.batch = p.tb
+            LEFT JOIN cols cx ON cx.conv_id = p.conv_id
+                AND cx.turn_idx = p.turn_idx AND cx.batch = p.xb
+        """,
+        "cdc_bootstrap": """
+            WITH c AS (
+                SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 40 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 5 AS INT) AS turn_idx,
+                       event_id, event_type
+                FROM events
+            ),
+            snap AS (
+                SELECT conv_id, turn_idx, event_id, event_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY event_id DESC
+                    ) AS rn
+                    FROM ek WHERE event_id <= (SELECT c FROM c)
+                ) WHERE rn = 1 AND event_type <> 'error'
+            ),
+            tail AS (
+                SELECT conv_id, turn_idx, event_id, event_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY event_id DESC
+                    ) AS rn
+                    FROM ek WHERE event_id > (SELECT c FROM c)
+                ) WHERE rn = 1
+            ),
+            merged AS (
+                SELECT COALESCE(t.conv_id, s.conv_id) AS conv_id,
+                       COALESCE(t.turn_idx, s.turn_idx) AS turn_idx,
+                       CASE WHEN t.conv_id IS NULL
+                            THEN concat('t', CAST(s.event_id AS VARCHAR))
+                            ELSE concat('t', CAST(t.event_id AS VARCHAR))
+                            END AS text,
+                       COALESCE(t.event_type, 'keep') AS final_type
+                FROM snap s
+                FULL OUTER JOIN tail t
+                  ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+            )
+            SELECT conv_id, turn_idx, text,
+                   (SELECT max(event_id) FROM ek) AS hwm_lsn
+            FROM merged WHERE final_type <> 'error'
+        """,
         "cdc_lineage": """
             WITH c AS (
                 SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c
@@ -2522,5 +2917,60 @@ def _literal_oracles() -> dict[str, str]:
                        AS ttr,
                    length(text) AS n_chars_actual
             FROM documents
+        """,
+        "doc_lm_ppl": """
+            WITH ts AS (
+                SELECT doc_id, string_split(text, ' ') AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, l[i] AS w, i
+                FROM ts, unnest(generate_series(1, len(l))) AS g(i)
+            ),
+            bg AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM toks a
+                JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+            v AS (
+                SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+            ),
+            sc AS (
+                SELECT g.doc_id,
+                       -ln((COALESCE(c.c2, 0) + 1.0)
+                           / (u.c1 + (SELECT v FROM v))) AS nll
+                FROM bg g
+                LEFT JOIN (
+                    SELECT w1, w2, count(*) AS c2
+                    FROM bg GROUP BY w1, w2
+                ) c USING (w1, w2)
+                JOIN uni u ON u.w = g.w1
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   floor(avg(nll) * 10000) / 10000 AS avg_nll_r
+            FROM sc GROUP BY doc_id
+        """,
+        "doc_stratified_sample": """
+            SELECT lang, doc_id, rank FROM (
+                SELECT lang, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS INT) AS rank
+                FROM documents
+            ) WHERE rank <= 50
+        """,
+        "doc_incremental_dedup": """
+            SELECT d.doc_id, md5(d.text) AS content_md5
+            FROM documents d
+            WHERE d.doc_id % 3 <> 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents h
+                  WHERE h.doc_id % 3 = 0
+                    AND md5(h.text) = md5(d.text)
+              )
         """,
     }

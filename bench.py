@@ -378,6 +378,78 @@ def bench_skew(spark) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_mor(spark) -> dict:
+    """Merge-on-read apply: the SAME cached stream as the COW
+    headline, replayed via ``merge_mor`` delta commits (no base
+    rewrite per batch), then one trailing full compaction.  Records
+    ingest time, compaction time, and the resolved-read check so the
+    COW-vs-MoR write-amplification trade is measured, not asserted.
+    At 10^10 events the point: MoR ingest cost scales with the BATCH,
+    COW with the touched buckets' total rows."""
+    from pyspark.sql import functions as F
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    frames_path, info = cached_stream()
+    frames = spark.read.parquet(frames_path)
+    n_frames = info["n_frames"]
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184", decode_parallelism=DECODE_PAR,
+    )
+    workdir = tempfile.mkdtemp(prefix="pb3ld_mor_")
+    try:
+        def apply_once(rnd: int):
+            store = SnapshotStore.create(
+                spark, os.path.join(workdir, f"t{rnd}"),
+                transcripts_schema(), num_buckets=max(CPUS, 8),
+            )
+            pipe = IngestPipeline(spark, store, cfg, apply_mode="mor")
+            t0 = time.time()
+            step = (n_frames + N_BATCHES - 1) // N_BATCHES
+            for b in range(1, N_BATCHES):
+                pipe.apply_frames(
+                    frames.where(F.col("frame_seq") < b * step),
+                    batch_id=b,
+                )
+            pipe.apply_frames(frames, batch_id=N_BATCHES)
+            ingest = time.time() - t0
+            t0 = time.time()
+            store.compact()
+            compact = time.time() - t0
+            return round(ingest, 2), round(compact, 2), store
+
+        apply_once(99)  # warm
+        raws, compacts = [], []
+        store = None
+        for rnd in range(2):
+            waited = 0
+            while os.getloadavg()[0] > 2.0 and waited < 120:
+                time.sleep(10)
+                waited += 10
+            ing, comp, store = apply_once(rnd)
+            raws.append(ing)
+            compacts.append(comp)
+        best = min(raws)
+        return {
+            "ingest_best_sec": best,
+            "ingest_raw_runs_sec": raws,
+            "compact_best_sec": min(compacts),
+            "compact_raw_runs_sec": compacts,
+            "events_per_sec_ingest": round(info["n_changes"] / best, 1),
+            "events_per_sec_with_compaction": round(
+                info["n_changes"] / (best + min(compacts)), 1
+            ),
+            "final_rows": store.read_table().count() if store else 0,
+            "n_changes": info["n_changes"],
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def bench_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
@@ -407,9 +479,12 @@ def main():
     try:
         cdc = bench_cdc_apply(spark)
         skew = bench_skew(spark)
+        mor = bench_mor(spark)
         queries = {"cdc_apply": cdc["elapsed_sec"]}
         queries["cdc_apply_storm_unsalted"] = skew["unsalted"]["best_sec"]
         queries["cdc_apply_storm_salted"] = skew["salted"]["best_sec"]
+        queries["cdc_apply_mor_ingest"] = mor["ingest_best_sec"]
+        queries["cdc_apply_mor_compact"] = mor["compact_best_sec"]
         queries.update(bench_queries(spark))
         result = {
             "metric": "change-events/sec applied (MERGE throughput)",
@@ -418,7 +493,7 @@ def main():
             "queries": queries,
             "sf": SF_DIR,
             "cpus": CPUS,
-            "detail": {**cdc, "skew": skew},
+            "detail": {**cdc, "skew": skew, "mor": mor},
         }
         print(json.dumps(result))
     finally:

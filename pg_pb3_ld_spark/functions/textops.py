@@ -370,3 +370,74 @@ def pack_sequences(df, budget: int, shard_col: str = "shard",
         last.cast("long").alias("last_chunk"),
         (last - first + 1).cast("long").alias("n_chunks"),
     )
+
+
+def lm_bigram_scores(df, id_col: str = "doc_id", text_col: str = "text",
+                     add_k: float = 1.0):
+    """Bigram language-model scoring (KenLM-style quality signal,
+    self-trained): train add-k-smoothed bigram counts over the whole
+    corpus, then score every document by the mean negative log
+    probability of its bigrams — low = fluent/common phrasing, high =
+    noise.  This is the classic "perplexity filter" of web-scale
+    pretraining pipelines (CCNet et al.), expressed entirely in
+    Catalyst:
+
+    * unigram/bigram counts: two hash aggregates over exploded
+      tokens (map-side partial combine collapses repeats before the
+      shuffle — the same skew story as the CDC fold);
+    * p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V) with V = |vocab|;
+    * doc score: one shuffle join of the doc's bigrams against the
+      bigram-count table keyed (w1,w2), plus a join on w1 for the
+      denominator; both are plain shuffle hash joins that scale out
+      (at 100 TB, train counts on a sample and broadcast the top-K
+      table instead — same plan shape, smaller build side).
+
+    Output: (id_col, n_bigrams, avg_nll, ppl); single-token and
+    empty documents drop out (no bigrams to score).
+    """
+    toks = tokens(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni_counts.select(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    bi_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+
+    scored = (
+        pairs.join(bi_counts, ["w1", "w2"], "left")
+        .join(uni_counts.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(vocab)
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(add_k))
+                    / (F.coalesce(F.col("c1"), F.lit(0))
+                       + F.lit(add_k) * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("nll").alias("avg_nll"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )

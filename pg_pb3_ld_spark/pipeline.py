@@ -64,6 +64,15 @@ class IngestPipeline:
     salt: int = 0                  # D8 explicit two-phase fold knob
     evolve_schema: bool = True     # D7
     profile: bool = False          # stamp per-phase wall times
+    # "cow": classic copy-on-write MERGE (read+join+rewrite touched
+    # buckets).  "mor": merge-on-read delta commits — write cost
+    # proportional to the BATCH, reads resolve the delta log, and
+    # buckets whose outstanding delta-file count reaches
+    # ``compact_min_deltas`` are folded back into base files right
+    # after the commit (0 = never auto-compact; call
+    # ``store.compact()`` from a background maintenance job instead).
+    apply_mode: str = "cow"
+    compact_min_deltas: int = 0
 
     def apply_frames(
         self,
@@ -82,6 +91,11 @@ class IngestPipeline:
         """
         import time as _time
 
+        if self.apply_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"apply_mode must be 'cow' or 'mor', got "
+                f"{self.apply_mode!r}"
+            )
         hwm_lsn, hwm_frame = self.store.hwm()
         fresh = frames_df.where(
             (F.col("lsn") > hwm_lsn)
@@ -204,10 +218,23 @@ class IngestPipeline:
                 metrics = {"applied_keys": 0, "applied_changes": 0,
                            "skipped": True}
             else:
-                metrics = self.store.merge(
+                apply = (
+                    self.store.merge_mor
+                    if self.apply_mode == "mor"
+                    else self.store.merge
+                )
+                metrics = apply(
                     folded, schema=schema, batch_id=batch_id,
                     hwm_override=batch_hwm,
                 )
+                if (
+                    self.apply_mode == "mor"
+                    and self.compact_min_deltas > 0
+                ):
+                    c = self.store.compact(
+                        min_deltas=self.compact_min_deltas
+                    )
+                    metrics["compaction"] = c
             times["merge"] = _time.time() - t0
         finally:
             typed_all.unpersist()

@@ -120,6 +120,7 @@ class SnapshotStore:
             "num_buckets": num_buckets,
             "hot_split_rows": int(hot_split_rows),
             "files": {},           # bucket -> dir relpath; absent = empty
+            "deltas": {},          # bucket -> ordered MoR delta dirs
             "hwm": {"lsn": -1, "frame_seq": -1},
             "lineage": {},
             "committed_at": time.time(),
@@ -200,17 +201,21 @@ class SnapshotStore:
 
     # ------------------------------------------------------- properties
 
-    @property
-    def schema(self) -> TargetSchema:
+    @staticmethod
+    def _schema_from(meta: dict) -> TargetSchema:
         return TargetSchema(
-            self._meta["table"],
+            meta["table"],
             [
                 TargetColumn(
                     c["name"], c["type_oid"], c["spark_type"], c["is_key"]
                 )
-                for c in self._meta["columns"]
+                for c in meta["columns"]
             ],
         )
+
+    @property
+    def schema(self) -> TargetSchema:
+        return self._schema_from(self._meta)
 
     @property
     def num_buckets(self) -> int:
@@ -243,17 +248,50 @@ class SnapshotStore:
             "int"
         )
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state (optionally bucket-pruned) + ``_bucket``.
+    def _meta_for(self, as_of: int | None) -> dict:
+        """Manifest for a time-travel read (``as_of`` = snapshot id;
+        None = current).  Every commit keeps its full manifest in its
+        snapshot dir, so any un-expired snapshot is readable — the
+        Iceberg ``VERSION AS OF`` surface."""
+        if as_of is None:
+            return self._meta
+        path = os.path.join(
+            self.root, "snapshots", f"{as_of:06d}", "meta.json"
+        )
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            raise ValueError(
+                f"snapshot {as_of} does not exist (or was expired by "
+                "expire_snapshots) — history() lists readable snapshots"
+            )
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Table state (optionally bucket-pruned) + ``_bucket``.
 
         ``_bucket`` is recomputed from ``conv_id`` (deterministic
         xxhash64), so data files stay partition-layout-agnostic.
         Files written under different snapshots may carry different
         column sets (additive evolution); the explicit schema fills
         missing columns with NULLs.
+
+        Buckets with outstanding MoR delta files (``merge_mor``) are
+        resolved on read: base rows fold with the delta log under the
+        same last-write-wins-per-column algebra the COW merge uses —
+        a merge-on-read scan, Iceberg-v2 style.
+
+        ``as_of``: read a PAST snapshot by id (time travel) — the
+        state exactly as that commit published it, including its
+        schema version and its outstanding deltas.
         """
-        schema = self.schema
-        files = self._meta["files"]
+        meta = self._meta_for(as_of)
+        schema = self._schema_from(meta)
+        files = meta["files"]
         sel = {
             int(b): path
             for b, path in files.items()
@@ -270,10 +308,24 @@ class SnapshotStore:
                 .option("recursiveFileLookup", "true")
                 .parquet(*paths)
             )
+        deltas = meta.get("deltas", {})
+        dpaths = [
+            os.path.join(self.root, rel)
+            for b, rels in deltas.items()
+            if buckets is None or int(b) in buckets
+            for rel in rels
+        ]
+        if dpaths:
+            ddf = (
+                self.spark.read.schema(self._delta_ddl(schema))
+                .option("recursiveFileLookup", "true")
+                .parquet(*dpaths)
+            )
+            df = self._resolve(df, ddf, schema)
         return df.withColumn("_bucket", self.bucket_expr(key0))
 
-    def read_table(self) -> DataFrame:
-        return self.read().drop("_bucket")
+    def read_table(self, as_of: int | None = None) -> DataFrame:
+        return self.read(as_of=as_of).drop("_bucket")
 
     @staticmethod
     def _bucket_row_counts(data_dir: str) -> dict[int, int]:
@@ -519,11 +571,16 @@ class SnapshotStore:
                 for d in os.listdir(data_dir)
                 if d.startswith("_bucket=")
             }
+            deltas = dict(self._meta.get("deltas", {}))
             for b in affected:
                 if b in written:
                     files[str(b)] = written[b]
                 else:
                     files.pop(str(b), None)  # bucket emptied by deletes
+                # a COW rewrite folds any outstanding MoR deltas for
+                # the bucket into the new base files (read() resolves
+                # them into `tgt`) — the delta log is now absorbed
+                deltas.pop(str(b), None)
 
             old_lsn, old_frame = self.hwm()
             if hwm_override is not None:
@@ -564,6 +621,7 @@ class SnapshotStore:
                     for c in schema.columns
                 ],
                 "files": files,
+                "deltas": deltas,
                 "hwm": {
                     "lsn": max(old_lsn, batch_lsn),
                     "frame_seq": max(old_frame, batch_frame),
@@ -579,143 +637,7 @@ class SnapshotStore:
                 f.flush()
                 os.fsync(f.fileno())
 
-            # Commit protocol (optimistic concurrency — the Iceberg
-            # CommitFailedException analog):
-            # 1. the commit is valid only against the base snapshot
-            #    this merge read from — re-check the pointer;
-            # 2. claim the snapshot id by ATOMICALLY renaming the
-            #    staging dir into place (rename onto a non-empty dir
-            #    fails, so two writers can never both own an id);
-            # 3. publish via the fsynced pointer swap.
-            # A rename collision is reclaimed ONLY when the dir is
-            # provably dead: the recovered-over damaged snapshot, or an
-            # orphan older than ORPHAN_LEASE_SEC.  Anything younger may
-            # be a concurrent writer between ITS rename and pointer
-            # swap, so the collision fails loudly instead.  The caller
-            # refreshes and retries (idempotent via the watermark).
-            def _pointer() -> int | None:
-                try:
-                    with open(os.path.join(self.root, MANIFEST)) as f:
-                        return json.load(f)["snapshot"]
-                except FileNotFoundError:
-                    return None
-
-            recovered = getattr(self, "_recovered_pointer", None)
-            cur = _pointer()
-            if cur != self.snapshot_id and cur != recovered:
-                raise CommitConflictError(
-                    f"concurrent commit detected: base snapshot "
-                    f"{self.snapshot_id} but manifest now points at "
-                    f"{cur} — refresh() and retry the merge"
-                )
-            snap_dir = os.path.join(self.root, snap_rel)
-            try:
-                os.rename(stage_dir, snap_dir)
-            except OSError:
-                cur = _pointer()
-                if (
-                    cur is not None and cur >= new_id
-                    and cur != recovered
-                ):
-                    raise CommitConflictError(
-                        f"concurrent commit detected: snapshot {new_id} "
-                        f"already committed (manifest at {cur}) — "
-                        "refresh() and retry the merge"
-                    )
-                # Reclaims must be MUTUALLY EXCLUSIVE: two writers can
-                # both judge the same dir dead (both saw the recovered
-                # pointer, or both aged the same orphan past the lease)
-                # and a bare rmtree+rename would let the second rmtree
-                # delete the first writer's fully-renamed snapshot
-                # before its pointer swap — one merge silently lost
-                # while both report success.  Claim the name first by
-                # ATOMICALLY renaming the dead dir to a unique trash
-                # name (os.rename raises for the loser), then rmtree
-                # the trash at leisure.
-                def _reclaim(expected_mtime: float | None = None) -> None:
-                    import uuid as _uuid
-
-                    trash = snap_dir + ".trash-" + _uuid.uuid4().hex
-                    try:
-                        os.rename(snap_dir, trash)
-                    except OSError:
-                        # another writer won the claim — conflict
-                        raise CommitConflictError(
-                            f"snapshot dir {new_id} reclaimed by a "
-                            "concurrent writer — refresh() and retry "
-                            "the merge"
-                        )
-                    if expected_mtime is not None:
-                        # TOCTOU re-verify AFTER the claim: between
-                        # this writer's staleness stat and its rename,
-                        # another reclaimer may have completed its
-                        # ENTIRE reclaim + stage-rename (+ pointer
-                        # swap), making the name a LIVE snapshot — a
-                        # different dir incarnation, detectable by its
-                        # mtime differing from the one the staleness
-                        # check saw.  Restore the stolen dir and
-                        # conflict instead of destroying a committed
-                        # merge.
-                        try:
-                            now_mtime = os.stat(trash).st_mtime
-                        except OSError:
-                            now_mtime = None
-                        if now_mtime != expected_mtime:
-                            try:
-                                os.rename(trash, snap_dir)
-                            except OSError:
-                                pass  # name re-taken — trash kept for audit
-                            raise CommitConflictError(
-                                f"snapshot dir {new_id} was replaced by a "
-                                "live commit during reclaim — refresh() "
-                                "and retry the merge"
-                            )
-                    shutil.rmtree(trash, ignore_errors=True)
-                    try:
-                        os.rename(stage_dir, snap_dir)
-                    except OSError:
-                        # a concurrent writer renamed ITS snapshot into
-                        # the freed name between our rmtree and rename
-                        raise CommitConflictError(
-                            f"snapshot dir {new_id} claimed by a "
-                            "concurrent commit during reclaim — "
-                            "refresh() and retry the merge"
-                        )
-
-                if recovered is not None and cur == recovered:
-                    # damaged (recovered-over) snapshot: the pointer was
-                    # rolled back past it at open time, so the dir is
-                    # unreachable by every reader and owned by THIS
-                    # writer's recovery — safe to reclaim the name.
-                    _reclaim()
-                else:
-                    # The pointer not having advanced does NOT prove the
-                    # colliding dir is a crashed orphan: a concurrent
-                    # writer sits in exactly this state between its
-                    # successful rename and its pointer swap — rmtree
-                    # here would destroy its fully-written snapshot and
-                    # silently lose its merge.  Only staleness can tell
-                    # the two apart: reclaim only if the dir predates
-                    # the commit lease; otherwise conflict and let the
-                    # caller refresh() + retry (by then the in-flight
-                    # writer has swapped the pointer, or a true orphan
-                    # has aged past the lease).
-                    try:
-                        seen_mtime = os.stat(snap_dir).st_mtime
-                        age = time.time() - seen_mtime
-                    except OSError:
-                        age = None  # dir vanished → live racing writer
-                    if age is not None and age > self.ORPHAN_LEASE_SEC:
-                        _reclaim(expected_mtime=seen_mtime)
-                    else:
-                        raise CommitConflictError(
-                            f"snapshot dir {new_id} already claimed by "
-                            "an in-flight commit (pointer not yet "
-                            "swapped) — refresh() and retry the merge"
-                        )
-            self._swap_pointer(self.root, new_id)
-            self._meta = meta
-            self._recovered_pointer = None  # damage superseded
+            self._commit_staged(stage_dir, new_id, meta)
 
             return {
                 "merge_phase_sec": {k: round(v, 2) for k, v in _t.items()},
@@ -733,3 +655,688 @@ class SnapshotStore:
             # un-renamed staging (failed/conflicted commit) is garbage
             if stage_dir and os.path.exists(stage_dir):
                 shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # --------------------------------------------------- merge-on-read
+
+    @staticmethod
+    def _delta_ddl(schema: TargetSchema) -> str:
+        """Explicit read schema for MoR delta files: the folded-batch
+        columns plus ``_delta_seq``.  Older delta files written before
+        an additive evolution lack the new columns; the explicit
+        schema fills both ``<c>`` and ``<c>_set`` with NULL, and the
+        resolution treats a NULL set-flag as not-present."""
+        parts = [f"{c.name} {c.spark_type}" for c in schema.key_columns]
+        parts.append("kind string")
+        for c in schema.value_columns:
+            parts.append(f"{c.name} {c.spark_type}")
+            parts.append(f"{c.name}_set boolean")
+        parts += [
+            "last_lsn bigint",
+            "last_frame_seq bigint",
+            "n_changes bigint",
+            "_delta_seq bigint",
+        ]
+        return ", ".join(parts)
+
+    @staticmethod
+    def _resolve(
+        base: DataFrame, ddf: DataFrame, schema: TargetSchema
+    ) -> DataFrame:
+        """Fold base rows + the ordered delta log to current state.
+
+        The algebra is the cross-batch generalization of the intra-
+        batch fold (operators/fold.py): every contribution is a
+        ``max(struct(seq, …))`` keyed by ``_delta_seq`` (snapshot id —
+        strictly increasing, one row per key per delta at most, so the
+        order is total).  A base row participates as a full-row
+        barrier at seq = -1:
+
+        * final kind DELETE           → row dropped
+        * barrier = latest BASE/REPLACE/DELETE row; a column's value
+          is its latest set-flagged value at-or-after the barrier
+          (REPLACE rebuilds, DELETE-then-PATCH re-inserts with
+          untouched columns NULL — byte-identical to replaying the
+          same batches through the COW merge)
+
+        Associative + commutative aggregates → map-side partial
+        combining; the only shuffle is one hash aggregate over the
+        key columns of the touched buckets."""
+        keys = [c.name for c in schema.key_columns]
+        vals = [c.name for c in schema.value_columns]
+
+        base_cols = [F.col(k) for k in keys] + [F.lit("BASE").alias("kind")]
+        for c in vals:
+            base_cols.append(F.col(c))
+            base_cols.append(F.lit(True).alias(f"{c}_set"))
+        base_cols += [
+            F.lit(None).cast("bigint").alias("last_lsn"),
+            F.lit(None).cast("bigint").alias("last_frame_seq"),
+            F.lit(None).cast("bigint").alias("n_changes"),
+            F.lit(-1).cast("bigint").alias("_delta_seq"),
+        ]
+        union = base.select(*base_cols).unionByName(ddf)
+
+        seq = F.col("_delta_seq")
+        aggs = [
+            F.max(F.struct(seq.alias("s"), F.col("kind").alias("k"))).alias(
+                "_last"
+            ),
+            F.max(
+                F.when(
+                    F.col("kind").isin("BASE", "REPLACE", "DELETE"),
+                    F.struct(seq.alias("s"), F.col("kind").alias("k")),
+                )
+            ).alias("_barrier"),
+        ]
+        for c in vals:
+            aggs.append(
+                F.max(
+                    F.when(
+                        F.col(f"{c}_set"),
+                        F.struct(seq.alias("s"), F.col(c).alias("v")),
+                    )
+                ).alias(f"_lv_{c}")
+            )
+        agg = union.groupBy(*keys).agg(*aggs)
+
+        barrier_s = F.col("_barrier").getField("s")
+        out = [F.col(k) for k in keys]
+        for c in vals:
+            lv = F.col(f"_lv_{c}")
+            valid = lv.isNotNull() & (
+                F.col("_barrier").isNull() | (lv.getField("s") >= barrier_s)
+            )
+            out.append(F.when(valid, lv.getField("v")).alias(c))
+        return agg.where(F.col("_last").getField("k") != "DELETE").select(
+            *out
+        )
+
+    def merge_mor(
+        self,
+        folded: DataFrame,
+        schema: TargetSchema | None = None,
+        batch_id: int | None = None,
+        hwm_override: tuple[int, int] | None = None,
+    ) -> dict:
+        """Apply one folded change batch as a MERGE-ON-READ delta
+        commit: the folded rows are appended as bucket-partitioned
+        delta files — no target read, no join, no base rewrite — and
+        reads resolve base+deltas until ``compact()`` folds them in.
+
+        This is the high-throughput ingest path at 10^10 events: a
+        COW merge's write cost is proportional to the TOUCHED BUCKETS'
+        total rows (read + join + rewrite), a MoR commit's to the
+        BATCH alone.  Write amplification moves to the readers and is
+        reclaimed in bulk by compaction (Iceberg v2 / Hudi MOR
+        semantics).  Watermark, lineage, additive schema evolution,
+        and the atomic-rename commit protocol are identical to
+        ``merge`` — a stream may interleave the two freely (a COW
+        merge absorbs any outstanding deltas for its buckets)."""
+        import time as _time
+
+        schema = schema or self.schema
+        keys = [c.name for c in schema.key_columns]
+        vals = [c.name for c in schema.value_columns]
+        _t: dict[str, float] = {}
+
+        src = folded.withColumn("_bucket", self.bucket_expr(keys[0]))
+        src = src.persist()
+        stage_dir = None
+        try:
+            _t0 = _time.time()
+            stats = src.groupBy("_bucket").agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(
+                    F.when(F.col("kind") == "DELETE", 1).otherwise(0)
+                ).alias("n_del"),
+                F.sum("n_changes").alias("n_changes"),
+                F.min("last_lsn").alias("lsn_min"),
+                F.max("last_lsn").alias("lsn_max"),
+                F.max("last_frame_seq").alias("frame_max"),
+            ).collect()
+            _t["stats"] = _time.time() - _t0
+            if not stats:
+                return {"applied_keys": 0, "skipped": True}
+            affected = sorted(int(r["_bucket"]) for r in stats)
+
+            import uuid as _uuid
+
+            new_id = self.snapshot_id + 1
+            snap_rel = os.path.join("snapshots", f"{new_id:06d}")
+            stage_rel = os.path.join("staging", _uuid.uuid4().hex)
+            stage_dir = os.path.join(self.root, stage_rel)
+            delta_dir = os.path.join(stage_dir, "delta")
+            os.makedirs(delta_dir)
+
+            out_cols = (
+                [F.col("_bucket")]
+                + [F.col(k) for k in keys]
+                + [F.col("kind")]
+            )
+            for c in vals:
+                out_cols += [F.col(c), F.col(f"{c}_set")]
+            out_cols += [
+                F.col("last_lsn"),
+                F.col("last_frame_seq"),
+                F.col("n_changes"),
+                F.lit(new_id).cast("bigint").alias("_delta_seq"),
+            ]
+
+            _t0 = _time.time()
+            (
+                src.select(*out_cols)
+                .repartition(max(len(affected), 1), F.col("_bucket"))
+                .sortWithinPartitions(*keys)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(delta_dir)
+            )
+            _t["write"] = _time.time() - _t0
+
+            deltas = {
+                k: list(v)
+                for k, v in self._meta.get("deltas", {}).items()
+            }
+            for d in os.listdir(delta_dir):
+                if not d.startswith("_bucket="):
+                    continue
+                b = d.split("=")[1]
+                deltas.setdefault(b, []).append(
+                    os.path.join(snap_rel, "delta", d)
+                )
+
+            old_lsn, old_frame = self.hwm()
+            if hwm_override is not None:
+                batch_lsn, batch_frame = hwm_override
+            else:
+                batch_lsn = max(int(r["lsn_max"]) for r in stats)
+                batch_frame = max(int(r["frame_max"]) for r in stats)
+            lineage = dict(self._meta["lineage"])
+            for r in stats:
+                b = int(r["_bucket"])
+                prev = dict(lineage.get(str(b), {}))
+                prev.update(
+                    {
+                        "last_batch": batch_id,
+                        "keys": int(r["n_keys"]),
+                        "deletes": int(r["n_del"]),
+                        "changes": int(r["n_changes"]),
+                        "lsn_range": [
+                            int(r["lsn_min"]),
+                            int(r["lsn_max"]),
+                        ],
+                        "delta_files": len(deltas.get(str(b), [])),
+                    }
+                )
+                lineage[str(b)] = prev
+            meta = {
+                **self._meta,
+                "snapshot_id": new_id,
+                "parent": self.snapshot_id,
+                "columns": [
+                    {
+                        "name": c.name,
+                        "type_oid": c.type_oid,
+                        "spark_type": c.spark_type,
+                        "is_key": c.is_key,
+                    }
+                    for c in schema.columns
+                ],
+                "deltas": deltas,
+                "hwm": {
+                    "lsn": max(old_lsn, batch_lsn),
+                    "frame_seq": max(old_frame, batch_frame),
+                },
+                "lineage": lineage,
+                "committed_at": time.time(),
+            }
+            with open(os.path.join(stage_dir, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+
+            self._commit_staged(stage_dir, new_id, meta)
+
+            return {
+                "merge_phase_sec": {k: round(v, 2) for k, v in _t.items()},
+                "snapshot_id": new_id,
+                "mode": "mor",
+                "applied_keys": int(sum(r["n_keys"] for r in stats)),
+                "applied_changes": int(
+                    sum(r["n_changes"] for r in stats)
+                ),
+                "deletes": int(sum(r["n_del"] for r in stats)),
+                "buckets_delta": len(affected),
+                "hwm_lsn": meta["hwm"]["lsn"],
+                "hwm_frame_seq": meta["hwm"]["frame_seq"],
+            }
+        finally:
+            src.unpersist()
+            if stage_dir and os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def delta_state(self) -> dict[int, int]:
+        """Outstanding delta files per bucket (empty = fully compacted)."""
+        return {
+            int(b): len(v)
+            for b, v in self._meta.get("deltas", {}).items()
+            if v
+        }
+
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_deltas: int = 1,
+    ) -> dict:
+        """Fold outstanding MoR deltas into new base files for the
+        selected buckets (default: every bucket with ≥ ``min_deltas``
+        delta files) and commit a new snapshot with those buckets'
+        delta logs cleared.  The watermark is untouched — compaction
+        moves bytes, not state — and the commit rides the same
+        atomic-rename protocol, so a crash mid-compaction leaves the
+        previous snapshot fully readable.
+
+        At scale this is the background service that bounds read
+        amplification: each compaction's cost is proportional to the
+        compacted buckets' rows, independent of table size, and
+        bucket subsets can compact in separate commits."""
+        pending = self.delta_state()
+        cands = sorted(
+            b
+            for b, n in pending.items()
+            if n >= min_deltas and (buckets is None or b in buckets)
+        )
+        if not cands:
+            return {"compacted_buckets": 0, "skipped": True}
+
+        schema = self.schema
+        resolved = self.read(buckets=cands)
+
+        import uuid as _uuid
+
+        new_id = self.snapshot_id + 1
+        snap_rel = os.path.join("snapshots", f"{new_id:06d}")
+        stage_rel = os.path.join("staging", _uuid.uuid4().hex)
+        stage_dir = os.path.join(self.root, stage_rel)
+        data_dir = os.path.join(stage_dir, "data")
+        os.makedirs(data_dir)
+        try:
+            keys = [c.name for c in schema.key_columns]
+            (
+                resolved.repartition(
+                    max(len(cands), 1), F.col("_bucket")
+                )
+                .sortWithinPartitions(*keys)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(data_dir)
+            )
+
+            files = dict(self._meta["files"])
+            deltas = {
+                k: list(v)
+                for k, v in self._meta.get("deltas", {}).items()
+            }
+            written = {
+                int(d.split("=")[1]): os.path.join(snap_rel, "data", d)
+                for d in os.listdir(data_dir)
+                if d.startswith("_bucket=")
+            }
+            bucket_rows = self._bucket_row_counts(data_dir)
+            lineage = dict(self._meta["lineage"])
+            for b in cands:
+                if b in written:
+                    files[str(b)] = written[b]
+                else:
+                    files.pop(str(b), None)  # emptied by deletes
+                deltas.pop(str(b), None)
+                ent = dict(lineage.get(str(b), {}))
+                ent["rows"] = int(bucket_rows.get(b, 0))
+                ent["delta_files"] = 0
+                ent["compacted_at_snapshot"] = new_id
+                lineage[str(b)] = ent
+            meta = {
+                **self._meta,
+                "snapshot_id": new_id,
+                "parent": self.snapshot_id,
+                "files": files,
+                "deltas": deltas,
+                "lineage": lineage,
+                "committed_at": time.time(),
+            }
+            with open(os.path.join(stage_dir, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+
+            self._commit_staged(stage_dir, new_id, meta)
+            return {
+                "snapshot_id": new_id,
+                "compacted_buckets": len(cands),
+                "rows_written": int(sum(bucket_rows.values())),
+            }
+        finally:
+            if stage_dir and os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # --------------------------------------- bootstrap / history / GC
+
+    def bootstrap(
+        self,
+        initial: DataFrame,
+        as_of: tuple[int, int],
+        batch_id: int | None = None,
+    ) -> dict:
+        """Initial-load → incremental switchover (the Debezium/DMS
+        "snapshot then stream" pattern): bulk-load a consistent full
+        table state and set the watermark to the snapshot's
+        ``(lsn, frame_seq)`` point, so the subsequent WAL tail resumes
+        exactly there — frames at-or-below the point are dropped by
+        the standard replay filter, frames above apply incrementally.
+        The load is one bucket-partitioned write (no join: there is
+        nothing to merge into), committed atomically like any merge.
+
+        Requires an EMPTY store (freshly created): bootstrapping over
+        applied changes would silently discard them."""
+        if (
+            self.snapshot_id != 0
+            or self._meta["files"]
+            or any(self._meta.get("deltas", {}).values())
+        ):
+            raise RuntimeError(
+                "bootstrap requires an empty store (snapshot 0, no "
+                f"data): this store is at snapshot {self.snapshot_id}"
+            )
+        schema = self.schema
+        keys = [c.name for c in schema.key_columns]
+        src = initial.select(
+            *[F.col(c.name).cast(c.spark_type) for c in schema.columns]
+        ).withColumn("_bucket", self.bucket_expr(keys[0]))
+
+        import uuid as _uuid
+
+        new_id = self.snapshot_id + 1
+        snap_rel = os.path.join("snapshots", f"{new_id:06d}")
+        stage_rel = os.path.join("staging", _uuid.uuid4().hex)
+        stage_dir = os.path.join(self.root, stage_rel)
+        data_dir = os.path.join(stage_dir, "data")
+        os.makedirs(data_dir)
+        try:
+            (
+                src.repartition(self.num_buckets, F.col("_bucket"))
+                .sortWithinPartitions(*keys)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(data_dir)
+            )
+            written = {
+                int(d.split("=")[1]): os.path.join(snap_rel, "data", d)
+                for d in os.listdir(data_dir)
+                if d.startswith("_bucket=")
+            }
+            bucket_rows = self._bucket_row_counts(data_dir)
+            lineage = {
+                str(b): {
+                    "last_batch": batch_id,
+                    "bootstrap": True,
+                    "rows": int(bucket_rows.get(b, 0)),
+                    "lsn_range": [int(as_of[0]), int(as_of[0])],
+                }
+                for b in written
+            }
+            meta = {
+                **self._meta,
+                "snapshot_id": new_id,
+                "parent": self.snapshot_id,
+                "files": {str(b): p for b, p in written.items()},
+                "hwm": {
+                    "lsn": int(as_of[0]),
+                    "frame_seq": int(as_of[1]),
+                },
+                "lineage": lineage,
+                "committed_at": time.time(),
+            }
+            with open(os.path.join(stage_dir, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            self._commit_staged(stage_dir, new_id, meta)
+            return {
+                "snapshot_id": new_id,
+                "bootstrap_rows": int(sum(bucket_rows.values())),
+                "hwm_lsn": int(as_of[0]),
+                "hwm_frame_seq": int(as_of[1]),
+            }
+        finally:
+            if os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def history(self) -> list[dict]:
+        """Readable (un-expired) snapshots, oldest first — the
+        Iceberg ``table.history()`` surface: commit chain, watermark
+        progression, and per-commit kind (bootstrap / merge / delta /
+        compaction) derivable from the manifests alone."""
+        snap_root = os.path.join(self.root, "snapshots")
+        out = []
+        for d in sorted(os.listdir(snap_root)):
+            if not d.isdigit():
+                continue
+            try:
+                with open(os.path.join(snap_root, d, "meta.json")) as f:
+                    m = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            out.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent": m.get("parent"),
+                    "committed_at": m.get("committed_at"),
+                    "hwm": m.get("hwm"),
+                    "n_buckets_with_data": len(m.get("files", {})),
+                    "n_delta_files": sum(
+                        len(v) for v in m.get("deltas", {}).values()
+                    ),
+                    "is_current": m["snapshot_id"] == self.snapshot_id,
+                }
+            )
+        return out
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """GC: delete snapshot dirs that are (a) older than the
+        ``keep_last`` most recent commits and (b) not referenced by
+        any retained manifest's files/deltas maps.  Without expiry
+        the COW chain retains every version forever — at 10^10 events
+        that is unbounded storage; with it, storage is bounded by the
+        live table plus ``keep_last`` versions of the touched buckets.
+
+        Time-travel reads of expired snapshots raise; retained ones
+        keep working (their manifests reference only retained data).
+        Safe against in-flight readers of RETAINED snapshots by
+        construction: a retained manifest's referenced paths are never
+        deleted.  Run from the maintenance job that owns the table
+        (like Iceberg's ``expireSnapshots``), not concurrently with a
+        time-travel reader of an about-to-expire snapshot."""
+        keep_last = max(1, int(keep_last))
+        snap_root = os.path.join(self.root, "snapshots")
+        ids = sorted(
+            int(d) for d in os.listdir(snap_root) if d.isdigit()
+        )
+        cur = self.snapshot_id
+        retained = {i for i in ids if i > cur - keep_last or i == cur}
+        referenced: set[int] = set()
+        for sid in retained:
+            try:
+                with open(
+                    os.path.join(snap_root, f"{sid:06d}", "meta.json")
+                ) as f:
+                    m = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            rels = list(m.get("files", {}).values()) + [
+                rel
+                for v in m.get("deltas", {}).values()
+                for rel in v
+            ]
+            for rel in rels:
+                parts = rel.split(os.sep)
+                if len(parts) >= 2 and parts[0] == "snapshots":
+                    referenced.add(int(parts[1]))
+        expired = []
+        for sid in ids:
+            if sid in retained or sid in referenced:
+                continue
+            shutil.rmtree(
+                os.path.join(snap_root, f"{sid:06d}"),
+                ignore_errors=True,
+            )
+            expired.append(sid)
+        return {
+            "expired": expired,
+            "retained": sorted(retained | referenced),
+        }
+
+    def _commit_staged(self, stage_dir: str, new_id: int, meta: dict) -> None:
+        """Publish a fully-staged snapshot dir (data + fsynced
+        meta.json inside) as snapshot ``new_id``.
+
+        Commit protocol (optimistic concurrency — the Iceberg
+        CommitFailedException analog):
+
+        1. the commit is valid only against the base snapshot this
+           writer read from — re-check the pointer;
+        2. claim the snapshot id by ATOMICALLY renaming the staging
+           dir into place (rename onto a non-empty dir fails, so two
+           writers can never both own an id);
+        3. publish via the fsynced pointer swap.
+
+        A rename collision is reclaimed ONLY when the dir is provably
+        dead: the recovered-over damaged snapshot, or an orphan older
+        than ORPHAN_LEASE_SEC.  Anything younger may be a concurrent
+        writer between ITS rename and pointer swap, so the collision
+        fails loudly instead.  The caller refreshes and retries
+        (idempotent via the watermark)."""
+        snap_rel = os.path.join("snapshots", f"{new_id:06d}")
+
+        def _pointer() -> int | None:
+            try:
+                with open(os.path.join(self.root, MANIFEST)) as f:
+                    return json.load(f)["snapshot"]
+            except FileNotFoundError:
+                return None
+
+        recovered = getattr(self, "_recovered_pointer", None)
+        cur = _pointer()
+        if cur != self.snapshot_id and cur != recovered:
+            raise CommitConflictError(
+                f"concurrent commit detected: base snapshot "
+                f"{self.snapshot_id} but manifest now points at "
+                f"{cur} — refresh() and retry the merge"
+            )
+        snap_dir = os.path.join(self.root, snap_rel)
+        try:
+            os.rename(stage_dir, snap_dir)
+        except OSError:
+            cur = _pointer()
+            if (
+                cur is not None and cur >= new_id
+                and cur != recovered
+            ):
+                raise CommitConflictError(
+                    f"concurrent commit detected: snapshot {new_id} "
+                    f"already committed (manifest at {cur}) — "
+                    "refresh() and retry the merge"
+                )
+            # Reclaims must be MUTUALLY EXCLUSIVE: two writers can
+            # both judge the same dir dead (both saw the recovered
+            # pointer, or both aged the same orphan past the lease)
+            # and a bare rmtree+rename would let the second rmtree
+            # delete the first writer's fully-renamed snapshot
+            # before its pointer swap — one merge silently lost
+            # while both report success.  Claim the name first by
+            # ATOMICALLY renaming the dead dir to a unique trash
+            # name (os.rename raises for the loser), then rmtree
+            # the trash at leisure.
+            def _reclaim(expected_mtime: float | None = None) -> None:
+                import uuid as _uuid
+
+                trash = snap_dir + ".trash-" + _uuid.uuid4().hex
+                try:
+                    os.rename(snap_dir, trash)
+                except OSError:
+                    # another writer won the claim — conflict
+                    raise CommitConflictError(
+                        f"snapshot dir {new_id} reclaimed by a "
+                        "concurrent writer — refresh() and retry "
+                        "the merge"
+                    )
+                if expected_mtime is not None:
+                    # TOCTOU re-verify AFTER the claim: between
+                    # this writer's staleness stat and its rename,
+                    # another reclaimer may have completed its
+                    # ENTIRE reclaim + stage-rename (+ pointer
+                    # swap), making the name a LIVE snapshot — a
+                    # different dir incarnation, detectable by its
+                    # mtime differing from the one the staleness
+                    # check saw.  Restore the stolen dir and
+                    # conflict instead of destroying a committed
+                    # merge.
+                    try:
+                        now_mtime = os.stat(trash).st_mtime
+                    except OSError:
+                        now_mtime = None
+                    if now_mtime != expected_mtime:
+                        try:
+                            os.rename(trash, snap_dir)
+                        except OSError:
+                            pass  # name re-taken — trash kept for audit
+                        raise CommitConflictError(
+                            f"snapshot dir {new_id} was replaced by a "
+                            "live commit during reclaim — refresh() "
+                            "and retry the merge"
+                        )
+                shutil.rmtree(trash, ignore_errors=True)
+                try:
+                    os.rename(stage_dir, snap_dir)
+                except OSError:
+                    # a concurrent writer renamed ITS snapshot into
+                    # the freed name between our rmtree and rename
+                    raise CommitConflictError(
+                        f"snapshot dir {new_id} claimed by a "
+                        "concurrent commit during reclaim — "
+                        "refresh() and retry the merge"
+                    )
+
+            if recovered is not None and cur == recovered:
+                # damaged (recovered-over) snapshot: the pointer was
+                # rolled back past it at open time, so the dir is
+                # unreachable by every reader and owned by THIS
+                # writer's recovery — safe to reclaim the name.
+                _reclaim()
+            else:
+                # The pointer not having advanced does NOT prove the
+                # colliding dir is a crashed orphan: a concurrent
+                # writer sits in exactly this state between its
+                # successful rename and its pointer swap — rmtree
+                # here would destroy its fully-written snapshot and
+                # silently lose its merge.  Only staleness can tell
+                # the two apart: reclaim only if the dir predates
+                # the commit lease; otherwise conflict and let the
+                # caller refresh() + retry (by then the in-flight
+                # writer has swapped the pointer, or a true orphan
+                # has aged past the lease).
+                try:
+                    seen_mtime = os.stat(snap_dir).st_mtime
+                    age = time.time() - seen_mtime
+                except OSError:
+                    age = None  # dir vanished → live racing writer
+                if age is not None and age > self.ORPHAN_LEASE_SEC:
+                    _reclaim(expected_mtime=seen_mtime)
+                else:
+                    raise CommitConflictError(
+                        f"snapshot dir {new_id} already claimed by "
+                        "an in-flight commit (pointer not yet "
+                        "swapped) — refresh() and retry the merge"
+                    )
+        self._swap_pointer(self.root, new_id)
+        self._meta = meta
+        self._recovered_pointer = None  # damage superseded
