@@ -38,13 +38,23 @@ def run_stream(
     max_files_per_trigger: int | None = None,
     salt: int = 0,
     collect_metrics: list | None = None,
+    apply_mode: str = "cow",
+    compact_min_deltas: int = 0,
 ):
     """Consume all available frame files, then stop (availableNow).
 
     Returns the list of per-batch metrics dicts (also appended to
     ``collect_metrics`` if given, for callers that want live access).
+
+    ``apply_mode="mor"``: each micro-batch commits as a merge-on-read
+    delta (write cost ∝ batch) with optional inline compaction when a
+    bucket's delta count reaches ``compact_min_deltas`` — the
+    high-rate streaming ingest shape at 10^10 events.
     """
-    pipe = IngestPipeline(spark, store, config or EngineConfig(), salt=salt)
+    pipe = IngestPipeline(
+        spark, store, config or EngineConfig(), salt=salt,
+        apply_mode=apply_mode, compact_min_deltas=compact_min_deltas,
+    )
     return _run_foreach_batch(
         spark, frames_dir, pipe, store.root, checkpoint_dir,
         max_files_per_trigger, collect_metrics,
