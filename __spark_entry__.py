@@ -1034,6 +1034,25 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (ann.sq8_*): per-dim global min/max
+    codebook (2·d doubles, broadcast), vectors coded to 8-bit
+    (array<smallint> — 8× smaller scans than float64 at 10^10
+    vectors), top-10 per query by DEQUANTIZED deterministic cosine.
+    The DuckDB oracle replays codebook, encoding (explicit
+    floor(+0.5)), dequantization, and scoring arithmetic exactly."""
+    from pg_pb3_ld_spark.functions import ann
+
+    emb = _embeddings(spark, sf_dir)
+    out = ann.sq8_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "rank",
+        F.round("cos_q", 4).alias("cos_q"),
+    )
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Sign-bit LSH bucketing over the first 8 dims — the scale path
     for ANN (bucket key groupBy instead of all-pairs)."""
@@ -1637,6 +1656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_banded_topk": q_ann_banded_topk,
     "ann_recall10": q_ann_recall10,
@@ -2098,6 +2118,66 @@ def _extra_oracles() -> dict[str, str]:
             SELECT e.vec_id, e.label, round({_COS}, 4) AS cos_sim
             FROM embeddings e, q WHERE e.vec_id != 0
             ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        """,
+        "ann_sq8_topk": """
+            WITH dims AS (
+                SELECT g.i AS dim,
+                       min(CAST(e.embedding[g.i] AS DOUBLE)) AS mn,
+                       max(CAST(e.embedding[g.i] AS DOUBLE)) AS mx
+                FROM embeddings e,
+                     unnest(generate_series(1, len(e.embedding)))
+                         AS g(i)
+                GROUP BY g.i
+            ),
+            p AS (
+                SELECT list(mn ORDER BY dim) AS mins,
+                       list(mx ORDER BY dim) AS maxs
+                FROM dims
+            ),
+            enc AS (
+                SELECT e.vec_id,
+                       list_transform(
+                           range(1, len(e.embedding) + 1),
+                           i -> CASE WHEN p.maxs[i] > p.mins[i] THEN
+                                greatest(0.0, least(255.0, floor(
+                                    (CAST(e.embedding[i] AS DOUBLE)
+                                     - p.mins[i])
+                                    / (p.maxs[i] - p.mins[i]) * 255.0
+                                    + 0.5)))
+                                ELSE 0.0 END
+                       ) AS codes
+                FROM embeddings e, p
+            ),
+            dq AS (
+                SELECT vec_id,
+                       list_transform(
+                           range(1, len(codes) + 1),
+                           i -> p.mins[i] + codes[i]
+                                * (p.maxs[i] - p.mins[i]) / 255.0
+                       ) AS v
+                FROM enc, p
+            ),
+            sc AS (
+                SELECT q.vec_id AS query_id, b.vec_id,
+                       list_sum(list_transform(
+                           range(1, len(b.v) + 1),
+                           i -> b.v[i] * q.v[i]))
+                       / (sqrt(list_sum(list_transform(
+                              range(1, len(b.v) + 1),
+                              i -> b.v[i] * b.v[i])))
+                        * sqrt(list_sum(list_transform(
+                              range(1, len(q.v) + 1),
+                              i -> q.v[i] * q.v[i])))) AS cos_q
+                FROM dq b, dq q
+                WHERE q.vec_id < 3 AND b.vec_id <> q.vec_id
+            )
+            SELECT query_id, vec_id, rank, round(cos_q, 4) AS cos_q
+            FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_q DESC, vec_id
+                ) AS INT) AS rank FROM sc
+            ) WHERE rank <= 10
         """,
         "ann_lsh_buckets": f"""
             SELECT concat({sign_bits}) AS bucket,

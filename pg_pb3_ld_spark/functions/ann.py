@@ -417,3 +417,156 @@ def ivf_recall_at_k(
         base, queries, centroids, k, nprobe, id_col, emb_col, lists
     )
     return _recall_vs_exact(approx, base, queries, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------- SQ8
+
+def sq8_params(
+    base: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension global (min, max) of the base vectors, as a
+    1-row DataFrame of two aligned arrays ``mins``/``maxs`` — the
+    entire SQ8 "codebook" is 2·d doubles, broadcast to every executor
+    for free.  One posexplode + hash aggregate over the base (map-side
+    combine collapses each partition to d partials before the
+    shuffle)."""
+    per_dim = (
+        base.select(
+            F.posexplode(F.col(emb_col)).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    return per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mn"))
+        ).alias("_mn"),
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mx"))
+        ).alias("_mx"),
+    ).select(
+        F.transform(F.col("_mn"), lambda s: s["mn"]).alias("mins"),
+        F.transform(F.col("_mx"), lambda s: s["mx"]).alias("maxs"),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    params: DataFrame,
+    emb_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Scalar 8-bit quantization: dim i maps to
+    ``floor((x - min_i) / (max_i - min_i) * 255 + 0.5)`` clamped to
+    [0, 255] (a degenerate dim with min = max codes to 0).  The codes
+    column is an ``array<smallint>`` — 1/4 the bytes of float32 and
+    1/8 of float64 scans, which is the point at 10^10 vectors: the
+    ANN candidate scan reads codes, and only the final re-rank (if
+    desired) touches full-precision vectors.  Explicit
+    floor(+0.5) arithmetic (not round()) so DuckDB replays the exact
+    same code for every value."""
+    x = F.col(emb_col)
+    q = F.transform(
+        x,
+        lambda v, i: F.when(
+            F.element_at(F.col("maxs"), i + 1)
+            > F.element_at(F.col("mins"), i + 1),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (v.cast("double")
+                         - F.element_at(F.col("mins"), i + 1))
+                        / (F.element_at(F.col("maxs"), i + 1)
+                           - F.element_at(F.col("mins"), i + 1))
+                        * 255.0
+                        + 0.5
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("smallint"),
+    )
+    return df.join(F.broadcast(params)).withColumn(out_col, q).drop(
+        "mins", "maxs"
+    )
+
+
+def sq8_cosine(codes_a: Column, codes_b: Column, params_prefix: str = "") -> Column:
+    """Deterministic cosine over DEQUANTIZED codes:
+    ``dq_i = min_i + code_i · (max_i − min_i)/255`` — element products
+    and left-to-right double sums, bit-identical across engines (the
+    same discipline as the exact-cosine oracle).  Expects ``mins`` /
+    ``maxs`` columns in scope (join the params row first)."""
+    mins = F.col(f"{params_prefix}mins")
+    maxs = F.col(f"{params_prefix}maxs")
+
+    def dq(codes: Column) -> Column:
+        return F.transform(
+            codes,
+            lambda c, i: F.element_at(mins, i + 1)
+            + c.cast("double")
+            * (F.element_at(maxs, i + 1) - F.element_at(mins, i + 1))
+            / F.lit(255.0),
+        )
+
+    a, b = dq(codes_a), dq(codes_b)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def sq8_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over SQ8 codes: quantize base and queries
+    with the BASE's per-dim params, score dequantized cosine, top-k
+    per query.  At 10^10 vectors this is the memory-bound scan made
+    8× cheaper; compose with the IVF/LSH candidate generators for the
+    compute side (quantize the candidate set instead of the base).
+
+    Output: (query_id, vec_id, rank, cos_q)."""
+    params = sq8_params(base, emb_col)
+    b = sq8_encode(base, params, emb_col, "b_codes").select(
+        F.col(id_col).alias("b_id"), "b_codes"
+    )
+    q = sq8_encode(queries, params, emb_col, "q_codes").select(
+        F.col(id_col).alias("query_id"), "q_codes"
+    )
+    scored = (
+        b.join(F.broadcast(q))
+        .join(F.broadcast(params))
+        .where(F.col("b_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("b_id").alias(id_col),
+            sq8_cosine(F.col("b_codes"), F.col("q_codes")).alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "cos_q")
+    )

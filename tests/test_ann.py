@@ -81,3 +81,40 @@ def test_recall_zero_when_no_candidates(spark):
     rec = ann.recall_at_k(emb, q, k=5).collect()
     assert len(rec) == 1
     assert rec[0]["recall_at_5"] in (0.0, 1.0)  # present either way
+
+
+def test_sq8_codes_bounded_and_degenerate_dim_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, -1.0, 5.0]), (1, [0.0, 1.0, -5.0]),
+         (2, [0.0, 0.5, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    params = ann.sq8_params(df)
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in ann.sq8_encode(df, params).collect()
+    }
+    for cs in codes.values():
+        assert all(0 <= c <= 255 for c in cs)
+    # dim 0 is constant (min == max) → every code 0
+    assert all(cs[0] == 0 for cs in codes.values())
+    # extremes map to the ends of the range
+    assert codes[0][1] == 0 and codes[1][1] == 255
+    assert codes[0][2] == 255 and codes[1][2] == 0
+
+
+def test_sq8_topk_recall_near_exact(spark):
+    """256 quantization levels ≈ full precision: SQ8 top-10 must
+    recall ≥0.9 of the exact cosine top-10 per query (the whole point
+    of the 8×-smaller scan is NOT trading recall away)."""
+    base = _vectors(spark, n=80, dim=32, n_clusters=5, seed=11)
+    queries = base.where(F.col("vec_id") < 4)
+    approx = ann.sq8_topk(base, queries, k=10)
+    exact = ann.exact_topk(base, queries, k=10)
+    a = {
+        (r["query_id"], r["vec_id"]) for r in approx.collect()
+    }
+    e = {
+        (r["query_id"], r["vec_id"]) for r in exact.collect()
+    }
+    assert len(a & e) / len(e) >= 0.9
