@@ -140,10 +140,10 @@ def _check_invariants(spark, root):
     return s
 
 
-def _run_seed(spark, tmpdir_path, seed):
+def _run_seed(spark, tmpdir_path, seed, mor=False):
     rng = random.Random(seed)
     batches = _gen_batches(rng)
-    root = os.path.join(tmpdir_path, f"s{seed}")
+    root = os.path.join(tmpdir_path, f"s{'m' if mor else ''}{seed}")
     SnapshotStore.create(
         spark, root, transcripts_schema(), num_buckets=1
     )
@@ -163,8 +163,9 @@ def _run_seed(spark, tmpdir_path, seed):
                 crashes_left -= 1
             store = _check_invariants(spark, root)
             hwm_lsn = max(r[4] for r in batches[b])
+            apply = store.merge_mor if mor else store.merge
             try:
-                store.merge(
+                apply(
                     _folded(spark, batches[b]), batch_id=b + 1,
                     hwm_override=(hwm_lsn, b + 1),
                 )
@@ -177,6 +178,18 @@ def _run_seed(spark, tmpdir_path, seed):
             # watermark skip-check: a batch whose lsn ≤ hwm was already
             # applied pre-crash; merging it again must be idempotent
             b += 1
+            if mor and rng.random() < 0.5:
+                # compaction rides the same commit protocol — a crash
+                # mid-compaction must leave the store readable with
+                # the PRE-compaction snapshot intact (compaction moves
+                # bytes, not state, so a skipped retry is harmless)
+                if crashes_left > 0 and rng.random() < 0.5:
+                    inj.crash_at = inj.n + rng.randint(1, 4)
+                    crashes_left -= 1
+                try:
+                    _check_invariants(spark, root).compact()
+                except (SimulatedCrash, CommitConflictError):
+                    _age_orphans(root)
         inj.crash_at = None
         final = SnapshotStore(spark, root)
         got = {
@@ -200,5 +213,22 @@ def test_crash_fuzz_converges(spark, tmpdir_path, block):
         per = (N_SEEDS + 3) // 4
         for seed in range(block * per, min((block + 1) * per, N_SEEDS)):
             _run_seed(spark, tmpdir_path, seed)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_crash_fuzz_mor_converges(spark, tmpdir_path, block):
+    """Same fuzz over the merge-on-read path: delta commits + random
+    crashable compactions share the commit protocol, so recovery +
+    replay must converge to the identical oracle state with the delta
+    log resolving correctly across crash boundaries."""
+    n = int(os.environ.get("PB3LD_CRASH_FUZZ_MOR_SEEDS", "40"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        per = (n + 1) // 2
+        for seed in range(block * per, min((block + 1) * per, n)):
+            _run_seed(spark, tmpdir_path, 1000 + seed, mor=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
