@@ -263,50 +263,14 @@ def q_cdc_lineage(spark, sf_dir):
         F.floor(F.max("event_id") / 2).cast("long").alias("c")
     ).collect()[0]["c"]
 
-    def fold_batch(batch_df, lo_excl, hi_incl):
-        df = batch_df.where(
-            (F.col("event_id") > lo_excl) & (F.col("event_id") <= hi_incl)
-        ).select(
-            F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string"))
-            .alias("conv_id"),
-            (F.col("event_id") % 6).cast("int").alias("turn_idx"),
-            "event_id",
-            "event_type",
-        )
-        # last event per key decides kind; n_changes counts the folds
-        agg = df.groupBy("conv_id", "turn_idx").agg(
-            F.max("event_id").alias("last_lsn"),
-            F.count(F.lit(1)).alias("n_changes"),
-            F.max(F.struct("event_id", "event_type")).alias("_last"),
-        )
-        return agg.select(
-            "conv_id",
-            "turn_idx",
-            F.when(F.col("_last.event_type") == "error", "DELETE")
-            .otherwise("PATCH")
-            .alias("kind"),
-            F.lit(None).cast("string").alias("role"),
-            F.lit(False).alias("role_set"),
-            F.concat(F.lit("t"), F.col("last_lsn").cast("string"))
-            .alias("text"),
-            F.lit(True).alias("text_set"),
-            F.lit(None).cast("string").alias("tool"),
-            F.lit(False).alias("tool_set"),
-            F.lit(None).cast("timestamp").alias("ts"),
-            F.lit(False).alias("ts_set"),
-            "last_lsn",
-            F.col("last_lsn").alias("last_frame_seq"),
-            "n_changes",
-        )
-
     root = tempfile.mkdtemp(prefix="pb3ld_lineage_")
     try:
         store = SnapshotStore.create(
             spark, root, transcripts_schema(), num_buckets=8,
             bucket_fn="md5",
         )
-        store.merge(fold_batch(ev, -1, cutoff), batch_id=1)
-        store.merge(fold_batch(ev, cutoff, 1 << 62), batch_id=2)
+        store.merge(_fold_event_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(_fold_event_batch(ev, cutoff, 1 << 62), batch_id=2)
         rows = [
             (
                 int(b),
@@ -325,6 +289,108 @@ def q_cdc_lineage(spark, sf_dir):
         rows,
         "bucket int, last_batch int, n_keys long, n_deletes long, "
         "n_changes long, lsn_min long, lsn_max long",
+    )
+
+
+def _fold_event_batch(batch_df, lo_excl, hi_incl):
+    """Deterministic folded transcripts batch derived from `events`
+    (event_id in (lo_excl, hi_incl]) — the shared stream for the
+    store-replay CORRECTNESS queries (cdc_lineage, cdc_changelog).
+    Last event per (conv_id, turn_idx) decides kind ('error' →
+    DELETE), text = 't' + last_lsn, everything md5-bucket portable so
+    DuckDB can replay the identical fold."""
+    df = batch_df.where(
+        (F.col("event_id") > lo_excl) & (F.col("event_id") <= hi_incl)
+    ).select(
+        F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string"))
+        .alias("conv_id"),
+        (F.col("event_id") % 6).cast("int").alias("turn_idx"),
+        "event_id",
+        "event_type",
+    )
+    # last event per key decides kind; n_changes counts the folds
+    agg = df.groupBy("conv_id", "turn_idx").agg(
+        F.max("event_id").alias("last_lsn"),
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max(F.struct("event_id", "event_type")).alias("_last"),
+    )
+    return agg.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("_last.event_type") == "error", "DELETE")
+        .otherwise("PATCH")
+        .alias("kind"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(False).alias("role_set"),
+        F.concat(F.lit("t"), F.col("last_lsn").cast("string"))
+        .alias("text"),
+        F.lit(True).alias("text_set"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(False).alias("tool_set"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(False).alias("ts_set"),
+        "last_lsn",
+        F.col("last_lsn").alias("last_frame_seq"),
+        "n_changes",
+    )
+
+
+def q_cdc_changelog(spark, sf_dir):
+    """Change data feed (CDF) — the downstream-consumption face of the
+    sink (Delta CDF / Iceberg changelog parity; the reference's
+    consumers re-diff snapshots, `/root/reference/README.md` §usage —
+    here the store EMITS the diff).  The same deterministic two-batch
+    fold as cdc_lineage is merged through a REAL
+    `SnapshotStore(changelog=True)`, then `read_changes(0)` returns
+    every commit's resolved (key, change_type, post-image) rows.
+
+    Semantics the oracle pins: batch-1 PATCHes onto the empty store
+    are INSERTs; a DELETE with no target row emits NOTHING; batch-2
+    rows classify INSERT/UPDATE/DELETE against the post-batch-1 state;
+    DELETE rows carry NULL post-image; snapshot_id identifies the
+    emitting commit.  DuckDB replays the identical fold + state
+    transition from `events` — the feed is verified consumable, not
+    just emitted."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="pb3ld_cdf_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5", changelog=True,
+        )
+        store.merge(_fold_event_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(_fold_event_batch(ev, cutoff, 1 << 62), batch_id=2)
+        rows = [
+            (
+                r["conv_id"],
+                int(r["turn_idx"]),
+                r["change_type"],
+                r["text"],
+                int(r["last_lsn"]),
+                int(r["snapshot_id"]),
+            )
+            for r in store.read_changes(0)
+            .select(
+                "conv_id", "turn_idx", "change_type", "text",
+                "last_lsn", "snapshot_id",
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, change_type string, "
+        "text string, last_lsn bigint, snapshot_id bigint",
     )
 
 
@@ -1635,6 +1701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_type_dispatch": q_change_type_dispatch,
     "empty_txn_suppression": q_empty_txn_suppression,
     "cdc_lineage": q_cdc_lineage,
+    "cdc_changelog": q_cdc_changelog,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -2660,6 +2727,71 @@ def _literal_oracles() -> dict[str, str]:
                     PARTITION BY bucket ORDER BY batch DESC
                 ) AS rn FROM per
             ) WHERE rn = 1
+        """,
+        "cdc_changelog": """
+            WITH c AS (
+                SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT c FROM c)
+                            THEN 1 ELSE 2 END AS batch
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx, batch,
+                       max(event_id) AS last_lsn
+                FROM ek GROUP BY conv_id, turn_idx, batch
+            ),
+            lastk AS (
+                SELECT conv_id, turn_idx, batch,
+                       CASE WHEN event_type = 'error'
+                            THEN 'DELETE' ELSE 'PATCH' END AS kind
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            fb AS (
+                SELECT f.conv_id, f.turn_idx, f.batch, f.last_lsn,
+                       l.kind
+                FROM folded f
+                JOIN lastk l USING (conv_id, turn_idx, batch)
+            ),
+            b1 AS (SELECT * FROM fb WHERE batch = 1),
+            b2 AS (SELECT * FROM fb WHERE batch = 2),
+            -- state after batch 1 = its surviving (non-DELETE) keys
+            s1 AS (
+                SELECT conv_id, turn_idx FROM b1 WHERE kind = 'PATCH'
+            ),
+            feed1 AS (
+                SELECT conv_id, turn_idx, 'INSERT' AS change_type,
+                       concat('t', CAST(last_lsn AS VARCHAR)) AS text,
+                       last_lsn, CAST(1 AS BIGINT) AS snapshot_id
+                FROM b1 WHERE kind = 'PATCH'
+            ),
+            feed2 AS (
+                SELECT b2.conv_id, b2.turn_idx,
+                       CASE WHEN b2.kind = 'DELETE' THEN 'DELETE'
+                            WHEN s1.conv_id IS NULL THEN 'INSERT'
+                            ELSE 'UPDATE' END AS change_type,
+                       CASE WHEN b2.kind = 'DELETE' THEN NULL
+                            ELSE concat(
+                                't', CAST(b2.last_lsn AS VARCHAR))
+                            END AS text,
+                       b2.last_lsn, CAST(2 AS BIGINT) AS snapshot_id
+                FROM b2 LEFT JOIN s1
+                  ON b2.conv_id = s1.conv_id
+                 AND b2.turn_idx = s1.turn_idx
+                WHERE NOT (b2.kind = 'DELETE' AND s1.conv_id IS NULL)
+            )
+            SELECT * FROM feed1 UNION ALL SELECT * FROM feed2
         """,
         "doc_decontaminate": f"""
             WITH {_SHINGLE_CTE},

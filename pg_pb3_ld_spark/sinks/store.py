@@ -83,6 +83,7 @@ class SnapshotStore:
         num_buckets: int = 32,
         bucket_fn: str = "xxhash64",
         hot_split_rows: int = 0,
+        changelog: bool = False,
     ) -> "SnapshotStore":
         """``bucket_fn``: ``"xxhash64"`` (default — fastest, JVM-side)
         or ``"md5"`` (portable: the same bucket is computable in any
@@ -99,7 +100,15 @@ class SnapshotStore:
         (recursive listing under the bucket dir); the bucket function —
         and therefore lineage, pruning, and the portable md5 oracle —
         is untouched.  At 10^10 events one storm bucket otherwise
-        serializes the write path behind a single task."""
+        serializes the write path behind a single task.
+
+        ``changelog``: record a change data feed (CDF) per commit —
+        each COW merge writes its resolved (key, change_type,
+        post-image) rows alongside the snapshot, and MoR delta logs
+        serve as their own feed; ``read_changes`` reads any snapshot
+        range.  The downstream-consumption face of a CDC sink (Delta
+        CDF / Iceberg changelog): consumers incrementally follow the
+        table without re-diffing snapshots."""
         if bucket_fn not in ("xxhash64", "md5"):
             raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
         os.makedirs(os.path.join(root, "snapshots", "000000"), exist_ok=True)
@@ -121,6 +130,7 @@ class SnapshotStore:
             "hot_split_rows": int(hot_split_rows),
             "files": {},           # bucket -> dir relpath; absent = empty
             "deltas": {},          # bucket -> ordered MoR delta dirs
+            "changelog": bool(changelog),
             "hwm": {"lsn": -1, "frame_seq": -1},
             "lineage": {},
             "committed_at": time.time(),
@@ -447,9 +457,20 @@ class SnapshotStore:
                         c.name, F.lit(None).cast(c.spark_type)
                     )
 
+            changelog = bool(self._meta.get("changelog"))
             s = src.drop("_bucket").alias("s")
-            t = tgt.drop("_bucket").alias("t")
+            # _t_exists: a definite target-presence marker (a real
+            # target row may have every value column NULL)
+            t = (
+                tgt.drop("_bucket")
+                .withColumn("_t_exists", F.lit(True))
+                .alias("t")
+            )
             joined = t.join(s, on=keys, how="full_outer")
+            if changelog:
+                # both the merged result and the change rows derive
+                # from this join — materialize it once
+                joined = joined.persist()
             no_src = F.col("s.kind").isNull()
             # recompute the bucket from the (coalesced) join key
             merged_cols = [self.bucket_expr(keys[0]).alias("_bucket")]
@@ -560,6 +581,50 @@ class SnapshotStore:
                 )
             _t["write"] = _time.time() - _t0
 
+            changes_rel = None
+            if changelog:
+                # change data feed: one row per key the batch actually
+                # changed — INSERT (no target), UPDATE, or DELETE (a
+                # DELETE without a target row is a no-op and emits
+                # nothing).  Post-image values; the pre-image is the
+                # parent snapshot via time travel.
+                t_exists = F.col("t._t_exists").isNotNull()
+                ctype = (
+                    F.when(
+                        F.col("s.kind") == "DELETE",
+                        F.when(t_exists, "DELETE"),
+                    )
+                    .when(~t_exists, "INSERT")
+                    .otherwise("UPDATE")
+                )
+                ch_cols = [F.col(k) for k in keys] + [
+                    ctype.alias("change_type")
+                ]
+                for c in vals:
+                    post = (
+                        F.when(F.col("s.kind") == "DELETE", None)
+                        .when(
+                            F.col("s.kind") == "REPLACE", F.col(f"s.{c}")
+                        )
+                        .when(F.col(f"s.{c}_set"), F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}"))
+                    )
+                    ch_cols.append(post.alias(c))
+                ch_cols += [
+                    F.col("s.last_lsn").alias("last_lsn"),
+                    F.lit(new_id).cast("bigint").alias("snapshot_id"),
+                ]
+                changes = joined.where(
+                    ~no_src
+                    & ~((F.col("s.kind") == "DELETE") & ~t_exists)
+                ).select(*ch_cols)
+                _t0 = _time.time()
+                changes.write.mode("overwrite").parquet(
+                    os.path.join(stage_dir, "changes")
+                )
+                changes_rel = os.path.join(snap_rel, "changes")
+                _t["changes"] = _time.time() - _t0
+
             # files map: affected buckets → new dirs; others inherited.
             # partitionBy writes _bucket=K dirs, but as a *partition*
             # column — rewrite relpaths and rely on read()'s explicit
@@ -629,6 +694,10 @@ class SnapshotStore:
                 "lineage": lineage,
                 "committed_at": time.time(),
             }
+            if changes_rel is not None:
+                meta["changes_rel"] = changes_rel
+            else:
+                meta.pop("changes_rel", None)
             meta.pop("total_rows", None)
             # meta.json rides in the staging dir so data + watermark +
             # lineage arrive together in ONE atomic rename
@@ -652,6 +721,10 @@ class SnapshotStore:
             }
         finally:
             src.unpersist()
+            try:
+                joined.unpersist()
+            except (NameError, UnboundLocalError):
+                pass
             # un-renamed staging (failed/conflicted commit) is garbage
             if stage_dir and os.path.exists(stage_dir):
                 shutil.rmtree(stage_dir, ignore_errors=True)
@@ -890,6 +963,9 @@ class SnapshotStore:
                 "lineage": lineage,
                 "committed_at": time.time(),
             }
+            # a CDF file belongs to the commit that WROTE it; never
+            # inherit the parent's (MoR deltas are their own feed)
+            meta.pop("changes_rel", None)
             with open(os.path.join(stage_dir, "meta.json"), "w") as f:
                 json.dump(meta, f, indent=1)
                 f.flush()
@@ -1004,6 +1080,9 @@ class SnapshotStore:
                 "lineage": lineage,
                 "committed_at": time.time(),
             }
+            # a CDF file belongs to the commit that WROTE it; never
+            # inherit the parent's (MoR deltas are their own feed)
+            meta.pop("changes_rel", None)
             with open(os.path.join(stage_dir, "meta.json"), "w") as f:
                 json.dump(meta, f, indent=1)
                 f.flush()
@@ -1018,6 +1097,98 @@ class SnapshotStore:
         finally:
             if stage_dir and os.path.exists(stage_dir):
                 shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def read_changes(
+        self, since_snapshot: int = 0, until: int | None = None
+    ) -> DataFrame:
+        """Change data feed for snapshots in ``(since_snapshot,
+        until]`` (until = current when None) — requires the store to
+        have been created with ``changelog=True``.
+
+        One row per key each commit changed:
+
+        * COW merges emit exact ``INSERT`` / ``UPDATE`` / ``DELETE``
+          classification with post-image values (a DELETE without a
+          target row emits nothing);
+        * MoR delta commits serve their OWN delta log as the feed:
+          ``UPSERT`` / ``DELETE`` with the batch's wire-present values
+          (insert-vs-update would need target resolution — the exact
+          asymmetry Hudi's MOR changelog has; compact or COW-merge
+          for exact classification);
+        * compaction / bootstrap / expiry commits move bytes, not
+          state, and emit nothing.
+
+        Pre-images are the parent snapshot via ``read(as_of=)``.
+        Output: key columns, change_type, value columns (post-image),
+        last_lsn, snapshot_id."""
+        if not self._meta.get("changelog"):
+            raise RuntimeError(
+                "change feed disabled — create the store with "
+                "changelog=True"
+            )
+        schema = self.schema
+        keys = [c.name for c in schema.key_columns]
+        vals = [c.name for c in schema.value_columns]
+        hi = self.snapshot_id if until is None else int(until)
+        ch_ddl = ", ".join(
+            [f"{c.name} {c.spark_type}" for c in schema.key_columns]
+            + ["change_type string"]
+            + [f"{c.name} {c.spark_type}" for c in schema.value_columns]
+            + ["last_lsn bigint", "snapshot_id bigint"]
+        )
+        cow_paths: list[str] = []
+        mor_paths: list[str] = []
+        for sid in range(int(since_snapshot) + 1, hi + 1):
+            try:
+                m = self._meta_for(sid)
+            except ValueError:
+                raise ValueError(
+                    f"snapshot {sid} was expired — the change feed "
+                    "below the retention window is gone; checkpoint "
+                    "consumers before expire_snapshots"
+                )
+            rel = m.get("changes_rel")
+            if rel is not None:
+                cow_paths.append(os.path.join(self.root, rel))
+                continue
+            prefix = os.path.join("snapshots", f"{sid:06d}", "delta")
+            mor_paths.extend(
+                os.path.join(self.root, r)
+                for rels in m.get("deltas", {}).values()
+                for r in rels
+                if r.startswith(prefix)
+            )
+        parts = []
+        if cow_paths:
+            parts.append(
+                self.spark.read.schema(ch_ddl).parquet(*cow_paths)
+            )
+        if mor_paths:
+            d = (
+                self.spark.read.schema(self._delta_ddl(schema))
+                .option("recursiveFileLookup", "true")
+                .parquet(*mor_paths)
+            )
+            proj = [F.col(k) for k in keys] + [
+                F.when(F.col("kind") == "DELETE", "DELETE")
+                .otherwise("UPSERT")
+                .alias("change_type")
+            ]
+            for c in vals:
+                proj.append(
+                    F.when(F.col(f"{c}_set"), F.col(c)).alias(c)
+                )
+            proj += [
+                F.col("last_lsn"),
+                F.col("_delta_seq").alias("snapshot_id"),
+            ]
+            parts.append(d.select(*proj))
+        if not parts:
+            return self.spark.createDataFrame([], ch_ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # --------------------------------------- bootstrap / history / GC
 
@@ -1096,6 +1267,9 @@ class SnapshotStore:
                 "lineage": lineage,
                 "committed_at": time.time(),
             }
+            # a CDF file belongs to the commit that WROTE it; never
+            # inherit the parent's (MoR deltas are their own feed)
+            meta.pop("changes_rel", None)
             with open(os.path.join(stage_dir, "meta.json"), "w") as f:
                 json.dump(meta, f, indent=1)
                 f.flush()
