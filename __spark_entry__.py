@@ -394,6 +394,191 @@ def q_cdc_changelog(spark, sf_dir):
     )
 
 
+def q_cdc_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance from the change feed — the
+    downstream consumer the CDF exists for: a per-conversation
+    aggregate (live turn count + total text chars) maintained ONLY
+    from `read_changes(preimages=True)` deltas on top of the
+    snapshot-1 base aggregate, never re-scanning the final table.
+    INSERT applies the post-image, DELETE retracts the pre-image,
+    UPDATE applies (post − pre); groups falling to zero are dropped.
+
+    The DuckDB oracle computes the same aggregate DIRECTLY from the
+    replayed final state — equality proves the feed's pre/post images
+    are exact.  At 10^10 events this is the difference between an
+    O(feed) view refresh and an O(table) rescan per commit."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="pb3ld_ivm_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5", changelog=True,
+        )
+        store.merge(_fold_event_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(_fold_event_batch(ev, cutoff, 1 << 62), batch_id=2)
+        base = (
+            store.read_table(as_of=1)
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+        )
+        ln = F.length
+        deltas = (
+            store.read_changes(1, preimages=True)
+            .groupBy("conv_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("change_type") == "INSERT", 1)
+                    .when(F.col("change_type") == "DELETE", -1)
+                    .otherwise(0)
+                ).alias("dn"),
+                F.sum(
+                    F.when(F.col("change_type") == "INSERT", ln("text"))
+                    .when(
+                        F.col("change_type") == "DELETE",
+                        -ln("_pre_text"),
+                    )
+                    .otherwise(ln("text") - ln("_pre_text"))
+                ).alias("dchars"),
+            )
+        )
+        rows = [
+            (r["conv_id"], int(r["n_turns"]), int(r["text_chars"]))
+            for r in base.join(deltas, "conv_id", "full_outer")
+            .select(
+                "conv_id",
+                (
+                    F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
+                ).alias("n_turns"),
+                (
+                    F.coalesce("chars", F.lit(0))
+                    + F.coalesce("dchars", F.lit(0))
+                ).alias("text_chars"),
+            )
+            .where(F.col("n_turns") > 0)
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, n_turns bigint, text_chars bigint"
+    )
+
+
+def q_event_sessionize(spark, sf_dir):
+    """Gap-based sessionization — the batch face of the stateful
+    session tracker (`streaming/sessions.py`): per user, a new
+    session starts when >30 min passes between consecutive events.
+    Output: one row per (user, session) with span + composition.
+
+    Scale shape: ONE hash partition by user_id carries both window
+    passes (lag → running sum share the same sort), then the same
+    partitioning feeds the session aggregate — a single exchange for
+    the whole operator; no global window, no Python.  Survives 100×:
+    state per task is O(events of its users), and AQE can split a
+    skewed user range because the window key is the shuffle key."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = F.col("us") - F.lag("us").over(w)
+    sess = (
+        ev.select("user_id", "event_id", "event_type", _us("ts").alias("us"))
+        # two Window nodes, ONE sort+exchange (identical window spec)
+        .withColumn(
+            "_new",
+            F.when(
+                gap_us.isNull() | (gap_us > 1800 * 1000000), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("_new").over(w).cast("int"))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Okapi, Lucene-style non-negative idf)
+    for a fixed query over `documents` — the search/quality-scoring
+    staple of a training-data pipeline.  Top-100 by floored score
+    with doc_id tie-break.
+
+    Scale shape: per-term tf is computed INLINE on the token array
+    (`F.size(F.filter(...))` — no explode, no per-token shuffle), the
+    corpus stats (N, avgdl, per-term df) reduce to ONE scalar row
+    cross-joined back (broadcast), and the top-k is a TakeOrdered —
+    the whole operator is one scan + one scalar agg, no wide shuffle
+    at any size.  Score terms are summed in a fixed literal order and
+    floored at 1e-3 so the DuckDB oracle's libm differences cannot
+    flip the hash."""
+    docs = _documents(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    def tf_of(word):
+        # one-arg lambda (a two-arg one would receive the element
+        # INDEX as its second argument, not the closure default)
+        return F.size(F.filter("t", lambda x: x == F.lit(word)))
+
+    tf_cols = [tf_of(w).alias(f"tf_{w}") for w in _BM25_TERMS]
+    base = t.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{w}") > 0).cast("long")).alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    score = None
+    for w in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{w}") + 0.5)
+            / (F.col(f"df_{w}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{w}").cast("double")
+        part = idf * (
+            tf * (_BM25_K1 + 1)
+            / (
+                tf
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        scored.where(
+            sum(F.col(f"tf_{w}") for w in _BM25_TERMS) > 0
+        )
+        .select(
+            "doc_id",
+            (F.floor(score * 1000) / 1000).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+    )
+
+
 def q_cdc_multi_table(spark, sf_dir):
     """Multi-table routing (VERDICT r4 #4) — ONE wire stream carrying
     three interleaved tables (transcripts, doc_tags, and an UNTRACKED
@@ -1702,6 +1887,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_txn_suppression": q_empty_txn_suppression,
     "cdc_lineage": q_cdc_lineage,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
+    "event_sessionize": q_event_sessionize,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -2792,6 +2980,131 @@ def _literal_oracles() -> dict[str, str]:
                 WHERE NOT (b2.kind = 'DELETE' AND s1.conv_id IS NULL)
             )
             SELECT * FROM feed1 UNION ALL SELECT * FROM feed2
+        """,
+        "cdc_incremental_agg": """
+            WITH c AS (
+                SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT c FROM c)
+                            THEN 1 ELSE 2 END AS batch
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx, batch,
+                       max(event_id) AS last_lsn
+                FROM ek GROUP BY conv_id, turn_idx, batch
+            ),
+            lastk AS (
+                SELECT conv_id, turn_idx, batch,
+                       CASE WHEN event_type = 'error'
+                            THEN 'DELETE' ELSE 'PATCH' END AS kind
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            fb AS (
+                SELECT f.conv_id, f.turn_idx, f.batch, f.last_lsn,
+                       l.kind
+                FROM folded f
+                JOIN lastk l USING (conv_id, turn_idx, batch)
+            ),
+            b1 AS (SELECT * FROM fb WHERE batch = 1),
+            b2 AS (SELECT * FROM fb WHERE batch = 2),
+            -- final state: batch-2 verdict wins, else batch-1's
+            final AS (
+                SELECT COALESCE(b2.conv_id, b1.conv_id) AS conv_id,
+                       CASE WHEN b2.conv_id IS NOT NULL
+                            THEN b2.kind ELSE b1.kind END AS kind,
+                       CASE WHEN b2.conv_id IS NOT NULL
+                            THEN b2.last_lsn ELSE b1.last_lsn
+                            END AS last_lsn
+                FROM b1 FULL OUTER JOIN b2
+                  ON b1.conv_id = b2.conv_id
+                 AND b1.turn_idx = b2.turn_idx
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(length(concat(
+                       't', CAST(last_lsn AS VARCHAR)
+                   ))) AS BIGINT) AS text_chars
+            FROM final WHERE kind = 'PATCH'
+            GROUP BY conv_id
+        """,
+        "event_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS us
+                FROM events
+            ),
+            g AS (
+                SELECT *,
+                       CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ),
+            s AS (
+                SELECT *, CAST(sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS INT) AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(us) AS start_us,
+                   max(us) AS end_us,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "doc_bm25_topk": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, len(t) AS dl,
+                       len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
+                       len(list_filter(t, x -> x = 'merge'))  AS tf_merge,
+                       len(list_filter(t, x -> x = 'window')) AS tf_window
+                FROM t
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+                       sum(CASE WHEN tf_merge  > 0 THEN 1 ELSE 0 END) AS df_merge,
+                       sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+                FROM base
+            )
+            SELECT doc_id,
+                   floor((
+                       ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                       * (CAST(tf_spark AS DOUBLE) * (1.2 + 1.0)
+                          / (CAST(tf_spark AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                     + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+                       * (CAST(tf_merge AS DOUBLE) * (1.2 + 1.0)
+                          / (CAST(tf_merge AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                     + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                       * (CAST(tf_window AS DOUBLE) * (1.2 + 1.0)
+                          / (CAST(tf_window AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   ) * 1000) / 1000 AS bm25
+            FROM base CROSS JOIN stats
+            WHERE tf_spark + tf_merge + tf_window > 0
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 100
         """,
         "doc_decontaminate": f"""
             WITH {_SHINGLE_CTE},

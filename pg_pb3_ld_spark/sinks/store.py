@@ -610,6 +610,13 @@ class SnapshotStore:
                         .otherwise(F.col(f"t.{c}"))
                     )
                     ch_cols.append(post.alias(c))
+                # pre-images (Delta CDF's update_preimage face, as
+                # columns): the target row's values before this
+                # commit — NULL for INSERT.  Enables downstream
+                # incremental view maintenance (retract old, apply
+                # new) without a time-travel read per commit.
+                for c in vals:
+                    ch_cols.append(F.col(f"t.{c}").alias(f"_pre_{c}"))
                 ch_cols += [
                     F.col("s.last_lsn").alias("last_lsn"),
                     F.lit(new_id).cast("bigint").alias("snapshot_id"),
@@ -1099,7 +1106,10 @@ class SnapshotStore:
                 shutil.rmtree(stage_dir, ignore_errors=True)
 
     def read_changes(
-        self, since_snapshot: int = 0, until: int | None = None
+        self,
+        since_snapshot: int = 0,
+        until: int | None = None,
+        preimages: bool = False,
     ) -> DataFrame:
         """Change data feed for snapshots in ``(since_snapshot,
         until]`` (until = current when None) — requires the store to
@@ -1118,9 +1128,14 @@ class SnapshotStore:
         * compaction / bootstrap / expiry commits move bytes, not
           state, and emit nothing.
 
-        Pre-images are the parent snapshot via ``read(as_of=)``.
         Output: key columns, change_type, value columns (post-image),
-        last_lsn, snapshot_id."""
+        last_lsn, snapshot_id.  ``preimages=True`` adds a
+        ``_pre_<col>`` column per value column — the target row's
+        values before the commit (NULL for INSERT; NULL on MoR delta
+        commits, which never read the target — compact or COW-merge
+        for pre-images), enabling exact downstream incremental view
+        maintenance (retract pre, apply post).  Without them the
+        pre-image is the parent snapshot via ``read(as_of=)``."""
         if not self._meta.get("changelog"):
             raise RuntimeError(
                 "change feed disabled — create the store with "
@@ -1130,10 +1145,16 @@ class SnapshotStore:
         keys = [c.name for c in schema.key_columns]
         vals = [c.name for c in schema.value_columns]
         hi = self.snapshot_id if until is None else int(until)
+        pre_ddl = (
+            [f"_pre_{c.name} {c.spark_type}" for c in schema.value_columns]
+            if preimages
+            else []
+        )
         ch_ddl = ", ".join(
             [f"{c.name} {c.spark_type}" for c in schema.key_columns]
             + ["change_type string"]
             + [f"{c.name} {c.spark_type}" for c in schema.value_columns]
+            + pre_ddl
             + ["last_lsn bigint", "snapshot_id bigint"]
         )
         cow_paths: list[str] = []
@@ -1178,6 +1199,13 @@ class SnapshotStore:
                 proj.append(
                     F.when(F.col(f"{c}_set"), F.col(c)).alias(c)
                 )
+            if preimages:
+                for vc in schema.value_columns:
+                    proj.append(
+                        F.lit(None)
+                        .cast(vc.spark_type)
+                        .alias(f"_pre_{vc.name}")
+                    )
             proj += [
                 F.col("last_lsn"),
                 F.col("_delta_seq").alias("snapshot_id"),

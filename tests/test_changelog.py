@@ -164,3 +164,115 @@ def test_feed_expired_range_raises(spark, tmpdir_path):
         s.read_changes(0).collect()
     # the retained range still reads
     assert len(_feed(s, since=s.snapshot_id - 1)) == 1
+
+
+def test_cow_feed_preimages(spark, tmpdir_path):
+    """preimages=True adds _pre_<col>: the target row's values before
+    the commit — NULL for INSERT, populated for UPDATE/DELETE (the
+    Delta-CDF update_preimage face, as columns)."""
+    s = _store(spark, tmpdir_path, name="pre")
+    s.merge(
+        _folded(spark, [("a", 1, "PATCH", "user", "v1", None, 1),
+                        ("b", 2, "PATCH", None, "w1", None, 2)]),
+        batch_id=1,
+    )
+    s.merge(
+        _folded(spark, [("a", 1, "PATCH", None, "v2", None, 3),
+                        ("b", 2, "DELETE", None, None, None, 4),
+                        ("c", 3, "PATCH", None, "new", None, 5)]),
+        batch_id=2,
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["change_type"], r["text"], r["_pre_text"], r["_pre_role"]
+        )
+        for r in s.read_changes(1, preimages=True).collect()
+    }
+    assert got == {
+        ("a", 1): ("UPDATE", "v2", "v1", "user"),
+        ("b", 2): ("DELETE", None, "w1", None),
+        ("c", 3): ("INSERT", "new", None, None),
+    }
+    # batch-1 inserts: every pre-image is NULL
+    for r in s.read_changes(0, until=1, preimages=True).collect():
+        assert r["_pre_text"] is None and r["_pre_role"] is None
+    # MoR commits never read the target: pre columns NULL, disclosed
+    s.merge_mor(
+        _folded(spark, [("a", 1, "PATCH", None, "v3", None, 6)]),
+        batch_id=3,
+    )
+    (r,) = s.read_changes(2, preimages=True).collect()
+    assert r["change_type"] == "UPSERT" and r["_pre_text"] is None
+
+
+def test_feed_incremental_view_maintenance(spark, tmpdir_path):
+    """A downstream aggregate maintained ONLY from the feed (base agg
+    at the since-snapshot + per-commit retract-pre/apply-post deltas)
+    equals the direct recompute over the final table — the property
+    pre-images exist to provide."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    s = _store(spark, tmpdir_path, name="ivm")
+    rng = random.Random(77)
+    lsn = 0
+    for b in range(4):
+        rows = []
+        for key in rng.sample(range(24), rng.randint(8, 20)):
+            conv, turn = f"c{key % 6}", key // 6
+            kind = rng.choice(["PATCH", "PATCH", "REPLACE", "DELETE"])
+            lsn += 1
+            txt = f"txt{lsn}" * rng.randint(1, 3)
+            rows.append(
+                (conv, turn, kind, None, txt, None, lsn)
+                if kind != "DELETE"
+                else (conv, turn, kind, None, None, None, lsn)
+            )
+        s.merge(_folded(spark, rows), batch_id=b)
+
+    since = 1
+    base = (
+        s.read_table(as_of=since)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("chars"),
+        )
+    )
+    ch = s.read_changes(since, preimages=True)
+    ln = lambda c: F.coalesce(F.length(c), F.lit(0))  # noqa: E731
+    deltas = ch.groupBy("conv_id").agg(
+        F.sum(
+            F.when(F.col("change_type") == "INSERT", 1)
+            .when(F.col("change_type") == "DELETE", -1)
+            .otherwise(0)
+        ).alias("dn"),
+        F.sum(
+            F.when(F.col("change_type") == "INSERT", ln("text"))
+            .when(F.col("change_type") == "DELETE", -ln("_pre_text"))
+            .otherwise(ln("text") - ln("_pre_text"))
+        ).alias("dchars"),
+    )
+    maintained = {
+        (r["conv_id"]): (int(r["n2"]), int(r["c2"]))
+        for r in base.join(deltas, "conv_id", "full_outer")
+        .select(
+            "conv_id",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n2"),
+            (F.coalesce("chars", F.lit(0)) + F.coalesce("dchars", F.lit(0))).alias("c2"),
+        )
+        .where(F.col("n2") > 0)
+        .collect()
+    }
+    direct = {
+        r["conv_id"]: (int(r["n"]), int(r["c"]))
+        for r in s.read_table()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("c"),
+        )
+        .collect()
+    }
+    assert maintained == direct
