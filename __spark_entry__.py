@@ -476,6 +476,56 @@ def q_cdc_incremental_agg(spark, sf_dir):
     )
 
 
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """`store.diff_snapshots` — endpoint state re-diff (the recovery
+    path when a feed consumer falls below the retention window): the
+    two-batch fold replayed through a real store, then snapshot 1 vs
+    snapshot 2 diffed into net INSERT/UPDATE/DELETE rows with pre +
+    post images.  The DuckDB oracle classifies the same transition
+    from the replayed fold; no changelog is needed on the store —
+    the diff reads only the two endpoint snapshots."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="pb3ld_diff_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        store.merge(_fold_event_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(_fold_event_batch(ev, cutoff, 1 << 62), batch_id=2)
+        rows = [
+            (
+                r["conv_id"],
+                int(r["turn_idx"]),
+                r["change_type"],
+                r["text"],
+                r["_pre_text"],
+            )
+            for r in store.diff_snapshots(1, 2)
+            .select(
+                "conv_id", "turn_idx", "change_type", "text",
+                "_pre_text",
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, change_type string, "
+        "text string, _pre_text string",
+    )
+
+
 def q_event_sessionize(spark, sf_dir):
     """Gap-based sessionization — the batch face of the stateful
     session tracker (`streaming/sessions.py`): per user, a new
@@ -1888,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lineage": q_cdc_lineage,
     "cdc_changelog": q_cdc_changelog,
     "cdc_incremental_agg": q_cdc_incremental_agg,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "event_sessionize": q_event_sessionize,
     "doc_bm25_topk": q_doc_bm25_topk,
     "cdc_multi_table": q_cdc_multi_table,
@@ -2980,6 +3031,63 @@ def _literal_oracles() -> dict[str, str]:
                 WHERE NOT (b2.kind = 'DELETE' AND s1.conv_id IS NULL)
             )
             SELECT * FROM feed1 UNION ALL SELECT * FROM feed2
+        """,
+        "cdc_snapshot_diff": """
+            WITH c AS (
+                SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT c FROM c)
+                            THEN 1 ELSE 2 END AS batch
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx, batch,
+                       max(event_id) AS last_lsn
+                FROM ek GROUP BY conv_id, turn_idx, batch
+            ),
+            lastk AS (
+                SELECT conv_id, turn_idx, batch,
+                       CASE WHEN event_type = 'error'
+                            THEN 'DELETE' ELSE 'PATCH' END AS kind
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            fb AS (
+                SELECT f.conv_id, f.turn_idx, f.batch, f.last_lsn,
+                       l.kind
+                FROM folded f
+                JOIN lastk l USING (conv_id, turn_idx, batch)
+            ),
+            -- state at snapshot 1 / snapshot 2 (batch-2 verdict wins)
+            s1 AS (
+                SELECT conv_id, turn_idx, last_lsn FROM fb
+                WHERE batch = 1 AND kind = 'PATCH'
+            ),
+            b2 AS (SELECT * FROM fb WHERE batch = 2)
+            SELECT b2.conv_id, b2.turn_idx,
+                   CASE WHEN b2.kind = 'DELETE' THEN 'DELETE'
+                        WHEN s1.conv_id IS NULL THEN 'INSERT'
+                        ELSE 'UPDATE' END AS change_type,
+                   CASE WHEN b2.kind = 'DELETE' THEN NULL
+                        ELSE concat('t', CAST(b2.last_lsn AS VARCHAR))
+                        END AS text,
+                   CASE WHEN s1.conv_id IS NULL THEN NULL
+                        ELSE concat('t', CAST(s1.last_lsn AS VARCHAR))
+                        END AS _pre_text
+            FROM b2 LEFT JOIN s1
+              ON b2.conv_id = s1.conv_id
+             AND b2.turn_idx = s1.turn_idx
+            WHERE NOT (b2.kind = 'DELETE' AND s1.conv_id IS NULL)
         """,
         "cdc_incremental_agg": """
             WITH c AS (

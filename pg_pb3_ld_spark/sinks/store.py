@@ -1218,6 +1218,62 @@ class SnapshotStore:
             out = out.unionByName(p)
         return out
 
+    def diff_snapshots(
+        self, since_snapshot: int = 0, until: int | None = None
+    ) -> DataFrame:
+        """State diff between two snapshots — the re-diff baseline the
+        change feed replaces: a keyed full-outer join of
+        ``read_table(as_of=since)`` vs ``read_table(as_of=until)``
+        emitting one row per NET-changed key (INSERT / UPDATE /
+        DELETE with post-image values and ``_pre_<col>`` pre-images;
+        keys whose values are unchanged emit nothing, including
+        change-and-change-back within the range).
+
+        Works on ANY store (no ``changelog=True`` needed) and on
+        expired intermediate snapshots, since only the two endpoint
+        snapshots are read — the recovery path when a feed consumer
+        has fallen below the retention window.  Cost is O(both
+        snapshots) vs the feed's O(changes): one key-hash shuffle
+        join, no Python.  ``test_changelog.py`` pins feed ≡ diff
+        (netted) so either path yields the same downstream state."""
+        schema = self.schema
+        keys = [c.name for c in schema.key_columns]
+        vals = [c.name for c in schema.value_columns]
+        hi = self.snapshot_id if until is None else int(until)
+        a = (
+            self.read_table(as_of=since_snapshot)
+            .withColumn("_a", F.lit(True))
+            .alias("a")
+        )
+        b = (
+            self.read_table(as_of=hi)
+            .withColumn("_b", F.lit(True))
+            .alias("b")
+        )
+        a_ex = F.col("a._a").isNotNull()
+        b_ex = F.col("b._b").isNotNull()
+        same_vals = F.lit(True)
+        for c in vals:
+            same_vals = same_vals & F.col(f"a.{c}").eqNullSafe(
+                F.col(f"b.{c}")
+            )
+        ctype = (
+            F.when(~a_ex, "INSERT")
+            .when(~b_ex, "DELETE")
+            .otherwise("UPDATE")
+        )
+        cols = (
+            [F.col(k) for k in keys]
+            + [ctype.alias("change_type")]
+            + [F.col(f"b.{c}").alias(c) for c in vals]
+            + [F.col(f"a.{c}").alias(f"_pre_{c}") for c in vals]
+        )
+        return (
+            a.join(b, on=keys, how="full_outer")
+            .where(~(a_ex & b_ex & same_vals))
+            .select(*cols)
+        )
+
     # --------------------------------------- bootstrap / history / GC
 
     def bootstrap(

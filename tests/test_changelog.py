@@ -276,3 +276,63 @@ def test_feed_incremental_view_maintenance(spark, tmpdir_path):
         .collect()
     }
     assert maintained == direct
+
+
+def test_diff_snapshots_equals_netted_feed(spark, tmpdir_path):
+    """diff_snapshots (endpoint re-diff) ≡ the feed netted per key:
+    first feed row in the range tells presence at `since`, last tells
+    the end state; change-and-change-back keys net to nothing.  Either
+    path must yield the same downstream state transition."""
+    import random
+
+    s = _store(spark, tmpdir_path, name="diff")
+    rng = random.Random(55)
+    lsn = 0
+    for b in range(5):
+        rows = []
+        for key in rng.sample(range(18), rng.randint(5, 14)):
+            conv, turn = f"c{key % 6}", key // 6
+            kind = rng.choice(["PATCH", "PATCH", "REPLACE", "DELETE"])
+            lsn += 1
+            # small value space to exercise change-and-change-back
+            txt = f"t{lsn % 3}"
+            role = f"r{lsn % 2}" if rng.random() < 0.6 else None
+            rows.append(
+                (conv, turn, kind, role, txt, None, lsn)
+                if kind != "DELETE"
+                else (conv, turn, kind, None, None, None, lsn)
+            )
+        s.merge(_folded(spark, rows), batch_id=b)
+
+    since, until = 2, 5
+    diff = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["change_type"],
+            (r["role"], r["text"], r["tool"]),
+            (r["_pre_role"], r["_pre_text"], r["_pre_tool"]),
+        )
+        for r in s.diff_snapshots(since, until).collect()
+    }
+
+    feed_rows = {}
+    for r in (
+        s.read_changes(since, until, preimages=True)
+        .orderBy("snapshot_id", "last_lsn")
+        .collect()
+    ):
+        feed_rows.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    netted = {}
+    for key, rs in feed_rows.items():
+        present_before = rs[0]["change_type"] != "INSERT"
+        pre = (rs[0]["_pre_role"], rs[0]["_pre_text"], rs[0]["_pre_tool"])
+        last = rs[-1]
+        alive_after = last["change_type"] != "DELETE"
+        post = (last["role"], last["text"], last["tool"])
+        if not present_before and alive_after:
+            netted[key] = ("INSERT", post, (None, None, None))
+        elif present_before and not alive_after:
+            netted[key] = ("DELETE", (None, None, None), pre)
+        elif present_before and alive_after and post != pre:
+            netted[key] = ("UPDATE", post, pre)
+        # absent→dead or value-unchanged: no net change
+    assert diff == netted
