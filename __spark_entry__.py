@@ -560,6 +560,28 @@ def q_event_sessionize(spark, sf_dir):
     )
 
 
+def q_event_window_agg(spark, sf_dir):
+    """Tumbling event-time windows (`streaming/windows.py`, the same
+    operator that runs watermarked on the change stream): 6-hour
+    epoch-aligned buckets per event_type with count + rounded value
+    sum.  The DuckDB oracle recomputes the buckets with integer
+    epoch-microsecond arithmetic — pinning that `F.window`'s tumbling
+    assignment is exactly floor(epoch/width).  One hash exchange on
+    (window, event_type), map-side partials; watermarking bounds the
+    same plan's state on a stream."""
+    from pg_pb3_ld_spark.streaming.windows import windowed_rates
+
+    ev = _events(spark, sf_dir)
+    out = windowed_rates(ev, window="6 hours")
+    return out.select(
+        _us(F.col("window.start")).alias("window_start_us"),
+        _us(F.col("window.end")).alias("window_end_us"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -1940,6 +1962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "event_sessionize": q_event_sessionize,
+    "event_window_agg": q_event_window_agg,
     "doc_bm25_topk": q_doc_bm25_topk,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_mor_apply": q_cdc_mor_apply,
@@ -3146,6 +3169,17 @@ def _literal_oracles() -> dict[str, str]:
                    ))) AS BIGINT) AS text_chars
             FROM final WHERE kind = 'PATCH'
             GROUP BY conv_id
+        """,
+        "event_window_agg": """
+            SELECT (epoch_us(ts) // 21600000000) * 21600000000
+                       AS window_start_us,
+                   (epoch_us(ts) // 21600000000) * 21600000000
+                       + 21600000000 AS window_end_us,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "event_sessionize": """
             WITH e AS (
