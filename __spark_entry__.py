@@ -582,6 +582,37 @@ def q_event_window_agg(spark, sf_dir):
     )
 
 
+def q_doc_zorder_key(spark, sf_dir):
+    """Z-order layout key (`functions/layout.py`) — the clustering
+    that makes 100-TB selective scans prune: a 32-bit Morton
+    interleave of 16-bit-quantized n_chars × a 16-bit md5(source)
+    hash, plus the coarse tile (top 8 bits) a range-partitioned
+    writer would group files by.  All exact integer Catalyst bit
+    math (4 shift/mask steps per dimension, whole-stage codegen);
+    the DuckDB oracle replays the identical spread — keys match
+    bit-for-bit, proving an external system can compute the same
+    layout (the portability the md5 bucket function established for
+    buckets, extended to clustering)."""
+    from pg_pb3_ld_spark.functions.layout import morton16, quantize16
+
+    docs = _documents(spark, sf_dir)
+    mm = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    q1 = quantize16(F.col("n_chars"), F.col("mn"), F.col("mx"))
+    q2 = F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.join(F.broadcast(mm))
+        .select("doc_id", morton16(q1, q2).alias("zkey"))
+        .select(
+            "doc_id", "zkey",
+            F.shiftright("zkey", 24).cast("bigint").alias("tile"),
+        )
+    )
+
+
 _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -1964,6 +1995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessionize": q_event_sessionize,
     "event_window_agg": q_event_window_agg,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_zorder_key": q_doc_zorder_key,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -2645,6 +2677,29 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _zorder_oracle_sql() -> str:
+    from pg_pb3_ld_spark.functions.layout import sql_morton16
+
+    z = sql_morton16("q1", "q2")
+    return f"""
+        WITH mm AS (
+            SELECT min(n_chars) AS mn, max(n_chars) AS mx
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   CAST(floor(((n_chars - mn) * 65535)
+                        / greatest(mx - mn, 1)) AS BIGINT) AS q1,
+                   CAST(concat('0x', substr(md5(source), 1, 4))
+                        AS BIGINT) AS q2
+            FROM documents CROSS JOIN mm
+        ),
+        k AS (SELECT doc_id, {z} AS zkey FROM q)
+        SELECT doc_id, zkey, CAST(zkey >> 24 AS BIGINT) AS tile
+        FROM k
+    """
+
+
 def _literal_oracles() -> dict[str, str]:
     # G.711 μ-law expansion, arithmetically: byte → invert → split
     # sign/exponent/mantissa → ((8·mant + 132)·2^exp) − 132, signed.
@@ -3170,6 +3225,7 @@ def _literal_oracles() -> dict[str, str]:
             FROM final WHERE kind = 'PATCH'
             GROUP BY conv_id
         """,
+        "doc_zorder_key": _zorder_oracle_sql(),
         "event_window_agg": """
             SELECT (epoch_us(ts) // 21600000000) * 21600000000
                        AS window_start_us,
