@@ -582,6 +582,78 @@ def q_event_window_agg(spark, sf_dir):
     )
 
 
+def q_event_asof_join(spark, sf_dir):
+    """As-of join (`functions/joins.py`) — each click event joined to
+    the user's most recent STRICTLY-prior purchase (latest event_id
+    wins among equal purchase timestamps); clicks with no prior
+    purchase keep NULLs.  Implemented as union + one keyed window
+    forward-fill — a single shuffle+sort of |L|+|R| rows, never a
+    per-row range probe.  The DuckDB oracle replays the same
+    visibility rule with its own window engine."""
+    from pg_pb3_ld_spark.functions.joins import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value",
+        _us("ts").alias("us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "value",
+        "us",
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts_col="us",
+        tiebreak="purchase_id",
+    )
+    return out.select(
+        "click_id", "user_id", F.col("us").alias("click_us"),
+        "purchase_id", F.col("us_right").alias("purchase_us"),
+        "value",
+    )
+
+
+def q_event_interval_join(spark, sf_dir):
+    """Interval (range) join (`functions/joins.py`) — "incident
+    hours" (hours with ≥3 error events; interval = [first_error_us,
+    last_error_us] within the hour) joined to ALL events falling
+    inside them, counted per (incident, event_type).  Binned to
+    30-minute buckets: an equi-join on the bucket + residual range
+    filter — the hash-join plan Catalyst cannot derive from a raw
+    BETWEEN predicate (which goes broadcast-nested-loop and dies when
+    both sides are large).  DuckDB replays with a plain non-equi
+    BETWEEN join."""
+    from pg_pb3_ld_spark.functions.joins import interval_join
+
+    HOUR = 3600 * 1000000
+    ev = _events(spark, sf_dir).select(
+        "event_type", _us("ts").alias("us")
+    )
+    incidents = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(
+            F.floor(F.col("us") / HOUR).cast("long").alias("iid")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_err"),
+            F.min("us").alias("s"),
+            F.max("us").alias("e"),
+        )
+        .where(F.col("n_err") >= 3)
+        .select("iid", "s", "e")
+    )
+    joined = interval_join(
+        ev, incidents, ts_col="us", start_col="s", end_col="e",
+        bucket_width=HOUR // 2,
+    )
+    return joined.groupBy("iid", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def q_doc_zorder_key(spark, sf_dir):
     """Z-order layout key (`functions/layout.py`) — the clustering
     that makes 100-TB selective scans prune: a 32-bit Morton
@@ -1994,6 +2066,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "event_sessionize": q_event_sessionize,
     "event_window_agg": q_event_window_agg,
+    "event_asof_join": q_event_asof_join,
+    "event_interval_join": q_event_interval_join,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_zorder_key": q_doc_zorder_key,
     "cdc_multi_table": q_cdc_multi_table,
@@ -3226,6 +3300,50 @@ def _literal_oracles() -> dict[str, str]:
             GROUP BY conv_id
         """,
         "doc_zorder_key": _zorder_oracle_sql(),
+        "event_interval_join": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS us, event_type FROM events
+            ),
+            ih AS (
+                SELECT us // 3600000000 AS iid,
+                       min(us) AS s, max(us) AS e
+                FROM e WHERE event_type = 'error'
+                GROUP BY 1 HAVING count(*) >= 3
+            )
+            SELECT ih.iid, e.event_type, count(*) AS n_events
+            FROM e JOIN ih ON e.us BETWEEN ih.s AND ih.e
+            GROUP BY 1, 2
+        """,
+        "event_asof_join": """
+            WITH u AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       0 AS tag,
+                       CAST(NULL AS BIGINT) AS p_id,
+                       CAST(NULL AS DOUBLE) AS p_val
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, epoch_us(ts), event_id, 1,
+                       event_id, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            f AS (
+                SELECT *,
+                       last_value(p_id IGNORE NULLS) OVER w AS m_id,
+                       last_value(CASE WHEN tag = 1 THEN us END
+                                  IGNORE NULLS) OVER w AS m_us,
+                       last_value(p_val IGNORE NULLS) OVER w AS m_val
+                FROM u
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY us, tag, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )
+            )
+            SELECT event_id AS click_id, user_id, us AS click_us,
+                   m_id AS purchase_id, m_us AS purchase_us,
+                   m_val AS value
+            FROM f WHERE tag = 0
+        """,
         "event_window_agg": """
             SELECT (epoch_us(ts) // 21600000000) * 21600000000
                        AS window_start_us,
