@@ -141,7 +141,101 @@ def main():
     sections.append(("sequence packing (expect ONE shard-partitioned "
                      "Window, no global sort/exchange-single)", pack_plan))
 
+    # round 5 (cont.): temporal/layout/retrieval operators
+    from pg_pb3_ld_spark.functions.joins import asof_join, interval_join
+    from pg_pb3_ld_spark.functions.layout import morton16, quantize16
+    from pg_pb3_ld_spark.streaming.windows import windowed_rates
+
+    ev = spark.createDataFrame(
+        [(i, i % 7, 1000000000 + i * 900, f"t{i % 3}", float(i % 11))
+         for i in range(80)],
+        "event_id long, user_id long, us long, event_type string, "
+        "value double",
+    )
+    sess_src = ev.select(
+        "user_id", "event_id", "event_type", "us"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess_plan = plan_of(
+        sess_src.withColumn(
+            "_new", F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
+            .otherwise(0),
+        )
+        .withColumn("sess", F.sum("_new").over(w))
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sections.append(("sessionize (expect ONE user_id exchange shared "
+                     "by both Windows and the agg)", sess_plan))
+
+    win_src = ev.select(
+        F.timestamp_micros(F.col("us")).alias("ts"), "event_type",
+        "value",
+    )
+    win_plan = plan_of(windowed_rates(win_src, window="6 hours"))
+    sections.append(("event-time window agg (expect HashAggregate "
+                     "with partials, no Python)", win_plan))
+
+    clicks = ev.where("event_type = 't0'").select(
+        F.col("event_id").alias("cid"), "user_id", "us"
+    )
+    purch = ev.where("event_type = 't1'").select(
+        F.col("event_id").alias("pid"), "user_id", "us", "value"
+    )
+    asof_plan = plan_of(
+        asof_join(clicks, purch, on=["user_id"], ts_col="us",
+                  tiebreak="pid")
+    )
+    sections.append(("as-of join (expect ONE user_id hash exchange, "
+                     "no SortMergeJoin/NestedLoop)", asof_plan))
+
+    iv = spark.createDataFrame(
+        [(1, 1000, 5000), (2, 9000, 12000)], "iid int, s long, e long"
+    )
+    ij_plan = plan_of(
+        interval_join(ev.select("event_id", "us"), iv, "us", "s", "e",
+                      bucket_width=2000)
+    )
+    sections.append(("interval join (expect equi hash/broadcast join "
+                     "on bucket, NO BroadcastNestedLoop)", ij_plan))
+
+    mm = spark.createDataFrame([(0, 65535)], "mn long, mx long")
+    z_plan = plan_of(
+        ev.join(F.broadcast(mm)).select(
+            "event_id",
+            morton16(
+                quantize16(F.col("us"), F.col("mn"), F.col("mx")),
+                F.col("user_id"),
+            ).alias("zkey"),
+        )
+    )
+    sections.append(("z-order key (expect pure codegen projection + "
+                     "broadcast, no extra exchange)", z_plan))
+
     checks = {
+        "sessionize shares ONE user_id exchange": (
+            sess_plan.count("hashpartitioning(user_id") == 1
+            and not _has_python(sess_plan)
+        ),
+        "window agg: hash aggregate, no python": (
+            "HashAggregate" in win_plan and not _has_python(win_plan)
+        ),
+        "asof join: one key exchange, no SMJ/NLJ": (
+            asof_plan.count("hashpartitioning(user_id") == 1
+            and "SortMergeJoin" not in asof_plan
+            and "NestedLoop" not in asof_plan
+            and not _has_python(asof_plan)
+        ),
+        "interval join: equi join on bucket, no NLJ": (
+            "NestedLoop" not in ij_plan and not _has_python(ij_plan)
+        ),
+        "zorder key: no shuffle exchange, no python": (
+            "hashpartitioning" not in z_plan
+            and not _has_python(z_plan)
+        ),
         "IVF assign is hash-aggregated (no window/sort)": (
             "HashAggregate" in ivf_plan
             and "Window" not in ivf_plan
