@@ -654,6 +654,63 @@ def q_event_interval_join(spark, sf_dir):
     )
 
 
+def q_event_distinct_sketch(spark, sf_dir):
+    """Mergeable cardinality sketch (`functions/sketches.py`) —
+    distinct user_id per event_type estimated from 64 bucket-minimum
+    48-bit md5 hashes: two map-side-combining HashAggregates with
+    EXACT integer state (a float sum's value depends on partition
+    order; the bigint Σ(min+1) doesn't), one float division at the
+    end.  Output carries the estimate, the exact distinct, and the
+    relative error — the sketch self-reports its accuracy.  DuckDB
+    replays every bucket minimum and the estimator bit-for-bit."""
+    from pg_pb3_ld_spark.functions.sketches import distinct_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = distinct_sketch(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est_f = F.floor(F.col("est_distinct") * 10000) / 10000
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            est_f.alias("est_distinct"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "rel_err",
+            F.floor(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * 10000
+            )
+            / 10000,
+        )
+    )
+
+
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-Res,
+    `functions/sketches.py`) — 50 documents drawn without replacement
+    with probability ∝ n_chars, via key = u^(1/weight) on an
+    md5-uniform and a TakeOrdered top-50 (per-partition heaps, no
+    global sort).  Reproducible across engines/retries/partitionings
+    because the randomness IS the hash; DuckDB draws the identical
+    sample."""
+    from pg_pb3_ld_spark.functions.sketches import weighted_sample
+
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    out = weighted_sample(docs, F.col("n_chars"), "doc_id", 50)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        (F.floor(F.col("_wkey") * 1000000000) / 1000000000).alias(
+            "wkey"
+        ),
+    )
+
+
 def q_doc_zorder_key(spark, sf_dir):
     """Z-order layout key (`functions/layout.py`) — the clustering
     that makes 100-TB selective scans prune: a 32-bit Morton
@@ -2070,6 +2127,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_interval_join": q_event_interval_join,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_zorder_key": q_doc_zorder_key,
+    "event_distinct_sketch": q_event_distinct_sketch,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -3300,6 +3359,66 @@ def _literal_oracles() -> dict[str, str]:
             GROUP BY conv_id
         """,
         "doc_zorder_key": _zorder_oracle_sql(),
+        "event_distinct_sketch": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(concat('0x', substr(
+                           md5(CAST(user_id AS VARCHAR)), 13, 4
+                       )) AS BIGINT) % 64 AS b,
+                       CAST(concat('0x', substr(
+                           md5(CAST(user_id AS VARCHAR)), 1, 12
+                       )) AS BIGINT) AS hv
+                FROM events
+            ),
+            pb AS (
+                SELECT event_type, b, min(hv) AS m
+                FROM h GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT event_type,
+                       CAST(sum(m + 1) AS BIGINT)
+                       + (64 - count(*)) * 281474976710656 AS s,
+                       64 - count(*) AS v
+                FROM pb GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT)
+                           AS exact_distinct
+                FROM events GROUP BY 1
+            ),
+            est AS (
+                SELECT g.event_type,
+                       floor(
+                           CASE WHEN (1152921504606846976.0 / s
+                                      - 64.0) < 160.0 AND v > 0
+                                THEN 64.0 * ln(64.0 / v)
+                                ELSE 1152921504606846976.0 / s - 64.0
+                           END * 10000
+                       ) / 10000 AS est_distinct,
+                       ex.exact_distinct
+                FROM g JOIN ex USING (event_type)
+            )
+            SELECT event_type, est_distinct, exact_distinct,
+                   floor(abs(est_distinct - exact_distinct)
+                         / exact_distinct * 10000) / 10000 AS rel_err
+            FROM est
+        """,
+        "doc_weighted_sample": """
+            WITH k AS (
+                SELECT doc_id, n_chars,
+                       pow((CAST(concat('0x', substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 12
+                           )) AS BIGINT) + 1.0) / 281474976710656.0,
+                           1.0 / n_chars) AS rawkey
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   floor(rawkey * 1000000000) / 1000000000 AS wkey
+            FROM k
+            ORDER BY rawkey DESC, doc_id
+            LIMIT 50
+        """,
         "event_interval_join": """
             WITH e AS (
                 SELECT epoch_us(ts) AS us, event_type FROM events
