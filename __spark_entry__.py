@@ -654,6 +654,28 @@ def q_event_interval_join(spark, sf_dir):
     )
 
 
+def q_event_quantiles(spark, sf_dir):
+    """Exact per-group quantiles: p50/p90/p99 of value per event_type
+    (`percentile`, the linear-interpolation percentile_cont algebra —
+    probed bit-identical to DuckDB's quantile_cont on this data;
+    floored at 1e-6 regardless).  Spark's exact percentile holds one
+    sorted value buffer per GROUP (not per table) with partial
+    merging — fine while groups fit an executor; for heavy-tailed
+    100-TB groups the approx_percentile/t-digest path is the
+    documented fallback."""
+    ev = _events(spark, sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q")
+    )
+    f6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    return q.select(
+        "event_type",
+        f6(F.col("q")[0]).alias("p50"),
+        f6(F.col("q")[1]).alias("p90"),
+        f6(F.col("q")[2]).alias("p99"),
+    )
+
+
 def q_event_distinct_sketch(spark, sf_dir):
     """Mergeable cardinality sketch (`functions/sketches.py`) —
     distinct user_id per event_type estimated from 64 bucket-minimum
@@ -2127,6 +2149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_interval_join": q_event_interval_join,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_zorder_key": q_doc_zorder_key,
+    "event_quantiles": q_event_quantiles,
     "event_distinct_sketch": q_event_distinct_sketch,
     "doc_weighted_sample": q_doc_weighted_sample,
     "cdc_multi_table": q_cdc_multi_table,
@@ -3359,6 +3382,18 @@ def _literal_oracles() -> dict[str, str]:
             GROUP BY conv_id
         """,
         "doc_zorder_key": _zorder_oracle_sql(),
+        "event_quantiles": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, [0.5, 0.9, 0.99]) AS q
+                FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   floor(q[1] * 1000000) / 1000000 AS p50,
+                   floor(q[2] * 1000000) / 1000000 AS p90,
+                   floor(q[3] * 1000000) / 1000000 AS p99
+            FROM q
+        """,
         "event_distinct_sketch": """
             WITH h AS (
                 SELECT event_type,

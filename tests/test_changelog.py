@@ -336,3 +336,60 @@ def test_diff_snapshots_equals_netted_feed(spark, tmpdir_path):
             netted[key] = ("UPDATE", post, pre)
         # absent→dead or value-unchanged: no net change
     assert diff == netted
+
+
+def test_streaming_cdf_end_to_end(spark, tmpdir_path):
+    """The change feed composes with the streaming runner for free
+    (changelog is a store property, not a pipeline mode): a streamed
+    multi-micro-batch ingest leaves one feed slice per committing
+    batch, and replaying the WHOLE feed from empty reproduces the
+    final table — the downstream materializer driven by a real
+    Structured Streaming run."""
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import (
+        generate_stream,
+        write_frames_parquet_dir,
+    )
+    from pg_pb3_ld_spark.streaming.runner import run_stream
+
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    stream = generate_stream(seed=23, n_convs=12, max_turns=6,
+                             n_extra_txns=30)
+    frames_dir = os.path.join(tmpdir_path, "landing")
+    write_frames_parquet_dir(stream, frames_dir, n_files=6)
+    store = SnapshotStore.create(
+        spark, os.path.join(tmpdir_path, "t"), transcripts_schema(),
+        num_buckets=4, changelog=True,
+    )
+    metrics = run_stream(
+        spark, frames_dir, store, cfg,
+        checkpoint_dir=os.path.join(tmpdir_path, "ck"),
+        max_files_per_trigger=2,
+    )
+    committing = [m for m in metrics if not m.get("skipped")]
+    assert len(committing) >= 2
+    feed = (
+        store.read_changes(0)
+        .orderBy("snapshot_id", "last_lsn")
+        .collect()
+    )
+    # one snapshot id per committing micro-batch, in commit order
+    assert sorted({int(r["snapshot_id"]) for r in feed}) == list(
+        range(1, store.snapshot_id + 1)
+    )
+    # materialize from empty: replay = final table
+    state = {}
+    for r in feed:
+        key = (r["conv_id"], r["turn_idx"])
+        if r["change_type"] == "DELETE":
+            state.pop(key, None)
+        else:
+            state[key] = (r["role"], r["text"], r["tool"])
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in store.read_table().collect()
+    }
+    assert state == want
