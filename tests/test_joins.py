@@ -127,3 +127,53 @@ def test_interval_unaligned_narrow_bucket(spark):
     # bucket narrower than interval AND interval inside one bucket
     assert _ij(spark, [(1, 7)], [(5, 6, 8)], w=100) == [(1, 5)]
     assert _ij(spark, [(1, 7)], [(5, 6, 8)], w=1) == [(1, 5)]
+
+
+# ------------------------------------------- randomized differential
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """Seeded random streams vs an O(n·m) Python reference — catches
+    ordering/visibility bugs the handpicked cases miss."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(4):
+        lrows = [
+            (i, f"k{rng.randint(0, 4)}", rng.randint(0, 40))
+            for i in range(60)
+        ]
+        rrows = [
+            (100 + i, f"k{rng.randint(0, 4)}", rng.randint(0, 40),
+             f"v{i}")
+            for i in range(60)
+        ]
+        want = {}
+        for lid, lk, lts in lrows:
+            best = None
+            for rid, rk, rts, v in rrows:
+                if rk == lk and rts < lts:
+                    if best is None or (rts, rid) > (best[2], best[0]):
+                        best = (rid, v, rts)
+            want[lid] = best or (None, None, None)
+        got = _join(spark, lrows, rrows)
+        assert got == want, f"trial {trial}"
+
+
+def test_interval_join_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial, w in [(0, 5), (1, 17), (2, 100)]:
+        points = [(i, rng.randint(0, 200)) for i in range(80)]
+        ivals = []
+        for i in range(15):
+            s = rng.randint(0, 180)
+            ivals.append((i, s, s + rng.randint(0, 60)))
+        want = sorted(
+            (pid, iid)
+            for pid, ts in points
+            for iid, s, e in ivals
+            if s <= ts <= e
+        )
+        assert _ij(spark, points, ivals, w=w) == want, f"trial {trial}"
