@@ -654,6 +654,27 @@ def q_event_interval_join(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (ann.pq_*): 4 subspaces × 8 codes,
+    each codebook trained by the seeded integer k-means on the
+    sliced base (spherical assignment, exact bigint means), base
+    encoded by the same packed-bigint argmax HashAggregate as IVF,
+    then asymmetric-distance top-10: per-query LUT of subvector·
+    centroid dots quantized to 2^-20 integers so the ADC score is an
+    exact order-free bigint sum.  Encoded corpus = m·log2(ksub) bits
+    per vector (12 bits vs 4096 float bits here) — the scan-size
+    collapse that makes 10^10-vector candidate scoring memory-
+    feasible.  DuckDB replays the full chain: both Lloyd fits, every
+    code, every LUT entry, every rank."""
+    from pg_pb3_ld_spark.functions import ann
+
+    emb = _embeddings(spark, sf_dir)
+    return ann.pq_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=10, m=4, ksub=8,
+        n_iters=1, init_step=62, rerank_from=50,
+    )
+
+
 def q_event_quantiles(spark, sf_dir):
     """Exact per-group quantiles: p50/p90/p99 of value per event_type
     (`percentile`, the linear-interpolation percentile_cont algebra —
@@ -2149,6 +2170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_interval_join": q_event_interval_join,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_zorder_key": q_doc_zorder_key,
+    "ann_pq_topk": q_ann_pq_topk,
     "event_quantiles": q_event_quantiles,
     "event_distinct_sketch": q_event_distinct_sketch,
     "doc_weighted_sample": q_doc_weighted_sample,
@@ -2437,6 +2459,138 @@ def _extra_oracles() -> dict[str, str]:
             prev = f"km_c{it}"
         return ctes, prev
 
+    # PQ oracle: per-subspace sliced kmeans (1 iter) → encode all →
+    # LUT of query-subvector · centroid dots quantized at 2^-20 →
+    # exact bigint ADC sum → ranked top-10.  Mirrors ann.pq_topk with
+    # m=4, ksub=8, init_step=62 (subspace slice j covers dims
+    # [16j+1, 16j+16] of the 64-dim embeddings).
+    def _pq_ctes() -> str:
+        m, sub_len, step, ksub = 4, 16, 62, 8
+        parts = []
+        for j in range(m):
+            lo = j * sub_len + 1
+            hi = lo + sub_len - 1
+            parts.append(f"""pq_qb{j} AS (
+            SELECT vec_id, list_transform(
+                list_slice(embedding, {lo}, {hi}),
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+            ) AS qv
+            FROM embeddings
+        ),
+        pq_c0_{j} AS (
+            SELECT CAST(vec_id / {step} AS INT) AS list_id,
+                   list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+            FROM pq_qb{j}
+            WHERE vec_id % {step} = 0 AND vec_id < {step * ksub}
+        ),
+        pq_a1_{j} AS (
+            SELECT vec_id, list_id FROM (
+                SELECT q.vec_id, p.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_asg_key(_cos2('q.qv', 'p.c'))} DESC
+                ) AS rn
+                FROM pq_qb{j} q, pq_c0_{j} p
+            ) WHERE rn = 1
+        ),
+        pq_m1_{j} AS (
+            SELECT a.list_id, t.i AS dim,
+                   CAST(SUM(q.qv[t.i]) AS DOUBLE) / COUNT(*) AS val
+            FROM pq_a1_{j} a JOIN pq_qb{j} q USING (vec_id),
+                 UNNEST(range(1, len(q.qv) + 1)) AS t(i)
+            GROUP BY a.list_id, t.i
+        ),
+        pq_n1_{j} AS (
+            SELECT list_id, list(val ORDER BY dim) AS c
+            FROM pq_m1_{j} GROUP BY list_id
+        ),
+        pq_cb_{j} AS (
+            SELECT p.list_id, coalesce(n.c, p.c) AS c
+            FROM pq_c0_{j} p LEFT JOIN pq_n1_{j} n USING (list_id)
+        ),
+        pq_code_{j} AS (
+            SELECT vec_id, {j} AS subspace, list_id AS code FROM (
+                SELECT q.vec_id, p.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_asg_key(_cos2('q.qv', 'p.c'))} DESC
+                ) AS rn
+                FROM pq_qb{j} q, pq_cb_{j} p
+            ) WHERE rn = 1
+        ),
+        pq_lut_{j} AS (
+            SELECT q.vec_id AS query_id, {j} AS subspace,
+                   p.list_id AS code,
+                   CAST(round(list_sum(list_transform(
+                       range(1, len(p.c) + 1),
+                       i -> CAST(q.sq[i] AS DOUBLE) * p.c[i]
+                   )) * 1048576.0) AS BIGINT) AS qdot,
+                   CAST(round(list_sum(list_transform(
+                       p.c, x -> x * x
+                   )) * 1048576.0) AS BIGINT) AS cn2
+            FROM (
+                SELECT vec_id,
+                       list_slice(embedding, {lo}, {hi}) AS sq
+                FROM embeddings WHERE vec_id < 3
+            ) q, pq_cb_{j} p
+        )""")
+        unions_code = " UNION ALL ".join(
+            f"SELECT * FROM pq_code_{j}" for j in range(m)
+        )
+        unions_lut = " UNION ALL ".join(
+            f"SELECT * FROM pq_lut_{j}" for j in range(m)
+        )
+        return (
+            ",\n        ".join(parts)
+            + f""",
+        pq_codes AS ({unions_code}),
+        pq_lut AS ({unions_lut}),
+        pq_scored AS (
+            SELECT l.query_id, c.vec_id,
+                   CAST(SUM(l.qdot) AS BIGINT) AS adc,
+                   CAST(SUM(l.cn2) AS BIGINT) AS n2
+            FROM pq_codes c JOIN pq_lut l
+              ON c.subspace = l.subspace AND c.code = l.code
+            WHERE c.vec_id != l.query_id
+            GROUP BY 1, 2
+        ),
+        pq_ranked AS (
+            SELECT *,
+                   CAST(adc AS DOUBLE)
+                   / sqrt(CAST(n2 AS DOUBLE)) / 1024.0 AS sc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(adc AS DOUBLE)
+                                / sqrt(CAST(n2 AS DOUBLE)) DESC,
+                                vec_id
+                   ) AS rn
+            FROM pq_scored
+        )"""
+        )
+
+    pq_sql = f"""
+        WITH {_pq_ctes()},
+        pq_cand AS (
+            SELECT query_id, vec_id FROM pq_ranked WHERE rn <= 50
+        ),
+        pq_qv AS (
+            SELECT vec_id AS qid, embedding AS q
+            FROM embeddings WHERE vec_id < 3
+        ),
+        pq_ex AS (
+            SELECT c.query_id, c.vec_id, {_COS} AS cs
+            FROM pq_cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN pq_qv q ON q.qid = c.query_id
+        ),
+        pq_rr AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cs DESC, vec_id
+            ) AS rrn FROM pq_ex
+        )
+        SELECT query_id, CAST(rrn AS INT) AS rn, vec_id,
+               round(cs, 4) AS cos_sim
+        FROM pq_rr WHERE rrn <= 10
+    """
+
     _km_ctes, _km_final = _kmeans_ctes(2)
     kmeans_sql = f"""
         WITH {_km_ctes}
@@ -2477,6 +2631,7 @@ def _extra_oracles() -> dict[str, str]:
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
+        "ann_pq_topk": pq_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
             sig AS (

@@ -570,3 +570,240 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "cos_q")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def pq_codebooks(
+    base: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    quant: int = 1000,
+    init_step: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subvectors and each subspace gets its OWN ``ksub``-
+    centroid codebook, trained with the seeded integer
+    :func:`kmeans_centroids` (spherical assignment, exact bigint
+    means — deterministic and oracle-replayable like the IVF fit).
+    Init per subspace: every (n//ksub)-th vector by id, the same
+    deterministic rule the IVF queries use.
+
+    Output: (subspace, code, centroid array<double>) — m·ksub rows,
+    broadcast-sized.  Total codebook bytes m·ksub·(d/m)·8 = ksub·d·8
+    regardless of m; the ENCODED corpus is m·log2(ksub) bits per
+    vector (here 4×3 bits vs 64×64 float bits — a 340× scan-size
+    reduction, which is the 100-TB point: candidate scoring reads
+    codes + a per-query LUT, never raw vectors)."""
+    d = len(base.select(emb_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    # fixed init_step keeps the init rule data-scale-independent
+    # (oracle-replayable); default derives it from the corpus size
+    step = init_step or max(1, base.count() // ksub)
+    sub_len = d // m
+    books = []
+    for j in range(m):
+        sub = base.select(
+            id_col,
+            F.slice(F.col(emb_col), j * sub_len + 1, sub_len).alias(
+                emb_col
+            ),
+        )
+        init = sub.where(
+            (F.col(id_col) % step == 0)
+            & (F.col(id_col) < step * ksub)
+        ).select(
+            (F.col(id_col) / step).cast("int").alias("list_id"),
+            emb_col,
+        )
+        cb = kmeans_centroids(
+            sub, init, n_iters, id_col=id_col, emb_col=emb_col,
+            quant=quant,
+        )
+        books.append(
+            cb.select(
+                F.lit(j).alias("subspace"),
+                F.col("list_id").alias("code"),
+                F.col(emb_col).alias("centroid"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    base: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector: per subspace, the spherical-argmax
+    nearest code — the SAME packed-bigint ``max()`` HashAggregate as
+    :func:`ivf_assign` (no window, map-side combine), run once per
+    subspace over the sliced base.  Output: (id, subspace, code)."""
+    d_len = None
+    outs = []
+    for j in range(m):
+        cb_j = codebooks.where(F.col("subspace") == j).select(
+            F.col("code").alias("list_id"),
+            F.col("centroid").alias(emb_col),
+        )
+        if d_len is None:
+            d_len = len(
+                cb_j.select(emb_col).first()[0]
+            )
+        sub = base.select(
+            id_col,
+            F.slice(F.col(emb_col), j * d_len + 1, d_len).alias(
+                emb_col
+            ),
+        )
+        outs.append(
+            ivf_assign(sub, cb_j, id_col, emb_col).select(
+                id_col,
+                F.lit(j).alias("subspace"),
+                F.col("list_id").alias("code"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_PQ_LUT_QUANT = 1 << 20
+
+
+def pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    init_step: int | None = None,
+    rerank_from: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: train codebooks on the base,
+    encode the base, then score every (query, vector) pair as
+    Σ_subspaces LUT[j][code_j] where the LUT holds each query
+    subvector's dot product with every centroid (m·ksub entries per
+    query, broadcast).  LUT dots are quantized to 2^-20 integers
+    BEFORE the sum, so the ADC score is an exact bigint sum —
+    order-independent for any m (a float sum of >2 terms would depend
+    on aggregation order) and replayable by an external oracle.
+
+    The ADC score is normalized by the reconstruction norm
+    (adc/√Σ‖c‖², a cosine up to the constant query norm) so ranking
+    matches the exact-cosine objective; still, vectors sharing all m
+    codes TIE, which caps code-only recall near k/|code-cell| on
+    tight clusters.  ``rerank_from`` > 0 is the standard remedy: the
+    ADC top-``rerank_from`` become candidates for an exact-cosine
+    re-rank (output then matches :func:`rerank_topk`:
+    (query_id, rn, vec_id, cos_sim)) — at 10^10 vectors the scan
+    reads 12-bit codes and only ``rerank_from`` raw vectors per
+    query are touched.
+
+    Output (``rerank_from`` = 0): (query_id, vec_id, rank, score_q)
+    — score_q the normalized ADC score, floored at 1e-6."""
+    books = pq_codebooks(
+        base, m, ksub, n_iters, id_col, emb_col,
+        init_step=init_step,
+    ).persist()
+    try:
+        codes = pq_encode(base, books, m, id_col, emb_col)
+        d = len(base.select(emb_col).first()[0])
+        sub_len = d // m
+        qsubs = []
+        for j in range(m):
+            qsubs.append(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.lit(j).alias("subspace"),
+                    F.slice(
+                        F.col(emb_col), j * sub_len + 1, sub_len
+                    ).alias("_q"),
+                )
+            )
+        qs = qsubs[0]
+        for q in qsubs[1:]:
+            qs = qs.unionByName(q)
+        sdot = F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.col("centroid"),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # centroid squared norms, quantized like the dots: the
+        # reconstruction x̂'s norm is Σ_j ||c_{j,code_j}||² — an exact
+        # bigint per vector, so the COSINE-style score
+        # adc/√(Σ‖c‖²) ranks like the exact cosine (raw-dot ranking
+        # systematically favors large-norm vectors and caps recall)
+        cnorm = F.aggregate(
+            F.transform(F.col("centroid"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        lut = qs.join(books, "subspace").select(
+            "query_id",
+            "subspace",
+            "code",
+            F.round(sdot * F.lit(float(_PQ_LUT_QUANT)))
+            .cast("long")
+            .alias("_qdot"),
+            F.round(cnorm * F.lit(float(_PQ_LUT_QUANT)))
+            .cast("long")
+            .alias("_cn2"),
+        )
+        scored = (
+            codes.join(F.broadcast(lut), ["subspace", "code"])
+            .where(F.col(id_col) != F.col("query_id"))
+            .groupBy("query_id", id_col)
+            .agg(
+                F.sum("_qdot").alias("_adc"),
+                F.sum("_cn2").alias("_n2"),
+            )
+        )
+        # both operands exact bigints → the double score and its
+        # ordering are deterministic; √(2^20) folds into a constant
+        # per query and never reorders
+        score = F.col("_adc") / F.sqrt(
+            F.col("_n2").cast("double")
+        ) / F.lit(float(_PQ_LUT_QUANT) ** 0.5)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_sc"), F.col(id_col)
+        )
+        ranked = scored.withColumn("_sc", score).withColumn(
+            "rank", F.row_number().over(w)
+        )
+        if rerank_from > 0:
+            cand = ranked.where(F.col("rank") <= rerank_from).select(
+                "query_id", id_col
+            )
+            return rerank_topk(cand, base, queries, k, id_col, emb_col)
+        return (
+            ranked.where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                id_col,
+                "rank",
+                (F.floor(F.col("_sc") * 1000000) / 1000000).alias(
+                    "score_q"
+                ),
+            )
+        )
+    finally:
+        books.unpersist()

@@ -153,3 +153,60 @@ def test_trained_centroids_lift_recall_on_clustered_data(spark):
     # clustered data, bad init: training must strictly help
     assert trained > sampled + 0.1, (trained, sampled)
     assert trained >= 0.8, trained
+
+
+def test_pq_topk_deterministic_and_clustered_recall(spark):
+    """PQ (4×16-dim subspaces, 8 codes each): the ADC ranking is
+    bit-identical under different partitionings (integer LUT sums),
+    every query gets exactly k rows, and on the clustered fixture the
+    12-bit codes still put mostly same-cluster vectors on top —
+    recall@10 well above the 10/479 random floor."""
+    from pg_pb3_ld_spark.functions.ann import exact_topk, pq_topk
+
+    vecs = _clustered(spark, n_clusters=12, per_cluster=40, dim=16)
+    queries = vecs.where(F.col("vec_id") % 97 == 0)
+
+    def run(parts):
+        out = pq_topk(
+            vecs.repartition(parts), queries, k=10, m=4, ksub=8,
+            n_iters=1, init_step=40,
+        )
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["score_q"])
+            for r in out.collect()
+        )
+
+    a, b = run(2), run(11)
+    assert a == b
+    per_q = {}
+    for qid, rank, vid, _ in a:
+        per_q.setdefault(qid, []).append(vid)
+    assert all(len(v) == 10 for v in per_q.values())
+
+    exact = exact_topk(vecs, queries, 10)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(set(per_q[q]) & ex[q]) / 10 for q in ex
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # code-only ranking: same-cell vectors tie, capping recall near
+    # k/cell-size on tight clusters — well above the 10/479 random
+    # floor but far from 1 by design
+    assert mean_recall > 0.15, mean_recall
+
+    # the standard remedy: exact re-rank of the ADC top-50
+    rr = pq_topk(
+        vecs, queries, k=10, m=4, ksub=8, n_iters=1, init_step=40,
+        rerank_from=50,
+    )
+    rr_q = {}
+    for r in rr.collect():
+        rr_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rr_recall = sum(
+        len(rr_q[q] & ex[q]) / 10 for q in ex
+    ) / len(ex)
+    assert rr_recall > mean_recall and rr_recall > 0.6, (
+        mean_recall, rr_recall,
+    )
