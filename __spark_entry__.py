@@ -675,6 +675,30 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_domain_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (`functions/graph.py`) over a
+    deterministic 20-node domain multigraph derived from documents
+    (each doc contributes edges d(doc_id%20) → d((7·doc_id+3)%20)
+    and → d((13·doc_id+5)%20)); 3 unrolled iterations of scaled-
+    bigint flooring arithmetic, so the trajectory — not just the
+    ranking — matches DuckDB's replay EXACTLY (no rounding in the
+    output at all).  Per iteration: one src-keyed hash join + one
+    dst-keyed map-side-combining aggregate, O(edges) shuffle."""
+    from pg_pb3_ld_spark.functions.graph import pagerank
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    mk = lambda e: F.concat(F.lit("d"), e.cast("string"))  # noqa: E731
+    e1 = docs.select(
+        mk(F.col("doc_id") % 20).alias("src"),
+        mk((F.col("doc_id") * 7 + 3) % 20).alias("dst"),
+    )
+    e2 = docs.select(
+        mk(F.col("doc_id") % 20).alias("src"),
+        mk((F.col("doc_id") * 13 + 5) % 20).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), n_iters=3)
+
+
 def q_event_quantiles(spark, sf_dir):
     """Exact per-group quantiles: p50/p90/p99 of value per event_type
     (`percentile`, the linear-interpolation percentile_cont algebra —
@@ -2171,6 +2195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_zorder_key": q_doc_zorder_key,
     "ann_pq_topk": q_ann_pq_topk,
+    "domain_pagerank": q_domain_pagerank,
     "event_quantiles": q_event_quantiles,
     "event_distinct_sketch": q_event_distinct_sketch,
     "doc_weighted_sample": q_doc_weighted_sample,
@@ -2988,6 +3013,46 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _pagerank_oracle_sql(n_iters: int = 3) -> str:
+    # unrolled integer-flooring iterations mirroring graph.pagerank
+    ctes = """e AS (
+            SELECT concat('d', CAST(doc_id % 20 AS VARCHAR)) AS src,
+                   concat('d', CAST((doc_id * 7 + 3) % 20 AS VARCHAR))
+                       AS dst
+            FROM documents
+            UNION ALL
+            SELECT concat('d', CAST(doc_id % 20 AS VARCHAR)),
+                   concat('d', CAST((doc_id * 13 + 5) % 20 AS VARCHAR))
+            FROM documents
+        ),
+        nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        s0 AS (
+            SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+        )"""
+    for i in range(1, n_iters + 1):
+        ctes += f""",
+        c{i} AS (
+            SELECT e.dst AS node,
+                   (85 * (s.score // g.d)) // 100 AS c
+            FROM e JOIN deg g USING (src)
+            JOIN s{i - 1} s ON s.node = e.src
+        ),
+        s{i} AS (
+            SELECT n.node,
+                   CAST(150000 + coalesce(sum(c.c), 0) AS BIGINT)
+                       AS score
+            FROM nodes n LEFT JOIN c{i} c USING (node)
+            GROUP BY 1
+        )"""
+    return f"""
+        WITH {ctes}
+        SELECT node, score FROM s{n_iters}
+    """
+
+
 def _zorder_oracle_sql() -> str:
     from pg_pb3_ld_spark.functions.layout import sql_morton16
 
@@ -3537,6 +3602,7 @@ def _literal_oracles() -> dict[str, str]:
             GROUP BY conv_id
         """,
         "doc_zorder_key": _zorder_oracle_sql(),
+        "domain_pagerank": _pagerank_oracle_sql(),
         "event_quantiles": """
             WITH q AS (
                 SELECT event_type,
