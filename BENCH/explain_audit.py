@@ -215,7 +215,48 @@ def main():
     sections.append(("z-order key (expect pure codegen projection + "
                      "broadcast, no extra exchange)", z_plan))
 
+    # round 5 (cont. 2): sketches / graph
+    from pg_pb3_ld_spark.functions.graph import pagerank
+    from pg_pb3_ld_spark.functions.sketches import (
+        distinct_sketch,
+        weighted_sample,
+    )
+
+    sk_plan = plan_of(
+        distinct_sketch(
+            ev.select("event_type", "user_id"), ["event_type"],
+            "user_id", k=64,
+        )
+    )
+    sections.append(("distinct sketch (expect two HashAggregates "
+                     "with partials, no Python)", sk_plan))
+    ws_plan = plan_of(
+        weighted_sample(
+            ev.select("event_id", "value"),
+            F.col("value") + 1.0, "event_id", 10,
+        )
+    )
+    sections.append(("weighted sample (expect TakeOrdered, no "
+                     "global sort exchange)", ws_plan))
+    pr_edges = ev.select(
+        F.col("event_type").alias("src"),
+        F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string"))
+        .alias("dst"),
+    )
+    pr_plan = plan_of(pagerank(pr_edges, n_iters=1))
+    sections.append(("pagerank iteration (expect hash join + "
+                     "HashAggregate, no Python, no Window)", pr_plan))
+
     checks = {
+        "distinct sketch: hash aggs, no python": (
+            "HashAggregate" in sk_plan and not _has_python(sk_plan)
+        ),
+        "weighted sample: TakeOrdered (no global sort)": (
+            "TakeOrdered" in ws_plan and not _has_python(ws_plan)
+        ),
+        "pagerank: no python, no window": (
+            not _has_python(pr_plan) and "Window" not in pr_plan
+        ),
         "sessionize shares ONE user_id exchange": (
             sess_plan.count("hashpartitioning(user_id") == 1
             and not _has_python(sess_plan)
