@@ -675,6 +675,43 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_event_bloom_prune(spark, sf_dir):
+    """Deterministic Bloom-filter join pruning (`functions/bloom.py`)
+    — the runtime filter: a 4096-bit/3-hash bitset built over the
+    purchasing users (mergeable integer bit_or aggregate, md5
+    positions), collected as 128 literal words, then every event
+    probed by a pure per-row expression (NO join, NO shuffle of the
+    big side).  Output per event_type: rows passing the filter, true
+    members among them, and the false positives — the FP rate is
+    measured and emitted, never assumed.  DuckDB rebuilds the same
+    bitset and replays every probe verdict bit-for-bit; false
+    negatives are structurally impossible (any would break the
+    n_true column against the oracle)."""
+    from pg_pb3_ld_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    ev = _events(spark, sf_dir)
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    words = bloom_words(bloom_build(purch, "user_id"))
+    might = bloom_might_contain(F.col("user_id"), words)
+    tagged = ev.join(
+        purch.withColumn("_m", F.lit(True)), "user_id", "left"
+    )
+    is_m = F.col("_m").isNotNull()
+    return tagged.groupBy("event_type").agg(
+        F.sum(might.cast("long")).alias("n_pass"),
+        F.sum((might & is_m).cast("long")).alias("n_true"),
+        F.sum((might & ~is_m).cast("long")).alias("n_false_pos"),
+    )
+
+
 def q_domain_pagerank(spark, sf_dir):
     """Integer-exact PageRank (`functions/graph.py`) over a
     deterministic 20-node domain multigraph derived from documents
@@ -2195,6 +2232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_zorder_key": q_doc_zorder_key,
     "ann_pq_topk": q_ann_pq_topk,
+    "event_bloom_prune": q_event_bloom_prune,
     "domain_pagerank": q_domain_pagerank,
     "event_quantiles": q_event_quantiles,
     "event_distinct_sketch": q_event_distinct_sketch,
@@ -3603,6 +3641,69 @@ def _literal_oracles() -> dict[str, str]:
         """,
         "doc_zorder_key": _zorder_oracle_sql(),
         "domain_pagerank": _pagerank_oracle_sql(),
+        "event_bloom_prune": """
+            WITH p AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase'
+            ),
+            pos AS (
+                SELECT user_id,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(user_id AS VARCHAR), ':0'
+                       )), 1, 12)) AS BIGINT) % 4096 AS pp
+                FROM p
+                UNION ALL
+                SELECT user_id,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(user_id AS VARCHAR), ':1'
+                       )), 1, 12)) AS BIGINT) % 4096
+                FROM p
+                UNION ALL
+                SELECT user_id,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(user_id AS VARCHAR), ':2'
+                       )), 1, 12)) AS BIGINT) % 4096
+                FROM p
+            ),
+            words AS (
+                SELECT pp // 32 AS word,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(pp % 32 AS INT)) AS bits
+                FROM pos GROUP BY 1
+            ),
+            u AS (SELECT DISTINCT user_id FROM events),
+            upos AS (
+                SELECT user_id, s.i,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(user_id AS VARCHAR), ':',
+                           CAST(s.i AS VARCHAR)
+                       )), 1, 12)) AS BIGINT) % 4096 AS pp
+                FROM u, UNNEST([0, 1, 2]) AS s(i)
+            ),
+            uhit AS (
+                SELECT up.user_id,
+                       min(CASE WHEN w.bits IS NOT NULL
+                                AND ((w.bits >> CAST(up.pp % 32
+                                     AS INT)) & 1) = 1
+                                THEN 1 ELSE 0 END) AS might
+                FROM upos up
+                LEFT JOIN words w ON w.word = up.pp // 32
+                GROUP BY 1
+            )
+            SELECT e.event_type,
+                   CAST(sum(h.might) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN h.might = 1
+                            AND p.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN h.might = 1
+                            AND p.user_id IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_false_pos
+            FROM events e
+            JOIN uhit h USING (user_id)
+            LEFT JOIN p ON p.user_id = e.user_id
+            GROUP BY 1
+        """,
         "event_quantiles": """
             WITH q AS (
                 SELECT event_type,

@@ -84,6 +84,7 @@ class SnapshotStore:
         bucket_fn: str = "xxhash64",
         hot_split_rows: int = 0,
         changelog: bool = False,
+        zonemap_cols: list[str] | None = None,
     ) -> "SnapshotStore":
         """``bucket_fn``: ``"xxhash64"`` (default — fastest, JVM-side)
         or ``"md5"`` (portable: the same bucket is computable in any
@@ -108,9 +109,28 @@ class SnapshotStore:
         serve as their own feed; ``read_changes`` reads any snapshot
         range.  The downstream-consumption face of a CDC sink (Delta
         CDF / Iceberg changelog): consumers incrementally follow the
-        table without re-diffing snapshots."""
+        table without re-diffing snapshots.
+
+        ``zonemap_cols``: per-bucket (min, max) zone maps for these
+        columns, harvested from the written parquet FOOTERS at each
+        COW commit (driver metadata reads, no extra Spark pass) and
+        committed in the same meta.json — data skipping on NON-key
+        predicates: ``read_range(col, lo, hi)`` prunes buckets whose
+        range cannot match, the hash-bucket analog of Iceberg
+        manifest column stats.  Numeric/string columns only; buckets
+        with outstanding MoR deltas are never pruned (stats cover the
+        base files, not the delta log)."""
         if bucket_fn not in ("xxhash64", "md5"):
             raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
+        allowed = {
+            "smallint", "int", "bigint", "float", "double", "string"
+        }
+        for zc in zonemap_cols or []:
+            ctype = schema.column(zc).spark_type  # KeyError if absent
+            if ctype not in allowed:
+                raise ValueError(
+                    f"zonemap col {zc!r}: type {ctype} not supported"
+                )
         os.makedirs(os.path.join(root, "snapshots", "000000"), exist_ok=True)
         meta = {
             "snapshot_id": 0,
@@ -131,6 +151,8 @@ class SnapshotStore:
             "files": {},           # bucket -> dir relpath; absent = empty
             "deltas": {},          # bucket -> ordered MoR delta dirs
             "changelog": bool(changelog),
+            "zonemap_cols": list(zonemap_cols or []),
+            "zonemap": {},         # bucket -> {col: [min, max]}
             "hwm": {"lsn": -1, "frame_seq": -1},
             "lineage": {},
             "committed_at": time.time(),
@@ -337,6 +359,52 @@ class SnapshotStore:
     def read_table(self, as_of: int | None = None) -> DataFrame:
         return self.read(as_of=as_of).drop("_bucket")
 
+    def prune_buckets(
+        self, col: str, lo=None, hi=None, as_of: int | None = None
+    ) -> list[int]:
+        """Buckets that MIGHT hold rows with ``lo <= col <= hi``
+        (either bound may be None = unbounded), by zone map.  A
+        bucket without a zone-map entry for ``col`` — never written
+        with stats, invalidated by an un-compacted MoR delta, or the
+        store has no ``zonemap_cols`` — is always RETAINED: pruning
+        is only ever an optimization, never a correctness filter."""
+        meta = self._meta_for(as_of)
+        zmap = meta.get("zonemap", {})
+        out = []
+        for b in sorted(int(x) for x in meta["files"]):
+            ent = zmap.get(str(b), {}).get(col)
+            # outstanding deltas are already invalidated at commit
+            # time, but guard anyway: resolve-on-read covers them
+            if ent is None or meta.get("deltas", {}).get(str(b)):
+                out.append(b)
+                continue
+            mn, mx = ent
+            if (lo is not None and mx < lo) or (
+                hi is not None and mn > hi
+            ):
+                continue
+            out.append(b)
+        return out
+
+    def read_range(
+        self, col: str, lo=None, hi=None, as_of: int | None = None
+    ) -> DataFrame:
+        """Zone-map-pruned range read: only buckets whose stats admit
+        ``lo <= col <= hi`` are opened, then the residual predicate
+        applies row-level — data skipping for NON-key predicates (the
+        key predicate already prunes via the bucket function).  At
+        10^10 rows a timestamp range over an append-mostly stream
+        touches a small fraction of buckets instead of all of them."""
+        df = self.read(
+            buckets=self.prune_buckets(col, lo, hi, as_of),
+            as_of=as_of,
+        ).drop("_bucket")
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+        return df
+
     @staticmethod
     def _bucket_row_counts(data_dir: str) -> dict[int, int]:
         """Per-bucket row counts of a staged write from local parquet
@@ -357,6 +425,68 @@ class SnapshotStore:
                             .metadata.num_rows
                         )
             out[b] = n
+        return out
+
+    @staticmethod
+    def _bucket_zone_stats(
+        data_dir: str, cols: list[str]
+    ) -> dict[int, dict[str, list]]:
+        """Per-bucket per-column (min, max) from the staged parquet
+        FOOTERS — metadata-only driver reads like
+        :meth:`_bucket_row_counts`, no Spark job.  A bucket whose
+        files lack statistics for a column (all-null chunks, missing
+        stats) gets NO entry for it — absent = unprunable = safe."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, dict[str, list]] = {}
+        for d in os.listdir(data_dir):
+            if not d.startswith("_bucket="):
+                continue
+            b = int(d.split("=")[1])
+            agg: dict[str, list] = {}
+            ok = {c: True for c in cols}
+            for dirpath, _dirs, fns in os.walk(
+                os.path.join(data_dir, d)
+            ):
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(
+                        os.path.join(dirpath, fn)
+                    ).metadata
+                    name_to_idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    for rg in range(md.num_row_groups):
+                        for c in cols:
+                            if not ok.get(c) or c not in name_to_idx:
+                                ok[c] = False
+                                continue
+                            st = md.row_group(rg).column(
+                                name_to_idx[c]
+                            ).statistics
+                            if (
+                                st is None
+                                or not st.has_min_max
+                                or st.min is None
+                                or st.max is None
+                            ):
+                                ok[c] = False
+                                continue
+                            mn, mx = st.min, st.max
+                            if isinstance(mn, bytes):
+                                mn = mn.decode("utf-8", "replace")
+                                mx = mx.decode("utf-8", "replace")
+                            cur = agg.get(c)
+                            if cur is None:
+                                agg[c] = [mn, mx]
+                            else:
+                                cur[0] = min(cur[0], mn)
+                                cur[1] = max(cur[1], mx)
+            ent = {c: v for c, v in agg.items() if ok.get(c)}
+            if ent:
+                out[b] = ent
         return out
 
     def leaf_file_rows(self) -> dict[str, int]:
@@ -665,6 +795,15 @@ class SnapshotStore:
             # lineage metrics.  Driver-side metadata reads only —
             # bounded by (affected buckets × files), no Spark job.
             bucket_rows = self._bucket_row_counts(data_dir)
+            zmap = dict(self._meta.get("zonemap", {}))
+            zcols = self._meta.get("zonemap_cols") or []
+            if zcols:
+                zstats = self._bucket_zone_stats(data_dir, zcols)
+                for b in affected:
+                    if b in zstats:
+                        zmap[str(b)] = zstats[b]
+                    else:
+                        zmap.pop(str(b), None)
             lineage = dict(self._meta["lineage"])
             for r in stats:
                 b = int(r["_bucket"])
@@ -694,6 +833,7 @@ class SnapshotStore:
                 ],
                 "files": files,
                 "deltas": deltas,
+                "zonemap": zmap,
                 "hwm": {
                     "lsn": max(old_lsn, batch_lsn),
                     "frame_seq": max(old_frame, batch_frame),
@@ -931,6 +1071,12 @@ class SnapshotStore:
             else:
                 batch_lsn = max(int(r["lsn_max"]) for r in stats)
                 batch_frame = max(int(r["frame_max"]) for r in stats)
+            # a delta commit makes the bucket's base-file zone map a
+            # lie (reads resolve base ∪ delta) — drop it: absent =
+            # unprunable = safe, until compaction recomputes it
+            zmap = dict(self._meta.get("zonemap", {}))
+            for r in stats:
+                zmap.pop(str(int(r["_bucket"])), None)
             lineage = dict(self._meta["lineage"])
             for r in stats:
                 b = int(r["_bucket"])
@@ -963,6 +1109,7 @@ class SnapshotStore:
                     for c in schema.columns
                 ],
                 "deltas": deltas,
+                "zonemap": zmap,
                 "hwm": {
                     "lsn": max(old_lsn, batch_lsn),
                     "frame_seq": max(old_frame, batch_frame),
@@ -1066,6 +1213,15 @@ class SnapshotStore:
                 if d.startswith("_bucket=")
             }
             bucket_rows = self._bucket_row_counts(data_dir)
+            # compaction rebuilds base files → recompute zone maps
+            # for the compacted buckets (pruning resumes for them)
+            zmap = dict(self._meta.get("zonemap", {}))
+            zcols = self._meta.get("zonemap_cols") or []
+            zstats = (
+                self._bucket_zone_stats(data_dir, zcols)
+                if zcols
+                else {}
+            )
             lineage = dict(self._meta["lineage"])
             for b in cands:
                 if b in written:
@@ -1073,6 +1229,10 @@ class SnapshotStore:
                 else:
                     files.pop(str(b), None)  # emptied by deletes
                 deltas.pop(str(b), None)
+                if b in zstats:
+                    zmap[str(b)] = zstats[b]
+                else:
+                    zmap.pop(str(b), None)
                 ent = dict(lineage.get(str(b), {}))
                 ent["rows"] = int(bucket_rows.get(b, 0))
                 ent["delta_files"] = 0
@@ -1084,6 +1244,7 @@ class SnapshotStore:
                 "parent": self.snapshot_id,
                 "files": files,
                 "deltas": deltas,
+                "zonemap": zmap,
                 "lineage": lineage,
                 "committed_at": time.time(),
             }
@@ -1339,11 +1500,20 @@ class SnapshotStore:
                 }
                 for b in written
             }
+            zcols = self._meta.get("zonemap_cols") or []
             meta = {
                 **self._meta,
                 "snapshot_id": new_id,
                 "parent": self.snapshot_id,
                 "files": {str(b): p for b, p in written.items()},
+                "zonemap": {
+                    str(b): s
+                    for b, s in (
+                        self._bucket_zone_stats(data_dir, zcols)
+                        if zcols
+                        else {}
+                    ).items()
+                },
                 "hwm": {
                     "lsn": int(as_of[0]),
                     "frame_seq": int(as_of[1]),
