@@ -1885,6 +1885,51 @@ def q_doc_train_test_split(spark, sf_dir):
     )
 
 
+_BPE_MERGES = 10
+
+
+def q_doc_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (the vocabulary-fitting step every LLM
+    pretraining pipeline runs): learn the first 10 merges from the
+    `documents` corpus.  Output (rank, pair, merged) — the merge
+    table itself, so the oracle pins the whole training trajectory,
+    not just a summary.
+
+    Scale shape: ONE corpus-sized pass collapses to the distinct-word
+    frequency table (vocab-sized — ~10^6 rows at 100 TB); each merge
+    iteration is an explode + map-side-combining hash agg over that
+    table plus a distributed top-1 (TakeOrdered) — the driver holds
+    one row per iteration.  Ties break (count desc, pair asc): a
+    total order, so training is partition-invariant and DuckDB
+    replays the identical unrolled trajectory (the kmeans_centroids
+    discipline applied to tokenizer fitting)."""
+    from pg_pb3_ld_spark.functions import bpe
+
+    merges = bpe.train_from_corpus(_documents(spark, sf_dir), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, p, p.replace(" ", "")) for i, p in enumerate(merges)],
+        "rank int, pair string, merged string",
+    )
+
+
+def q_doc_bpe_tokenize(spark, sf_dir):
+    """BPE ENCODING with the trained merges: every document encoded
+    to its BPE symbol sequence; output (doc_id, n_bpe_tokens,
+    n_bpe_distinct, bpe_digest=md5(encoded)) — the digest pins exact
+    bytes.  Encoding is a chain of 10 `replace` expressions applied
+    in rank order — a pure whole-stage-codegen projection, no
+    shuffle, no Python (cross-word merges are structurally impossible:
+    learned pairs never begin with a word-final `_` symbol).  At
+    production vocab (32k merges) the same merge table drives a
+    broadcast mapInPandas trie instead of a literal chain — disclosed
+    in functions/bpe.py."""
+    from pg_pb3_ld_spark.functions import bpe
+
+    docs = _documents(spark, sf_dir)
+    merges = bpe.train_from_corpus(docs, _BPE_MERGES)
+    return bpe.encode_docs(docs, merges)
+
+
 def q_audio_ulaw_frame_sample(spark, sf_dir):
     """COMPRESSED audio path end-to-end (round 4): synthesize a G.711
     μ-law WAV per doc (byte i = (doc_id·13 + i·5) mod 256), decode
@@ -2277,6 +2322,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_render": q_transcript_render,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_train_test_split": q_doc_train_test_split,
+    "doc_bpe_merges": q_doc_bpe_merges,
+    "doc_bpe_tokenize": q_doc_bpe_tokenize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
@@ -3051,6 +3098,80 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _bpe_oracle_ctes(n: int = 10) -> str:
+    """Unrolled DuckDB replay of BPE training: w0 = the distinct-word
+    symbol table, then per merge k: pair census → argmax (count desc,
+    pair asc) → replace.  Mirrors functions/bpe.py exactly (same
+    ' a b '-delimited non-overlapping left-to-right replace)."""
+    # Every w{k}/m{k} is referenced twice downstream; without
+    # MATERIALIZED DuckDB re-inlines the chain exponentially (2^n
+    # scans of the parquet base -> EMFILE at n=10).
+    sql = """WITH w0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) word FROM documents)
+        WHERE word <> '' GROUP BY word)"""
+    for k in range(1, n + 1):
+        sql += f""",
+    p{k} AS MATERIALIZED (
+        SELECT pr, sum(cnt) c FROM (
+            SELECT cnt,
+                   unnest(list_transform(
+                       range(1, len(string_split(sym, ' '))),
+                       i -> string_split(sym, ' ')[i] || ' ' ||
+                            string_split(sym, ' ')[i + 1])) pr
+            FROM w{k - 1}) GROUP BY pr),
+    m{k} AS MATERIALIZED (SELECT pr FROM p{k} ORDER BY c DESC, pr ASC
+                          LIMIT 1),
+    w{k} AS MATERIALIZED (
+        SELECT word, cnt,
+               trim(replace(' ' || sym || ' ',
+                   ' ' || coalesce((SELECT pr FROM m{k}), chr(1)) || ' ',
+                   ' ' || replace(coalesce((SELECT pr FROM m{k}), chr(1)),
+                                  ' ', '') || ' '))
+                   sym
+        FROM w{k - 1})"""
+    return sql
+
+
+def _bpe_merges_oracle_sql(n: int = 10) -> str:
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) rank, (SELECT pr FROM m{k}) pair,"
+        f" replace((SELECT pr FROM m{k}), ' ', '') merged"
+        for k in range(1, n + 1)
+    )
+    return (
+        _bpe_oracle_ctes(n)
+        + f"\n    SELECT * FROM ({union}) WHERE pair IS NOT NULL"
+    )
+
+
+def _bpe_tokenize_oracle_sql(n: int = 10) -> str:
+    expr = (
+        "array_to_string(list_transform("
+        "list_filter(string_split(text, ' '), w -> w <> ''),"
+        " w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' _'), ' ')"
+    )
+    for k in range(1, n + 1):
+        expr = (
+            f"trim(replace(' ' || {expr} || ' ',"
+            f" ' ' || coalesce((SELECT pr FROM m{k}), chr(1)) || ' ',"
+            f" ' ' || replace(coalesce((SELECT pr FROM m{k}), chr(1)),"
+            f" ' ', '') || ' '))"
+        )
+    return (
+        _bpe_oracle_ctes(n)
+        + f""",
+    enc AS (SELECT doc_id, {expr} AS e FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(e, ' ')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct(string_split(e, ' '))) AS INTEGER)
+               AS n_bpe_distinct,
+           md5(e) AS bpe_digest
+    FROM enc"""
+    )
+
+
 def _pagerank_oracle_sql(n_iters: int = 3) -> str:
     # unrolled integer-flooring iterations mirroring graph.pagerank
     ctes = """e AS (
@@ -3641,6 +3762,8 @@ def _literal_oracles() -> dict[str, str]:
         """,
         "doc_zorder_key": _zorder_oracle_sql(),
         "domain_pagerank": _pagerank_oracle_sql(),
+        "doc_bpe_merges": _bpe_merges_oracle_sql(_BPE_MERGES),
+        "doc_bpe_tokenize": _bpe_tokenize_oracle_sql(_BPE_MERGES),
         "event_bloom_prune": """
             WITH p AS (
                 SELECT DISTINCT user_id FROM events
