@@ -247,6 +247,27 @@ def main():
     sections.append(("pagerank iteration (expect hash join + "
                      "HashAggregate, no Python, no Window)", pr_plan))
 
+    # round 5 (cont. 3): BPE — the pair census must hash-aggregate
+    # with map-side combine over the vocab-sized word table, and the
+    # encode must be a pure codegen projection (merge chain inlined)
+    from pg_pb3_ld_spark.functions import bpe
+
+    wc = bpe.word_counts(docs)
+    census = (
+        wc.select(bpe.sym_expr(F.col("word")).alias("sym"), "cnt")
+        .select(F.explode(bpe._pairs(F.col("sym"))).alias("pr"), "cnt")
+        .groupBy("pr").agg(F.sum("cnt").alias("c"))
+    )
+    bpe_census_plan = plan_of(census)
+    sections.append(("BPE pair census (expect HashAggregates with "
+                     "partials, no Python, no Window)", bpe_census_plan))
+    bpe_enc_plan = plan_of(
+        docs.select("doc_id", bpe.encode_expr(
+            F.col("text"), ["a b", "ab _"]).alias("enc"))
+    )
+    sections.append(("BPE encode via merge chain (expect pure codegen "
+                     "projection: no shuffle, no Python)", bpe_enc_plan))
+
     checks = {
         "distinct sketch: hash aggs, no python": (
             "HashAggregate" in sk_plan and not _has_python(sk_plan)
@@ -256,6 +277,15 @@ def main():
         ),
         "pagerank: no python, no window": (
             not _has_python(pr_plan) and "Window" not in pr_plan
+        ),
+        "bpe pair census: hash aggs with partials, no python": (
+            "HashAggregate" in bpe_census_plan
+            and "Window" not in bpe_census_plan
+            and not _has_python(bpe_census_plan)
+        ),
+        "bpe encode: pure projection (no exchange, no python)": (
+            "Exchange" not in bpe_enc_plan
+            and not _has_python(bpe_enc_plan)
         ),
         "sessionize shares ONE user_id exchange": (
             sess_plan.count("hashpartitioning(user_id") == 1
