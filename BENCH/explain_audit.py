@@ -268,6 +268,21 @@ def main():
     sections.append(("BPE encode via merge chain (expect pure codegen "
                      "projection: no shuffle, no Python)", bpe_enc_plan))
 
+    # mixture manifest: corpus → one hash agg (domain counts) →
+    # broadcast join back → pure projection; no window/sort/python
+    from pg_pb3_ld_spark.functions import mixture
+
+    mix_src = docs.select(
+        "doc_id", F.concat(F.lit("s"), (F.col("doc_id") % 3)
+                           .cast("string")).alias("source")
+    )
+    mix_plan = plan_of(
+        mixture.mixture_sample(mix_src, {"s0": 2, "s1": 1}, 30)
+    )
+    sections.append(("mixture manifest (expect BroadcastHashJoin + "
+                     "HashAggregate counts, no Window/Sort, "
+                     "no Python)", mix_plan))
+
     checks = {
         "distinct sketch: hash aggs, no python": (
             "HashAggregate" in sk_plan and not _has_python(sk_plan)
@@ -286,6 +301,12 @@ def main():
         "bpe encode: pure projection (no exchange, no python)": (
             "Exchange" not in bpe_enc_plan
             and not _has_python(bpe_enc_plan)
+        ),
+        "mixture manifest: broadcast join, no window/sort/python": (
+            "BroadcastHashJoin" in mix_plan
+            and "Window" not in mix_plan
+            and "SortMergeJoin" not in mix_plan
+            and not _has_python(mix_plan)
         ),
         "sessionize shares ONE user_id exchange": (
             sess_plan.count("hashpartitioning(user_id") == 1

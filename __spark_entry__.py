@@ -1930,6 +1930,41 @@ def q_doc_bpe_tokenize(spark, sf_dir):
     return bpe.encode_docs(docs, merges)
 
 
+_MIX_WEIGHTS = {"src0": 1, "src1": 2, "src2": 3, "src3": 6, "srcz": 2}
+_MIX_TOTAL = 300
+
+
+def q_doc_mixture_sample(spark, sf_dir):
+    """Data-mixing manifest (Pile/DoReMi-style domain reweighting):
+    apportion a 300-doc target across weighted sources by largest
+    remainder (exact: quotas sum to the target), then emit per-doc
+    copy counts — `quota div n` full epochs plus a deterministic
+    md5-thresholded partial epoch (decimal(38,0) compare; bigint
+    would overflow at crawl-scale domain counts).  `srcz` is absent
+    from the corpus: its quota is knowingly unfulfilled (surfaced by
+    the summary query, never silently renormalized).
+
+    Scale shape: one hash agg collapses the corpus to #domains rows,
+    broadcast back; the manifest is a pure codegen projection — no
+    window, no sort, no Python."""
+    from pg_pb3_ld_spark.functions import mixture
+
+    return mixture.mixture_sample(
+        _documents(spark, sf_dir), _MIX_WEIGHTS, _MIX_TOTAL
+    )
+
+
+def q_doc_mixture_summary(spark, sf_dir):
+    """Per-domain target-vs-achieved for the mixing manifest — every
+    weighted domain appears, including `srcz` (quota 43, n_docs 0,
+    achieved 0): the never-silent accounting row."""
+    from pg_pb3_ld_spark.functions import mixture
+
+    return mixture.mixture_summary(
+        _documents(spark, sf_dir), _MIX_WEIGHTS, _MIX_TOTAL
+    )
+
+
 def q_audio_ulaw_frame_sample(spark, sf_dir):
     """COMPRESSED audio path end-to-end (round 4): synthesize a G.711
     μ-law WAV per doc (byte i = (doc_id·13 + i·5) mod 256), decode
@@ -2324,6 +2359,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_train_test_split": q_doc_train_test_split,
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_bpe_tokenize": q_doc_bpe_tokenize,
+    "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_mixture_summary": q_doc_mixture_summary,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
@@ -3134,6 +3171,42 @@ def _bpe_oracle_ctes(n: int = 10) -> str:
     return sql
 
 
+def _mixture_oracle_ctes() -> str:
+    """Independent SQL replay of the mixing manifest: largest-
+    remainder apportionment from the weight literals (verifies the
+    driver-side Python apportion() against a from-scratch SQL
+    implementation), then the md5-thresholded copy-count formula in
+    HUGEINT (the decimal(38,0) compare on the Spark side)."""
+    vals = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""WITH w(source, weight) AS (VALUES {vals}),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) wden FROM w),
+    b AS (SELECT source, weight,
+                 ({_MIX_TOTAL} * weight) // wden AS base,
+                 ({_MIX_TOTAL} * weight) % wden AS rem
+          FROM w, t),
+    q AS (SELECT source, weight,
+                 CAST(base + CASE WHEN
+                     rank() OVER (ORDER BY rem DESC, source ASC)
+                     <= (SELECT {_MIX_TOTAL} - sum(base) FROM b)
+                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+          FROM b),
+    c AS (SELECT source, count(*)::BIGINT n FROM documents
+          GROUP BY source),
+    k AS (SELECT d.doc_id, d.source,
+                 CAST(q.quota // c.n + CASE WHEN
+                     CAST(CAST(concat('0x', substr(md5('mix:' ||
+                         CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         AS HUGEINT) * CAST(c.n AS HUGEINT)
+                     < CAST(q.quota % c.n AS HUGEINT)
+                       * CAST(1152921504606846976 AS HUGEINT)
+                     THEN 1 ELSE 0 END AS INT) AS n_copies,
+                 q.quota AS domain_quota, c.n AS domain_docs
+          FROM documents d
+          JOIN q USING (source) JOIN c USING (source))"""
+
+
 def _bpe_merges_oracle_sql(n: int = 10) -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) rank, (SELECT pr FROM m{k}) pair,"
@@ -3764,6 +3837,18 @@ def _literal_oracles() -> dict[str, str]:
         "domain_pagerank": _pagerank_oracle_sql(),
         "doc_bpe_merges": _bpe_merges_oracle_sql(_BPE_MERGES),
         "doc_bpe_tokenize": _bpe_tokenize_oracle_sql(_BPE_MERGES),
+        "doc_mixture_sample": _mixture_oracle_ctes() + """
+            SELECT doc_id, source, n_copies, domain_quota, domain_docs
+            FROM k WHERE n_copies >= 1
+        """,
+        "doc_mixture_summary": _mixture_oracle_ctes() + """,
+            s AS (SELECT source, sum(n_copies)::BIGINT achieved
+                  FROM k GROUP BY source)
+            SELECT q.source, q.weight, q.quota,
+                   coalesce(c.n, 0)::BIGINT AS n_docs,
+                   coalesce(s.achieved, 0)::BIGINT AS achieved
+            FROM q LEFT JOIN c USING (source) LEFT JOIN s USING (source)
+        """,
         "event_bloom_prune": """
             WITH p AS (
                 SELECT DISTINCT user_id FROM events
