@@ -1930,6 +1930,96 @@ def q_doc_bpe_tokenize(spark, sf_dir):
     return bpe.encode_docs(docs, merges)
 
 
+def q_cdc_schema_widening(spark, sf_dir):
+    """Type-widening schema evolution END-TO-END through the real
+    engine: a deterministic change stream derived from `events`
+    switches a column's wire type oid from int4 to int8 mid-stream
+    (the upstream ALTER COLUMN TYPE), with post-ALTER values beyond
+    int4 range.  The stream is ENCODED through the real wire encoder
+    (binary int send forms — 4- then 8-byte payloads for the same
+    column), decoded, and applied through the full IngestPipeline into
+    a real SnapshotStore: the decoder diverts stale-width entries to
+    the evolution probe (never a misparse), evolution widens
+    int→bigint in place (Iceberg updateColumn rules), and the merge
+    casts the narrow snapshot up losslessly.  Output = the final table
+    state + the evolved column type; DuckDB replays the last-write-
+    wins fold arithmetically (pg_pb3_ld emits the per-column type oids
+    that make this detectable, decoder/fsd.c:253-294)."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import (
+        _frames_table,
+        encode_routed_changes,
+    )
+    from pg_pb3_ld_spark.pb3 import wire
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import TargetColumn, TargetSchema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .collect()
+    )
+    cutoff = max(r["event_id"] for r in ev) // 2
+    changes = []
+    for r in ev:
+        eid = int(r["event_id"])
+        key = [("metric_id", f"u{int(r['user_id']) % 40}", wire.OID_TEXT)]
+        if r["event_type"] == "error":
+            changes.append(("public", "metrics", "DELETE", key, []))
+            continue
+        wide = eid > cutoff
+        vals = [
+            ("label", r["event_type"], wire.OID_TEXT),
+            (
+                "n_tokens",
+                eid + 7_000_000_000 if wide else eid,
+                wire.OID_INT8 if wide else wire.OID_INT4,
+            ),
+        ]
+        changes.append(("public", "metrics", "INSERT", key, vals))
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    frames = encode_routed_changes(changes, cfg, txn_every=20)
+    schema = TargetSchema(
+        "metrics",
+        [
+            TargetColumn("metric_id", wire.OID_TEXT, "string", is_key=True),
+            TargetColumn("label", wire.OID_TEXT, "string"),
+            TargetColumn("n_tokens", wire.OID_INT4, "int"),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="pb3ld_widen_")
+    try:
+        import pyarrow.parquet as pq
+
+        fp = os.path.join(root, "frames.parquet")
+        pq.write_table(_frames_table(frames), fp)
+        store = SnapshotStore.create(
+            spark, os.path.join(root, "table"), schema, num_buckets=8
+        )
+        pipe = IngestPipeline(spark, store, cfg)
+        pipe.apply_frames(spark.read.parquet(fp), batch_id=1)
+        col_type = store.schema.column("n_tokens").spark_type
+        rows = [
+            (r["metric_id"], r["label"], r["n_tokens"], col_type)
+            for r in store.read_table().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "metric_id string, label string, n_tokens bigint, "
+              "col_type string"
+    )
+
+
 _MIX_WEIGHTS = {"src0": 1, "src1": 2, "src2": 3, "src3": 6, "srcz": 2}
 _MIX_TOTAL = 300
 
@@ -2361,6 +2451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_tokenize": q_doc_bpe_tokenize,
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_mixture_summary": q_doc_mixture_summary,
+    "cdc_schema_widening": q_cdc_schema_widening,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
@@ -3840,6 +3931,28 @@ def _literal_oracles() -> dict[str, str]:
         "doc_mixture_sample": _mixture_oracle_ctes() + """
             SELECT doc_id, source, n_copies, domain_quota, domain_docs
             FROM k WHERE n_copies >= 1
+        """,
+        "cdc_schema_widening": """
+            WITH src AS (
+                SELECT event_id,
+                       'u' || CAST(user_id % 40 AS VARCHAR) AS metric_id,
+                       event_type
+                FROM events WHERE event_id < 4000),
+            c AS (SELECT CAST(max(event_id) // 2 AS BIGINT) cutoff
+                  FROM src),
+            last AS (SELECT metric_id, max(event_id) AS last_eid
+                     FROM src GROUP BY metric_id),
+            fin AS (SELECT l.metric_id, s.event_type, l.last_eid
+                    FROM last l JOIN src s
+                      ON s.metric_id = l.metric_id
+                     AND s.event_id = l.last_eid)
+            SELECT f.metric_id,
+                   f.event_type AS label,
+                   CAST(CASE WHEN f.last_eid > (SELECT cutoff FROM c)
+                             THEN f.last_eid + 7000000000
+                             ELSE f.last_eid END AS BIGINT) AS n_tokens,
+                   'bigint' AS col_type
+            FROM fin f WHERE f.event_type <> 'error'
         """,
         "doc_mixture_summary": _mixture_oracle_ctes() + """,
             s AS (SELECT source, sum(n_copies)::BIGINT achieved

@@ -68,17 +68,22 @@ def typed_column(lk: dict[str, Column], spark_type: str) -> Column:
         out = F.when(is_bin, v).otherwise(
             F.unhex(F.substring(v.cast("string"), 3, 2_000_000_000))
         )
-    elif spark_type in ("int", "smallint"):
-        # binary int2 is 2 bytes on the wire, int4 is 4 — wrap at the
-        # matching width (fsd.c:150-199 send-function forms)
+    elif spark_type in ("int", "smallint", "bigint"):
+        # binary int width comes from the WIRE bytes, not the target
+        # type: after a widening evolution one probe column mixes
+        # int2/int4/int8 send forms (2/4/8 bytes), and the wire's own
+        # length is authoritative for the two's-complement wrap
+        # (fsd.c:150-199 send-function forms)
+        blen = F.length(v)
+        bin_out = (
+            F.when(blen == 8, _signed_be(v, 64))
+            .when(blen == 4, _signed_be(v, 32))
+            .otherwise(_signed_be(v, 16))
+        )
         out = (
-            F.when(is_bin, _signed_be(v, 16 if spark_type == "smallint" else 32))
+            F.when(is_bin, bin_out)
             .otherwise(v.cast("string").cast("long"))
             .cast(spark_type)
-        )
-    elif spark_type == "bigint":
-        out = F.when(is_bin, _signed_be(v, 64)).otherwise(
-            v.cast("string").cast("bigint")
         )
     elif spark_type in ("float", "double"):
         # floats ride text form on the transcripts path; binary IEEE
@@ -162,6 +167,36 @@ def project_evolved_from_probe(
         typed = typed.withColumn(
             c.name, typed_column(lk, c.spark_type)
         ).withColumn(f"{c.name}_set", present)
+    return typed
+
+
+def project_widened_from_probe(
+    typed: DataFrame, widened_cols: list
+) -> DataFrame:
+    """Merge a type-widened column's two sources after evolution:
+    rows sent with the OLD oid were decoded typed (narrow — cast up),
+    rows sent with the NEW oid were diverted to the probe (raw bytes —
+    decode here, width-dispatched).  ``<col>_set`` ORs both sources,
+    preserving absent≠NULL: a probe row with an explicit NULL is set,
+    a row where the column never appeared stays unset."""
+    for c in widened_cols:
+        pos = F.array_position(F.col("_x_names"), c.name)
+        present = pos > 0
+        ipos = pos.cast("int")
+        lk = {
+            "present": present,
+            "value": F.when(present, F.element_at("_x_values", ipos)),
+            "is_null": F.when(present, F.element_at("_x_nulls", ipos)),
+            "is_bin": F.when(present, F.element_at("_x_formats", ipos)),
+        }
+        probe_val = typed_column(lk, c.spark_type)
+        typed = typed.withColumn(
+            c.name,
+            F.when(present, probe_val)
+            .otherwise(F.col(c.name).cast(c.spark_type)),
+        ).withColumn(
+            f"{c.name}_set", F.col(f"{c.name}_set") | present
+        )
     return typed
 
 

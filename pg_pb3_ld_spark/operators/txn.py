@@ -238,6 +238,18 @@ def batch_summary_typed(typed: DataFrame) -> dict:
     from pg_pb3_ld_spark.operators.fold import ORD_SHIFT
 
     rows = summary_agg_df(typed).collect()
+
+    # When one probe name carries several oids in a batch (a double
+    # type change, or stragglers around an ALTER), the WIDEST type
+    # must win — raw max(oid) would pick int4 (23) over int8 (20).
+    _WIDTH_RANK = {21: 1, 23: 2, 20: 3, 700: 1, 701: 2}
+
+    def _wider(a: int, b: int) -> int:
+        ra, rb = _WIDTH_RANK.get(a), _WIDTH_RANK.get(b)
+        if ra is not None and rb is not None:
+            return a if ra >= rb else b
+        return max(a, b)
+
     names: dict[str, int] = {}
     names_by_table: dict[str, dict[str, int]] = {}
     cpacked = clsn = None
@@ -249,9 +261,9 @@ def batch_summary_typed(typed: DataFrame) -> dict:
     for r in rows:
         if r["name"] is not None:
             oid = int(r["oid"] or 0)
-            names[r["name"]] = max(oid, names.get(r["name"], 0))
+            names[r["name"]] = _wider(oid, names.get(r["name"], 0))
             tn = names_by_table.setdefault(r["tbl"] or "", {})
-            tn[r["name"]] = max(oid, tn.get(r["name"], 0))
+            tn[r["name"]] = _wider(oid, tn.get(r["name"], 0))
         if r["cpacked"] is not None and (
             cpacked is None or r["cpacked"] > cpacked
         ):

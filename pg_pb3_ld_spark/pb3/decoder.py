@@ -815,11 +815,20 @@ def decode_frame_typed(
         return pa.RecordBatch.from_pylist([], schema=arrow_schema)
     n_msgs = core.n_msgs
 
-    def column_from(cols: FieldSetColumns, msg_of_fsd: np.ndarray, name: str):
+    def column_from(
+        cols: FieldSetColumns, msg_of_fsd: np.ndarray, name: str,
+        expected_oid: int = 0,
+    ):
         """Extract one named column across all messages of a fsd set.
 
         Returns (msg_ids, values sub-array, is_null, is_binary, oids)
         with last-wins on duplicate names (entries are in wire order).
+
+        ``expected_oid``: when nonzero, entries carrying a DIFFERENT
+        nonzero wire oid are excluded — an upstream type change (ALTER
+        COLUMN TYPE) must never be parsed with the stale width; such
+        entries divert to the evolution probe instead (type-widening
+        evolution rides the same path as new columns).
         """
         if len(cols.fsd_idx) == 0:
             empty = np.zeros(0, dtype=np.int64)
@@ -828,6 +837,9 @@ def decode_frame_typed(
         idx = np.flatnonzero(
             mask.to_numpy(zero_copy_only=False).astype(bool)
         )
+        if expected_oid and len(idx):
+            oids = cols.type_oids[idx]
+            idx = idx[(oids == 0) | (oids == expected_oid)]
         if len(idx) == 0:
             empty = np.zeros(0, dtype=np.int64)
             return empty, cols.values.slice(0, 0), np.zeros(0, bool), np.zeros(0, bool)
@@ -869,12 +881,30 @@ def decode_frame_typed(
     for col in schema.columns:
         atype = _arrow_type(col.spark_type)
         m_nv, v_nv, null_nv, bin_nv = column_from(
-            core.nv_cols, nv_msgs, col.name
+            core.nv_cols, nv_msgs, col.name, col.type_oid
         )
         t_nv = decode_column(v_nv, null_nv, bin_nv, col.type_oid, col.spark_type)
         present = np.zeros(n_msgs, dtype=bool)
         present[m_nv] = True
         if col.is_key:
+            # a KEY column's type changing upstream cannot evolve in
+            # place (DELETEs carry only key_fields, which have no
+            # probe) — fail loudly before anything decodes wrong
+            if len(core.kf_cols.fsd_idx):
+                kf_mismatch = (
+                    pc.equal(core.kf_cols.names, col.name)
+                    .to_numpy(zero_copy_only=False).astype(bool)
+                    & (core.kf_cols.type_oids != 0)
+                    & (core.kf_cols.type_oids != col.type_oid)
+                )
+                if kf_mismatch.any():
+                    bad = int(core.kf_cols.type_oids[kf_mismatch][0])
+                    raise WireFormatError(
+                        f"key column {col.name!r} arrived with type oid "
+                        f"{bad} (schema says {col.type_oid}); key type "
+                        "changes require a re-bootstrap, not in-place "
+                        "evolution"
+                    )
             # key fields win when the message carries them (U/D)
             m_kf, v_kf, null_kf, bin_kf = column_from(
                 core.kf_cols, kf_msgs, col.name
@@ -912,9 +942,30 @@ def decode_frame_typed(
     known = pc.is_in(
         core.nv_cols.names,
         value_set=pa.array([c.name for c in schema.columns], pa.utf8()),
-    )
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    # a KNOWN name carrying a different nonzero wire oid is a type
+    # change (ALTER COLUMN TYPE): its entries divert to the probe —
+    # raw bytes preserved — and evolution widens the schema + projects
+    # them back (the additive-column path, reused).  One vectorized
+    # (name:oid) pair-membership pass, independent of column count.
+    if len(core.nv_cols.fsd_idx) and known.any():
+        oid_typed = core.nv_cols.type_oids != 0
+        if oid_typed.any():
+            pair = pc.binary_join_element_wise(
+                core.nv_cols.names,
+                pc.cast(pa.array(core.nv_cols.type_oids), pa.string()),
+                ":",
+            )
+            pair_ok = pc.is_in(
+                pair,
+                value_set=pa.array(
+                    [f"{c.name}:{c.type_oid}" for c in schema.columns],
+                    pa.utf8(),
+                ),
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            known &= pair_ok | ~oid_typed
     unk = np.flatnonzero(
-        ~known.to_numpy(zero_copy_only=False).astype(bool)
+        ~known
     ) if len(core.nv_cols.fsd_idx) else np.zeros(0, dtype=np.int64)
     if len(unk) == 0:
         arrays.append(pa.nulls(n_msgs, pa.list_(pa.utf8())))

@@ -177,6 +177,7 @@ class IngestPipeline:
                 from pg_pb3_ld_spark.operators.project import (
                     can_project_from_probe,
                     project_evolved_from_probe,
+                    project_widened_from_probe,
                 )
 
                 evolved = self.store.evolved_schema(own_names)
@@ -184,12 +185,42 @@ class IngestPipeline:
                     c for c in evolved.columns
                     if all(c.name != o.name for o in schema.columns)
                 ]
+                # a KNOWN name in the probe means its entries arrived
+                # with a different oid (type change): the decoder
+                # diverted the raw bytes, evolution widened the
+                # schema; project them back into the (wide) column
+                widened_cols = [
+                    evolved.column(n)
+                    for n in dict.fromkeys(
+                        n for n, _o in own_names
+                        if any(c.name == n for c in schema.columns)
+                    )
+                ]
                 schema = evolved
-                if can_project_from_probe(new_cols, self.config):
+                if can_project_from_probe(
+                    new_cols + widened_cols, self.config
+                ):
                     data = project_evolved_from_probe(data, new_cols)
+                    if widened_cols:
+                        data = project_widened_from_probe(
+                            data, widened_cols
+                        )
+                elif widened_cols and not can_project_from_probe(
+                    widened_cols, self.config
+                ):
+                    # binary-format float widening: stragglers encoded
+                    # before the ALTER would be unrecoverable from the
+                    # probe (no JVM IEEE bitcast) — refuse loudly
+                    raise RuntimeError(
+                        "binary-format float column widening cannot "
+                        "be projected from the probe; re-bootstrap "
+                        "the store at the new type instead"
+                    )
                 else:
-                    # binary-float evolution: fall back to a full
-                    # re-decode with the evolved schema (rare × rare)
+                    # binary-float ADDITIVE evolution: fall back to a
+                    # full re-decode with the evolved schema (rare ×
+                    # rare); widened cols (if any) are projectable and
+                    # still need their probe merge after the re-decode
                     typed_all.unpersist()
                     typed_all = decode_typed_changes(
                         fresh, schema, self.config, parallelism=par
@@ -197,6 +228,10 @@ class IngestPipeline:
                     data = typed_all.where(
                         F.col("table_name") == schema.table
                     )
+                    if widened_cols:
+                        data = project_widened_from_probe(
+                            data, widened_cols
+                        )
 
             commit_ord = summary["commit_ord"]
             data = data.drop(*PROBE_COLS, "_split")
@@ -300,6 +335,7 @@ class MultiTablePipeline:
         from pg_pb3_ld_spark.operators.project import (
             can_project_from_probe,
             project_evolved_from_probe,
+            project_widened_from_probe,
         )
         from pg_pb3_ld_spark.schema import union_schema
 
@@ -358,6 +394,7 @@ class MultiTablePipeline:
             # needs the full fallback — rare × rare)
             evolved: dict[str, "TargetSchema"] = {}
             new_cols_by_table: dict[str, list] = {}
+            widened_by_table: dict[str, list] = {}
             probe_ok = True
             for t, s in self.stores.items():
                 own = summary["names_by_table"].get(t, [])
@@ -367,8 +404,25 @@ class MultiTablePipeline:
                         c for c in ev.columns
                         if all(c.name != o.name for o in s.schema.columns)
                     ]
+                    wcols = [
+                        ev.column(n)
+                        for n in dict.fromkeys(
+                            n for n, _o in own
+                            if any(c.name == n for c in s.schema.columns)
+                        )
+                    ]
                     evolved[t] = ev
                     new_cols_by_table[t] = ncols
+                    widened_by_table[t] = wcols
+                    if wcols and not can_project_from_probe(
+                        wcols, self.config
+                    ):
+                        raise RuntimeError(
+                            "binary-format float column widening "
+                            f"cannot be projected from the probe "
+                            f"(table {t!r}); re-bootstrap the store "
+                            "at the new type instead"
+                        )
                     if ncols and not can_project_from_probe(
                         ncols, self.config
                     ):
@@ -376,6 +430,7 @@ class MultiTablePipeline:
                 else:
                     evolved[t] = s.schema
                     new_cols_by_table[t] = []
+                    widened_by_table[t] = []
             if not probe_ok:
                 typed_all.unpersist()
                 union = union_schema(list(evolved.values()))
@@ -405,6 +460,10 @@ class MultiTablePipeline:
                     if probe_ok and new_cols_by_table[t]:
                         data = project_evolved_from_probe(
                             data, new_cols_by_table[t]
+                        )
+                    if widened_by_table[t]:
+                        data = project_widened_from_probe(
+                            data, widened_by_table[t]
                         )
                     data = data.drop(*PROBE_COLS, "_split")
                     gated = gate_by_commit_watermark(

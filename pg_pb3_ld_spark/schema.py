@@ -52,8 +52,36 @@ class TargetSchema:
             return self
         return TargetSchema(self.table, [*self.columns, col])
 
+    def with_widened(self, col: TargetColumn) -> "TargetSchema":
+        """Replace an existing column with its widened form (same
+        name and key-ness, wider type + new wire oid)."""
+        return TargetSchema(
+            self.table,
+            [
+                TargetColumn(c.name, col.type_oid, col.spark_type, c.is_key)
+                if c.name == col.name
+                else c
+                for c in self.columns
+            ],
+        )
+
     def ddl(self) -> str:
         return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
+
+
+# Safe type promotions (Iceberg's updateColumn rules): every value
+# representable in the narrow type is exactly representable in the
+# wide one, so widening never rewrites data — old snapshots cast
+# losslessly on read.
+WIDENINGS = {
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
+
+def can_widen(frm: str, to: str) -> bool:
+    return to in WIDENINGS.get(frm, ())
 
 
 # spark type ⇐ pg oid, for additive evolution of unseen wire columns

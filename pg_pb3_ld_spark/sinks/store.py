@@ -525,16 +525,50 @@ class SnapshotStore:
     def evolved_schema(
         self, observed: list[tuple[int, str]] | list[tuple[str, int]]
     ) -> TargetSchema:
-        """Additive evolution: unseen wire columns become new columns."""
-        from pg_pb3_ld_spark.schema import OID_TO_SPARK
+        """Schema evolution from the decode probe's (name, oid) pairs:
+        unseen wire columns become new columns (additive), and a known
+        column arriving with a different oid WIDENS in place when the
+        promotion is lossless (int2→int4→int8, float4→float8 —
+        Iceberg's updateColumn rules).  Key-column type changes and
+        lossy changes raise — never a silent misparse."""
+        from pg_pb3_ld_spark.schema import OID_TO_SPARK, can_widen
 
         schema = self.schema
         for name, oid in observed:
-            if any(c.name == name for c in schema.columns):
+            oid = int(oid)
+            cur = next((c for c in schema.columns if c.name == name), None)
+            if cur is None:
+                spark_type = OID_TO_SPARK.get(oid, "string")
+                schema = schema.with_column(
+                    TargetColumn(name, oid, spark_type)
+                )
                 continue
-            spark_type = OID_TO_SPARK.get(int(oid), "string")
-            schema = schema.with_column(
-                TargetColumn(name, int(oid), spark_type)
+            if oid == cur.type_oid:
+                continue
+            new_type = OID_TO_SPARK.get(oid)
+            if new_type == cur.spark_type or (
+                new_type is not None and can_widen(new_type, cur.spark_type)
+            ):
+                # same storage type (text↔varchar), or NARROWER values
+                # arriving after a widening already happened (stragglers
+                # encoded before the upstream ALTER committed): the
+                # store type already holds them losslessly — keep it
+                continue
+            if cur.is_key:
+                raise ValueError(
+                    f"key column {name!r} changed type oid "
+                    f"{cur.type_oid} → {oid}; key type changes require "
+                    "a re-bootstrap, not in-place evolution"
+                )
+            if new_type is not None and can_widen(cur.spark_type, new_type):
+                schema = schema.with_widened(
+                    TargetColumn(name, oid, new_type)
+                )
+                continue
+            raise ValueError(
+                f"column {name!r} changed type oid {cur.type_oid} → "
+                f"{oid} ({cur.spark_type} → {new_type}); only lossless "
+                "widening promotions evolve in place"
             )
         return schema
 
@@ -580,11 +614,18 @@ class SnapshotStore:
             affected = sorted(int(r["_bucket"]) for r in stats)
 
             tgt = self.read(buckets=affected)
-            # align target to (possibly evolved) schema
+            # align target to (possibly evolved) schema: add missing
+            # columns, and cast type-widened ones (the old snapshot's
+            # parquet still holds the narrow type; the promotion is
+            # lossless by construction — Catalyst elides no-op casts)
             for c in schema.columns:
                 if c.name not in tgt.columns:
                     tgt = tgt.withColumn(
                         c.name, F.lit(None).cast(c.spark_type)
+                    )
+                else:
+                    tgt = tgt.withColumn(
+                        c.name, F.col(c.name).cast(c.spark_type)
                     )
 
             changelog = bool(self._meta.get("changelog"))
