@@ -283,7 +283,32 @@ def main():
                      "HashAggregate counts, no Window/Sort, "
                      "no Python)", mix_plan))
 
+    # image near-dup: everything downstream of the fused decode+hash
+    # map stage must be pure Catalyst — chunk bucket join on
+    # (chunk_id, ck) with the cap agg reusing the same key, popcount
+    # verify as a codegen filter, no Window, no nested loop
+    from pg_pb3_ld_spark.functions import imagehash
+
+    ih = spark.createDataFrame(
+        [(i, (i * 2654435761) % (2**32), (i * 40503) % (2**32))
+         for i in range(50)],
+        "media_id long, hash_hi long, hash_lo long",
+    )
+    ih_plan = plan_of(
+        imagehash.neardup_image_pairs(ih, max_hamming=3,
+                                      max_bucket_size=64)
+    )
+    sections.append(("image near-dup pairs (expect bucketed equi-join "
+                     "on (chunk_id, ck), cap agg on same key, "
+                     "no Python, no Window, no NestedLoop)", ih_plan))
+
     checks = {
+        "image neardup: bucketed join, no python/window/NLJ": (
+            not _has_python(ih_plan)
+            and "Window" not in ih_plan
+            and "NestedLoop" not in ih_plan
+            and "bit_count" in ih_plan
+        ),
         "distinct sketch: hash aggs, no python": (
             "HashAggregate" in sk_plan and not _has_python(sk_plan)
         ),

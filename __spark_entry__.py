@@ -1827,6 +1827,87 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def _image_fixture_blobs(spark, sf_dir, n=240):
+    """16×18 RGB PNG per doc with a fully arithmetic pixel formula:
+    channel value = (base·53 + flat_idx·(2·base+3) + pert) % 256 with
+    base = doc_id % 24 (24 structurally distinct patterns), variant
+    v = doc_id // 24 perturbing one grid-cell diagonal by
+    (v·31 + cy·17) % 256 — so near-dup structure (54 within-group
+    pairs at hamming ≤ 3, zero cross-group) is created by the SAME
+    closed form the DuckDB oracle replays."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import encode_png
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < n
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, v = did % 24, did // 24
+                idx = np.arange(16 * 18 * 3).reshape(16, 18, 3)
+                y = np.arange(16)[:, None, None]
+                x = np.arange(18)[None, :, None]
+                pert = np.where(
+                    (x // 2) % 9 == (v * 2 + y // 2) % 9,
+                    (v * 31 + (y // 2) * 17) % 256,
+                    0,
+                )
+                px = ((base * 53 + idx * (2 * base + 3) + pert) % 256).astype(
+                    np.uint8
+                )
+                blobs.append(encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    return ids.mapInPandas(gen, "media_id long, blob binary")
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprint (dHash) through the REAL raster
+    path: synthesize a PNG per doc (see :func:`_image_fixture_blobs`),
+    decode → integer luma → exact 8×9 block means → 64 gradient bits
+    packed as two non-negative 32-bit halves, all in ONE Arrow-batched
+    stage (functions/imagehash.py).  The oracle recomputes the hash by
+    pure arithmetic — the SQL check spans PNG encode/zlib/unfilter/
+    luma/block-mean/gradient/packing."""
+    from pg_pb3_ld_spark.functions.imagehash import image_dhash
+
+    out = image_dhash(_image_fixture_blobs(spark, sf_dir))
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "hash_hi", "hash_lo"
+    )
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs — the multimodal dedup staple (crawl
+    corpora carry the same image re-encoded/resized millions of
+    times; byte-level md5 misses all of it).  dHash fingerprints →
+    4×16-bit chunk bucket self-join (pigeonhole-COMPLETE for
+    hamming ≤ 3, never all-pairs) with the shared bucket cap →
+    exact popcount(xor) verify.  At 10^10 images the plan is one
+    fused decode+hash map stage plus one bucketed shuffle join on
+    ~4 rows/image."""
+    from pg_pb3_ld_spark.functions.imagehash import (
+        image_dhash,
+        neardup_image_pairs,
+    )
+
+    hashes = image_dhash(_image_fixture_blobs(spark, sf_dir)).where(
+        F.col("error").isNull()
+    )
+    pairs = neardup_image_pairs(hashes, max_hamming=3, max_bucket_size=64)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 def q_audio_frame_sample(spark, sf_dir):
     """REAL audio path end-to-end: synthesize a 0.1 s 8 kHz mono WAV
     per doc (sample i = (doc_id·31 + i·7) mod 2001 − 1000), then
@@ -2438,6 +2519,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_frame_sample": q_audio_frame_sample,
     "audio_ulaw_frame_sample": q_audio_ulaw_frame_sample,
     "video_frame_sample": q_video_frame_sample,
+    "image_dhash": q_image_dhash,
+    "image_neardup": q_image_neardup,
     "video_mp4_frame_sample": q_video_mp4_frame_sample,
     "doc_repetition": q_doc_repetition,
     "doc_pii_scrub": q_doc_pii_scrub,
@@ -3397,6 +3480,60 @@ def _zorder_oracle_sql() -> str:
         SELECT doc_id, zkey, CAST(zkey >> 24 AS BIGINT) AS tile
         FROM k
     """
+
+
+# Arithmetic replay of the dHash chain on the PNG image fixtures
+# (_image_fixture_blobs): per-channel value → integer luma → exact
+# 2×2 block means → horizontal gradient bits → two packed 32-bit
+# halves.  Shared by the image_dhash and image_neardup oracles.
+_DHASH_CTE = """
+    ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+    lum AS (
+      SELECT i.doc_id, t1.cy, t2.cx,
+        (77 * (((i.doc_id % 24) * 53
+                + (((2*t1.cy+t3.dy)*18 + (2*t2.cx+t4.dx))*3 + 0)
+                  * (2*(i.doc_id % 24)+3)
+                + CASE WHEN t2.cx % 9 = ((i.doc_id // 24)*2 + t1.cy) % 9
+                       THEN ((i.doc_id // 24)*31 + t1.cy*17) % 256
+                       ELSE 0 END) % 256)
+       + 150 * (((i.doc_id % 24) * 53
+                + (((2*t1.cy+t3.dy)*18 + (2*t2.cx+t4.dx))*3 + 1)
+                  * (2*(i.doc_id % 24)+3)
+                + CASE WHEN t2.cx % 9 = ((i.doc_id // 24)*2 + t1.cy) % 9
+                       THEN ((i.doc_id // 24)*31 + t1.cy*17) % 256
+                       ELSE 0 END) % 256)
+       + 29 * (((i.doc_id % 24) * 53
+                + (((2*t1.cy+t3.dy)*18 + (2*t2.cx+t4.dx))*3 + 2)
+                  * (2*(i.doc_id % 24)+3)
+                + CASE WHEN t2.cx % 9 = ((i.doc_id // 24)*2 + t1.cy) % 9
+                       THEN ((i.doc_id // 24)*31 + t1.cy*17) % 256
+                       ELSE 0 END) % 256)
+        ) // 256 AS l
+      FROM ids i, range(8) t1(cy), range(9) t2(cx),
+           range(2) t3(dy), range(2) t4(dx)
+    ),
+    cells AS (
+      SELECT doc_id, cy, cx, SUM(l) // 4 AS g
+      FROM lum GROUP BY doc_id, cy, cx
+    ),
+    gbits AS (
+      SELECT l.doc_id, l.cy AS r, l.cx AS c,
+             CASE WHEN rg.g > l.g THEN 1 ELSE 0 END AS b
+      FROM cells l JOIN cells rg
+        ON rg.doc_id = l.doc_id AND rg.cy = l.cy AND rg.cx = l.cx + 1
+      WHERE l.cx < 8
+    ),
+    dhashes AS (
+      SELECT doc_id AS media_id,
+        CAST(SUM(CASE WHEN r >= 4
+                 THEN b * (1::BIGINT << ((r-4)*8 + c)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(SUM(CASE WHEN r < 4
+                 THEN b * (1::BIGINT << (r*8 + c)) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM gbits GROUP BY doc_id
+    )
+"""
 
 
 def _literal_oracles() -> dict[str, str]:
@@ -4482,6 +4619,37 @@ def _literal_oracles() -> dict[str, str]:
             FROM toks
             LEFT JOIN a2 ON toks.doc_id = a2.doc_id
             LEFT JOIN a3 ON toks.doc_id = a3.doc_id
+        """,
+        "image_dhash": "WITH " + _DHASH_CTE + """
+            SELECT media_id, hash_hi, hash_lo FROM dhashes
+        """,
+        "image_neardup": "WITH " + _DHASH_CTE + """,
+            chunks AS (
+              SELECT media_id, hash_hi, hash_lo,
+                     0 AS chunk_id, hash_lo % 65536 AS ck FROM dhashes
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     1, hash_lo // 65536 FROM dhashes
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     2, hash_hi % 65536 FROM dhashes
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     3, hash_hi // 65536 FROM dhashes
+            ),
+            szs AS (
+              SELECT chunk_id, ck, count(*) AS c
+              FROM chunks GROUP BY 1, 2
+            ),
+            ok AS (
+              SELECT ch.* FROM chunks ch
+              JOIN szs USING (chunk_id, ck) WHERE szs.c <= 64
+            )
+            SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+              CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                 + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS dist
+            FROM ok a JOIN ok b
+              ON a.chunk_id = b.chunk_id AND a.ck = b.ck
+             AND a.media_id < b.media_id
+            WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         """,
         "video_frame_sample": """
             -- flat DC-only blocks with q=1 decode EXACTLY, so every
