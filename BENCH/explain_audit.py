@@ -302,7 +302,30 @@ def main():
                      "on (chunk_id, ck), cap agg on same key, "
                      "no Python, no Window, no NestedLoop)", ih_plan))
 
+    # incremental near-dup: batch probes the persisted corpus band
+    # index — equi joins on (band_id, bk) and the id-keyed set joins
+    # only; no Python, no Window, no nested loop
+    from pg_pb3_ld_spark.functions import dedup as dd
+
+    inc_corpus = docs.where("doc_id % 3 != 0")
+    inc_batch = docs.where("doc_id % 3 = 0")
+    inc_plan = plan_of(
+        dd.incremental_neardup(
+            inc_batch,
+            dd.minhash_bands(inc_corpus),
+            dd.shingle_sets(inc_corpus),
+        )
+    )
+    sections.append(("incremental near-dup vs persisted index "
+                     "(expect equi joins on (band_id, bk) + id keys, "
+                     "no Python, no Window, no NestedLoop)", inc_plan))
+
     checks = {
+        "incremental neardup: equi joins only, no python/window/NLJ": (
+            not _has_python(inc_plan)
+            and "Window" not in inc_plan
+            and "NestedLoop" not in inc_plan
+        ),
         "image neardup: bucketed join, no python/window/NLJ": (
             not _has_python(ih_plan)
             and "Window" not in ih_plan

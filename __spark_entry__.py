@@ -1567,6 +1567,32 @@ def q_doc_incremental_dedup(spark, sf_dir):
     ).select("doc_id", "content_md5")
 
 
+def q_doc_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup: the ingest batch (doc_id % 3 == 0)
+    dedups against the accumulated corpus via the corpus's PERSISTED
+    MinHash band index — the corpus text is never re-shingled (here
+    the index is built inline for the oracle check; in production it
+    is written once and appended per accepted batch).  Candidates come
+    only from buckets a batch doc lands in, verified by exact Jaccard;
+    batch-internal dups surface with from_batch = true."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    index_bands = dedup.minhash_bands(corpus, k=4, shingle_n=3)
+    corpus_sets = dedup.shingle_sets(corpus)
+    m = dedup.incremental_neardup(
+        batch, index_bands, corpus_sets, threshold=0.5
+    )
+    return m.select(
+        "doc_new",
+        "doc_match",
+        (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard"),
+        "from_batch",
+    )
+
+
 def _cosine_expr():
     """Deterministic double-precision cosine: element products and
     left-to-right sums in double on both engines → bit-identical."""
@@ -2508,6 +2534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_ppl": q_doc_lm_ppl,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_incremental_neardup": q_doc_incremental_neardup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -2973,6 +3000,47 @@ def _extra_oracles() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.bk = b.bk
              AND a.doc_id < b.doc_id
+        """,
+        "doc_incremental_neardup": f"""
+            WITH {_SHINGLE_CTE},
+            sig AS (
+                SELECT doc_id,
+                  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS mh0,
+                  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS mh1,
+                  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS mh2,
+                  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS mh3
+                FROM sh_lists
+            ),
+            bands AS (
+                SELECT 0 AS band_id, mh0 AS bk, doc_id FROM sig
+                UNION ALL SELECT 1, mh1, doc_id FROM sig
+                UNION ALL SELECT 2, mh2, doc_id FROM sig
+                UNION ALL SELECT 3, mh3, doc_id FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_match
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.bk = b.bk
+                 AND a.doc_id != b.doc_id
+                WHERE a.doc_id % 3 = 0
+            ),
+            sets AS (
+                SELECT doc_id, list_distinct(s) AS shs FROM sh_lists
+            ),
+            jac AS (
+                SELECT c.doc_new, c.doc_match,
+                       len(list_intersect(sa.shs, sb.shs))
+                       / CAST(len(sa.shs) + len(sb.shs)
+                              - len(list_intersect(sa.shs, sb.shs))
+                              AS DOUBLE) AS j
+                FROM cand c
+                JOIN sets sa ON sa.doc_id = c.doc_new
+                JOIN sets sb ON sb.doc_id = c.doc_match
+            )
+            SELECT doc_new, doc_match,
+                   floor(j * 10000) / 10000 AS jaccard,
+                   doc_match % 3 = 0 AS from_batch
+            FROM jac WHERE j >= 0.5
         """,
         "doc_minhash_lsh_capped": f"""
             WITH {_SKEW_SHINGLE_CTE},

@@ -346,6 +346,89 @@ def near_dup_clusters(
     )
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    corpus_sets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup matches of an ingest batch against an accumulated
+    corpus WITHOUT re-processing the corpus — the steady-state shape
+    of crawl dedup at 100 TB (the full-corpus pass runs once; every
+    subsequent batch dedups against the persisted index).
+
+    Inputs:
+      * ``new_docs`` — the batch (id, text), small relative to the
+        corpus by definition;
+      * ``index_bands`` — the PERSISTED (id, band_id, bk) MinHash band
+        index of the corpus (:func:`minhash_bands` output written at
+        corpus-build time; appending each accepted batch's bands keeps
+        it current) — the corpus text is never re-shingled;
+      * ``corpus_sets`` — (id, shs) distinct-shingle sets for exact
+        verification (:func:`shingle_sets`; persisted alongside the
+        index, or fetched for just the candidate ids — the candidate
+        set is batch-sized, not corpus-sized).
+
+    Returns (doc_new, doc_match, jaccard, from_batch): every verified
+    match of a batch doc against corpus ∪ batch (batch-internal dups
+    carry ``from_batch = true``).  Only buckets a NEW doc lands in are
+    ever joined, so the corpus-side work is proportional to colliding
+    rows, not corpus size; the cap guards degenerate buckets exactly
+    as in :func:`lsh_candidate_pairs` (union-wide sizes, so a bucket
+    hot in history stays capped for the batch).
+    """
+    nb = minhash_bands(new_docs, text_col, id_col, k, shingle_n).withColumn(
+        "_new", F.lit(True)
+    )
+    ib = index_bands.select(id_col, "band_id", "bk").withColumn(
+        "_new", F.lit(False)
+    )
+    capped = cap_buckets(
+        ib.unionByName(nb), ["band_id", "bk"], max_bucket_size
+    )
+    a = capped.where(F.col("_new")).alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_new"),
+            F.col(f"b.{id_col}").alias("doc_match"),
+            F.col("b._new").alias("from_batch"),
+        )
+        .distinct()
+    )
+    sets = corpus_sets.unionByName(
+        shingle_sets(new_docs, text_col, id_col, shingle_n)
+    )
+    sa = sets.select(F.col(id_col).alias("doc_new"), F.col("shs").alias("sa"))
+    sb = sets.select(
+        F.col(id_col).alias("doc_match"), F.col("shs").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_match")
+        .select(
+            "doc_new",
+            "doc_match",
+            (inter / union).alias("jaccard"),
+            "from_batch",
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def _distinct_shingles(
     docs: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
