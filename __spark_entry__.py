@@ -1934,6 +1934,80 @@ def q_image_neardup(spark, sf_dir):
     )
 
 
+def _audio_fixture_blobs(spark, sf_dir, n=200):
+    """780-sample 8 kHz mono PCM WAV per doc with a fully arithmetic
+    sample formula (65 exact 12-sample frames): a per-frame envelope
+    keyed by base = doc_id % 20 gives 20 distinct energy contours;
+    variant v = doc_id // 20 perturbs the frames where
+    fr % 11 == (v·3) % 11 — creating 91 within-group fingerprint
+    pairs at hamming ≤ 3 (zero cross-group) that the DuckDB oracle
+    re-derives from the same closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import encode_wav
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < n
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, v = did % 20, did // 20
+                i = np.arange(780)
+                fr = i // 12
+                env = ((fr * fr + 1) * (base * 31 + 7)) % 997
+                s = (env * (((i * 29) % 41) - 20)) % 2003 - 1001
+                pert = np.where(
+                    fr % 11 == (v * 3) % 11,
+                    ((fr + v) * 337) % 1601 - 800,
+                    0,
+                )
+                blobs.append(encode_wav(8000, 1, s + pert))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    return ids.mapInPandas(gen, "media_id long, blob binary")
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio energy-contour fingerprint through the REAL WAV decode
+    path: 65 exact-integer L1 frame energies → 64 rise/fall bits
+    packed as two non-negative 32-bit halves, fused with the decode
+    in ONE Arrow stage (functions/audiofp.py).  The oracle re-derives
+    every sample, frame energy, and bit arithmetically — the SQL
+    check spans RIFF encode/walk/PCM/framing/packing."""
+    from pg_pb3_ld_spark.functions.audiofp import audio_fingerprint
+
+    out = audio_fingerprint(_audio_fixture_blobs(spark, sf_dir))
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "hash_hi", "hash_lo"
+    )
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup pairs: energy-contour fingerprints → the SHARED
+    4×16-bit-chunk pigeonhole bucket join (complete for hamming ≤ 3,
+    capped, never all-pairs) → popcount(xor) verify — re-encoded/
+    gain-shifted clip dedup, the audio leg of multimodal dedup."""
+    from pg_pb3_ld_spark.functions.audiofp import (
+        audio_fingerprint,
+        neardup_audio_pairs,
+    )
+
+    fps = audio_fingerprint(_audio_fixture_blobs(spark, sf_dir)).where(
+        F.col("error").isNull()
+    )
+    pairs = neardup_audio_pairs(fps, max_hamming=3, max_bucket_size=64)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 def q_audio_frame_sample(spark, sf_dir):
     """REAL audio path end-to-end: synthesize a 0.1 s 8 kHz mono WAV
     per doc (sample i = (doc_id·31 + i·7) mod 2001 − 1000), then
@@ -2548,6 +2622,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     "image_dhash": q_image_dhash,
     "image_neardup": q_image_neardup,
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_neardup": q_audio_neardup,
     "video_mp4_frame_sample": q_video_mp4_frame_sample,
     "doc_repetition": q_doc_repetition,
     "doc_pii_scrub": q_doc_pii_scrub,
@@ -3548,6 +3624,46 @@ def _zorder_oracle_sql() -> str:
         SELECT doc_id, zkey, CAST(zkey >> 24 AS BIGINT) AS tile
         FROM k
     """
+
+
+# Arithmetic replay of the audio energy-contour fingerprint on the
+# WAV fixtures (_audio_fixture_blobs): sample formula → 12-sample
+# frame L1 energies → 64 rise bits → two packed 32-bit halves.
+# NOTE the ((x % 2003) + 2003) % 2003 double-mod: the sample value is
+# negative mid-formula and SQL's % truncates toward zero while
+# numpy's floors — the double-mod reproduces numpy exactly.
+_AUDIOFP_CTE = """
+    aids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    smp AS (
+      SELECT doc_id, t.i,
+        (((((t.i // 12)*(t.i // 12) + 1) * ((doc_id % 20)*31 + 7)) % 997)
+           * (((t.i*29) % 41) - 20) % 2003 + 2003) % 2003 - 1001
+        + CASE WHEN (t.i // 12) % 11 = ((doc_id // 20)*3) % 11
+               THEN (((t.i // 12) + doc_id // 20)*337) % 1601 - 800
+               ELSE 0 END AS s
+      FROM aids, range(780) t(i)
+    ),
+    fe AS (
+      SELECT doc_id, i // 12 AS fr, SUM(abs(s)) AS e
+      FROM smp GROUP BY doc_id, i // 12
+    ),
+    abits AS (
+      SELECT l.doc_id, l.fr AS k,
+             CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS b
+      FROM fe l JOIN fe r ON r.doc_id = l.doc_id AND r.fr = l.fr + 1
+      WHERE l.fr < 64
+    ),
+    afp AS (
+      SELECT doc_id AS media_id,
+        CAST(SUM(CASE WHEN k >= 32
+                 THEN b * (1::BIGINT << (k-32)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(SUM(CASE WHEN k < 32
+                 THEN b * (1::BIGINT << k) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM abits GROUP BY doc_id
+    )
+"""
 
 
 # Arithmetic replay of the dHash chain on the PNG image fixtures
@@ -4687,6 +4803,37 @@ def _literal_oracles() -> dict[str, str]:
             FROM toks
             LEFT JOIN a2 ON toks.doc_id = a2.doc_id
             LEFT JOIN a3 ON toks.doc_id = a3.doc_id
+        """,
+        "audio_fingerprint": "WITH " + _AUDIOFP_CTE + """
+            SELECT media_id, hash_hi, hash_lo FROM afp
+        """,
+        "audio_neardup": "WITH " + _AUDIOFP_CTE + """,
+            achunks AS (
+              SELECT media_id, hash_hi, hash_lo,
+                     0 AS chunk_id, hash_lo % 65536 AS ck FROM afp
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     1, hash_lo // 65536 FROM afp
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     2, hash_hi % 65536 FROM afp
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     3, hash_hi // 65536 FROM afp
+            ),
+            aszs AS (
+              SELECT chunk_id, ck, count(*) AS c
+              FROM achunks GROUP BY 1, 2
+            ),
+            aok AS (
+              SELECT ch.* FROM achunks ch
+              JOIN aszs USING (chunk_id, ck) WHERE aszs.c <= 64
+            )
+            SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+              CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                 + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS dist
+            FROM aok a JOIN aok b
+              ON a.chunk_id = b.chunk_id AND a.ck = b.ck
+             AND a.media_id < b.media_id
+            WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         """,
         "image_dhash": "WITH " + _DHASH_CTE + """
             SELECT media_id, hash_hi, hash_lo FROM dhashes

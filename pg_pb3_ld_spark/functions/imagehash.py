@@ -175,13 +175,16 @@ def hamming_expr(ahi, alo, bhi, blo) -> "F.Column":
     return F.bit_count(ahi.bitwiseXOR(bhi)) + F.bit_count(alo.bitwiseXOR(blo))
 
 
-def neardup_image_pairs(
+def neardup_hash_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b, dist) pairs with hamming ≤ threshold.
+    """Distinct (doc_a < doc_b, dist) pairs with hamming ≤ threshold
+    over ANY 64-bit fingerprint split as (hash_hi, hash_lo) — shared
+    by image dHash and audio energy-contour fingerprints (the hamming
+    machinery is signature-agnostic).
 
     COMPLETE for ``max_hamming ≤ 3`` (pigeonhole over the 4 chunks);
     larger thresholds would need more/overlapping chunks, so they are
@@ -220,6 +223,11 @@ def neardup_image_pairs(
         .distinct()
     )
     return pairs
+
+
+# the image-named alias (the original entry point; audio reuses the
+# generic name above)
+neardup_image_pairs = neardup_hash_pairs
 
 
 def neardup_dropped_buckets(
