@@ -1235,6 +1235,32 @@ def q_cdc_bootstrap(spark, sf_dir):
     return out.withColumn("hwm_lsn", F.lit(hwm_lsn).cast("long"))
 
 
+def q_doc_decontaminate_bloom(spark, sf_dir):
+    """SHUFFLE-FREE decontamination (the 100-TB fast path beside
+    q_doc_decontaminate's join variant): eval docs (doc_id % 41 == 0,
+    < 410 — bounded regardless of SF) collapse into an 8192-bit Bloom
+    bitset (256 bigint words, collected once), and every corpus doc
+    counts matching shingles with a pure per-row expression — the
+    corpus scan has NO explode, NO join, NO shuffle.  Bloom false
+    positives only INFLATE counts (conservative for decontamination);
+    the oracle replays the bitset AND every probe verdict bit-for-bit,
+    FPs included."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    is_eval = (F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)
+    out = dedup.decontaminate_bloom(
+        docs.where(~is_eval), docs.where(is_eval), threshold=0.5
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap_bloom").cast("long").alias("n_overlap_bloom"),
+        "overlap_ratio",
+        "flagged",
+    )
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-data staple): documents
     with doc_id % 37 == 0 act as the eval/benchmark set; every other
@@ -1974,6 +2000,34 @@ def _audio_fixture_blobs(spark, sf_dir, n=200):
     return ids.mapInPandas(gen, "media_id long, blob binary")
 
 
+def q_image_neardup_clusters(spark, sf_dir):
+    """Full image-dedup resolution (the multimodal mirror of
+    q_doc_neardup_clusters): dHash pairs at hamming ≤ 3 → min-label
+    connected components with pointer doubling → (media_id,
+    cluster_id, keep) with the minimum id as the canonical survivor —
+    what a training-set builder actually materializes."""
+    from pg_pb3_ld_spark.functions import dedup
+    from pg_pb3_ld_spark.functions.imagehash import (
+        image_dhash,
+        neardup_image_pairs,
+    )
+
+    hashes = image_dhash(_image_fixture_blobs(spark, sf_dir)).where(
+        F.col("error").isNull()
+    )
+    pairs = neardup_image_pairs(hashes, max_hamming=3, max_bucket_size=64)
+    comp = dedup.connected_components(
+        pairs.select("doc_a", "doc_b"),
+        hashes.select("media_id"),
+        id_col="media_id",
+    )
+    return comp.select(
+        "media_id",
+        "cluster_id",
+        (F.col("media_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def q_audio_fingerprint(spark, sf_dir):
     """Audio energy-contour fingerprint through the REAL WAV decode
     path: 65 exact-integer L1 frame energies → 64 rise/fall bits
@@ -2592,6 +2646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -2622,6 +2677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     "image_dhash": q_image_dhash,
     "image_neardup": q_image_neardup,
+    "image_neardup_clusters": q_image_neardup_clusters,
     "audio_fingerprint": q_audio_fingerprint,
     "audio_neardup": q_audio_neardup,
     "video_mp4_frame_sample": q_video_mp4_frame_sample,
@@ -3076,6 +3132,66 @@ def _extra_oracles() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.bk = b.bk
              AND a.doc_id < b.doc_id
+        """,
+        "doc_decontaminate_bloom": f"""
+            WITH {_SHINGLE_CTE},
+            ds AS (SELECT doc_id, list_distinct(s) AS shs FROM sh_lists),
+            ev AS (
+                SELECT DISTINCT unnest(shs) AS shingle FROM ds
+                WHERE doc_id % 41 = 0 AND doc_id < 410
+            ),
+            pos AS (
+                SELECT CAST(concat('0x', substr(md5(concat(
+                    shingle, ':0')), 1, 12)) AS BIGINT) % 8192 AS pp
+                FROM ev
+                UNION ALL
+                SELECT CAST(concat('0x', substr(md5(concat(
+                    shingle, ':1')), 1, 12)) AS BIGINT) % 8192 FROM ev
+                UNION ALL
+                SELECT CAST(concat('0x', substr(md5(concat(
+                    shingle, ':2')), 1, 12)) AS BIGINT) % 8192 FROM ev
+            ),
+            words AS (
+                SELECT pp // 32 AS word,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(pp % 32 AS INT)) AS bits
+                FROM pos GROUP BY 1
+            ),
+            cs AS (
+                SELECT doc_id, unnest(shs) AS shingle FROM ds
+                WHERE NOT (doc_id % 41 = 0 AND doc_id < 410)
+            ),
+            upos AS (
+                SELECT doc_id, shingle,
+                       CAST(concat('0x', substr(md5(concat(
+                           shingle, ':', CAST(s.i AS VARCHAR)
+                       )), 1, 12)) AS BIGINT) % 8192 AS pp
+                FROM cs, UNNEST([0, 1, 2]) AS s(i)
+            ),
+            probe AS (
+                SELECT up.doc_id, up.shingle,
+                       min(CASE WHEN w.bits IS NOT NULL
+                                AND ((w.bits >> CAST(up.pp % 32
+                                     AS INT)) & 1) = 1
+                                THEN 1 ELSE 0 END) AS hit
+                FROM upos up
+                LEFT JOIN words w ON w.word = up.pp // 32
+                GROUP BY up.doc_id, up.shingle
+            ),
+            counts AS (
+                SELECT doc_id,
+                       count(*) AS n_shingles,
+                       sum(hit) AS n_overlap_bloom
+                FROM probe GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(n_overlap_bloom AS BIGINT) AS n_overlap_bloom,
+                   floor(n_overlap_bloom / CAST(n_shingles AS DOUBLE)
+                         * 10000) / 10000 AS overlap_ratio,
+                   n_overlap_bloom / CAST(n_shingles AS DOUBLE) >= 0.5
+                       AS flagged
+            FROM counts
         """,
         "doc_incremental_neardup": f"""
             WITH {_SHINGLE_CTE},
@@ -4865,6 +4981,53 @@ def _literal_oracles() -> dict[str, str]:
              AND a.media_id < b.media_id
             WHERE bit_count(xor(a.hash_hi, b.hash_hi))
                 + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        """,
+        "image_neardup_clusters": "WITH RECURSIVE " + _DHASH_CTE + """,
+            ichunks AS (
+              SELECT media_id, hash_hi, hash_lo,
+                     0 AS chunk_id, hash_lo % 65536 AS ck FROM dhashes
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     1, hash_lo // 65536 FROM dhashes
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     2, hash_hi % 65536 FROM dhashes
+              UNION ALL SELECT media_id, hash_hi, hash_lo,
+                     3, hash_hi // 65536 FROM dhashes
+            ),
+            iszs AS (
+              SELECT chunk_id, ck, count(*) AS c
+              FROM ichunks GROUP BY 1, 2
+            ),
+            iok AS (
+              SELECT ch.* FROM ichunks ch
+              JOIN iszs USING (chunk_id, ck) WHERE iszs.c <= 64
+            ),
+            ipairs AS (
+              SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+              FROM iok a JOIN iok b
+                ON a.chunk_id = b.chunk_id AND a.ck = b.ck
+               AND a.media_id < b.media_id
+              WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+                  + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+            ),
+            iedges AS (
+                SELECT doc_a AS a, doc_b AS b FROM ipairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM ipairs
+            ),
+            ireach(src, dst) AS (
+                SELECT a, b FROM iedges
+                UNION
+                SELECT r.src, e.b FROM ireach r JOIN iedges e
+                  ON r.dst = e.a
+            )
+            SELECT h.media_id,
+                   least(h.media_id, coalesce(min(r.dst), h.media_id))
+                       AS cluster_id,
+                   h.media_id = least(h.media_id,
+                                      coalesce(min(r.dst), h.media_id))
+                       AS keep
+            FROM dhashes h LEFT JOIN ireach r ON r.src = h.media_id
+            GROUP BY h.media_id
         """,
         "video_frame_sample": """
             -- flat DC-only blocks with q=1 decode EXACTLY, so every

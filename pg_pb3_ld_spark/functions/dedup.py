@@ -514,6 +514,76 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    n_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """SHUFFLE-FREE decontamination — the 100-TB fast path.
+
+    :func:`decontaminate` joins the corpus's exploded shingles against
+    the broadcast eval set: correct, but the corpus side still
+    explodes (|corpus| × shingles rows) and aggregates back per doc —
+    two wide stages.  This variant removes ALL of it: the eval
+    shingles collapse into a fixed-size Bloom bitset
+    (:mod:`pg_pb3_ld_spark.functions.bloom` — n_bits/32 bigint words,
+    collected once, bounded BY CONSTRUCTION), and each corpus doc
+    counts its matching shingles with a PURE per-row expression over
+    its distinct-shingle array — no explode, no join, no shuffle, no
+    aggregation; the 100-TB scan is map-only and pipelines with any
+    co-resident per-doc operator.
+
+    The trade is one-sided and conservative: Bloom false positives
+    can only INFLATE ``n_overlap_bloom`` (by ≈(1−e^{−k·n/m})^k per
+    probe — size ``n_bits`` to the eval suite), never deflate it, so
+    a contaminated doc is never missed; a handful of clean docs may
+    be over-flagged.  Exact counts for the flagged subset (tiny) can
+    be re-derived with :func:`decontaminate` if needed.
+
+    Returns (id, n_shingles, n_overlap_bloom, overlap_ratio, flagged).
+    """
+    from pg_pb3_ld_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    eval_sh = (
+        _distinct_shingles(eval_docs, id_col, text_col, shingle_n)
+        .select(F.explode("_shs").alias("shingle"))
+        .distinct()
+    )
+    words = bloom_words(bloom_build(eval_sh, "shingle", n_bits, k), n_bits)
+    sh = textops.shingles(textops.tokens(F.col(text_col)), shingle_n)
+    docs = corpus.select(
+        id_col, F.array_distinct(sh).alias("_shs")
+    ).where(F.size("_shs") > 0)
+    hits = F.size(
+        F.filter(
+            F.col("_shs"),
+            lambda s: bloom_might_contain(s, words, n_bits, k),
+        )
+    )
+    out = docs.select(
+        id_col,
+        F.size("_shs").alias("n_shingles"),
+        hits.alias("n_overlap_bloom"),
+    )
+    ratio = F.col("n_overlap_bloom") / F.col("n_shingles")
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_overlap_bloom",
+        (F.floor(ratio * 10000) / 10000).alias("overlap_ratio"),
+        (ratio >= F.lit(threshold)).alias("flagged"),
+    )
+
+
 def decontaminate_dropped(
     corpus: DataFrame,
     eval_docs: DataFrame,
