@@ -2165,6 +2165,95 @@ def q_doc_bpe_tokenize(spark, sf_dir):
     return bpe.encode_docs(docs, merges)
 
 
+def q_cdc_quarantine(spark, sf_dir):
+    """Dead-letter quarantine END-TO-END: a deterministic change
+    stream derived from `events` is wire-encoded (one frame per
+    20-change transaction), every frame with frame_seq % 7 == 3 is
+    REPLACED by poison bytes (a runaway varint — guaranteed
+    WireFormatError), and the stream replays through the real
+    IngestPipeline with `quarantine_dir` set.  The poison frames land
+    in the dead-letter parquet (frame_seq + error + raw bytes) instead
+    of killing the batch; every surviving transaction applies.  Output
+    = the final table state UNION the dead-letter records; DuckDB
+    replays the last-write-wins fold over exactly the non-poisoned
+    transactions and re-derives which frame_seqs must be quarantined
+    — a leak in either direction (a lost good txn, an unreported
+    poison frame, a poison row reaching the store) changes the rows."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import (
+        _frames_table,
+        encode_routed_changes,
+    )
+    from pg_pb3_ld_spark.pb3 import wire
+    from pg_pb3_ld_spark.pipeline import IngestPipeline
+    from pg_pb3_ld_spark.schema import TargetColumn, TargetSchema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .collect()
+    )
+    changes = []
+    for r in ev:
+        eid, uid = int(r["event_id"]), int(r["user_id"])
+        key = [("metric_id", f"u{uid % 40}", wire.OID_TEXT)]
+        if r["event_type"] == "error":
+            changes.append(("public", "metrics", "DELETE", key, []))
+        else:
+            changes.append((
+                "public", "metrics", "INSERT", key,
+                [("label", r["event_type"], wire.OID_TEXT),
+                 ("n_tokens", eid, wire.OID_INT4)],
+            ))
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    frames = encode_routed_changes(changes, cfg, txn_every=20)
+    frames = [
+        (s, l, b"\xff" * 11 if s % 7 == 3 else f) for s, l, f in frames
+    ]
+    schema = TargetSchema(
+        "metrics",
+        [
+            TargetColumn("metric_id", wire.OID_TEXT, "string", is_key=True),
+            TargetColumn("label", wire.OID_TEXT, "string"),
+            TargetColumn("n_tokens", wire.OID_INT4, "int"),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="pb3ld_quar_")
+    try:
+        fp = os.path.join(root, "frames.parquet")
+        pq.write_table(_frames_table(frames), fp)
+        store = SnapshotStore.create(
+            spark, os.path.join(root, "table"), schema, num_buckets=8
+        )
+        qdir = os.path.join(root, "deadletter")
+        pipe = IngestPipeline(spark, store, cfg, quarantine_dir=qdir)
+        pipe.apply_frames(spark.read.parquet(fp), batch_id=1)
+        state = [
+            ("state", r["metric_id"], r["label"], int(r["n_tokens"]))
+            for r in store.read_table().collect()
+        ]
+        dead = [
+            ("q", str(int(r["frame_seq"])), r["_err"], -1)
+            for r in spark.read.parquet(qdir).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        state + dead, "kind string, k string, v string, n long"
+    )
+
+
 def q_cdc_schema_widening(spark, sf_dir):
     """Type-widening schema evolution END-TO-END through the real
     engine: a deterministic change stream derived from `events`
@@ -2694,6 +2783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_mixture_summary": q_doc_mixture_summary,
     "cdc_schema_widening": q_cdc_schema_widening,
+    "cdc_quarantine": q_cdc_quarantine,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
@@ -4368,6 +4458,40 @@ def _literal_oracles() -> dict[str, str]:
         "doc_mixture_sample": _mixture_oracle_ctes() + """
             SELECT doc_id, source, n_copies, domain_quota, domain_docs
             FROM k WHERE n_copies >= 1
+        """,
+        "cdc_quarantine": """
+            WITH ch AS (
+                SELECT event_id, user_id, event_type,
+                       (row_number() OVER (ORDER BY event_id) - 1) AS idx
+                FROM events WHERE event_id < 4000
+            ),
+            good AS (
+                SELECT 'u' || CAST(user_id % 40 AS VARCHAR) AS metric_id,
+                       event_type, event_id, idx
+                FROM ch WHERE (idx // 20) % 7 != 3
+            ),
+            lastc AS (
+                SELECT metric_id, event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY metric_id ORDER BY idx DESC
+                       ) AS rn
+                FROM good
+            ),
+            state AS (
+                SELECT 'state' AS kind, metric_id AS k,
+                       event_type AS v, CAST(event_id AS BIGINT) AS n
+                FROM lastc WHERE rn = 1 AND event_type != 'error'
+            ),
+            dead AS (
+                SELECT 'q' AS kind, CAST(t.i AS VARCHAR) AS k,
+                       'WireFormatError: varint longer than 10 bytes'
+                           AS v,
+                       CAST(-1 AS BIGINT) AS n
+                FROM (SELECT DISTINCT idx // 20 AS i FROM ch) t
+                WHERE t.i % 7 = 3
+            )
+            SELECT kind, k, v, n FROM state
+            UNION ALL SELECT kind, k, v, n FROM dead
         """,
         "cdc_schema_widening": """
             WITH src AS (

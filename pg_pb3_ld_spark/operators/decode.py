@@ -108,6 +108,7 @@ def decode_typed_changes(
     config: EngineConfig | None = None,
     target_batch_bytes: int = 64 * 1024 * 1024,
     parallelism: int | None = None,
+    quarantine: bool = False,
 ) -> DataFrame:
     """D1+D2 fused: frames → typed change rows in ONE Arrow stage.
 
@@ -119,8 +120,24 @@ def decode_typed_changes(
     carries columns outside ``schema``) let the pipeline derive the
     commit watermark AND the schema-evolution probe from this one
     stage — the frame stream is decoded exactly once per batch.
+
+    ``quarantine=True`` (dead-letter mode): a frame that fails the
+    wire parse no longer kills the job — the batch decode is retried
+    frame-by-frame and the poison frames come back as rows with
+    ``_err`` (the wire error) and ``_raw`` (the original frame bytes
+    for forensics) set, ``op='error'``, ``offset_idx=0`` (so the
+    transport-order density guard still counts the frame) and every
+    table column null.  The clean path stays OPTIMISTIC — the
+    per-frame retry runs only on a slice that actually raised, so a
+    100 TB scan with no corruption pays nothing but the two extra
+    null columns.  Default off: the schema (and the hot path) are
+    byte-identical to previous rounds.
     """
-    from pg_pb3_ld_spark.pb3.decoder import decode_frame_typed, typed_arrow_schema
+    from pg_pb3_ld_spark.pb3.decoder import (
+        WireFormatError,
+        decode_frame_typed,
+        typed_arrow_schema,
+    )
 
     cfg = config or EngineConfig()
     out_ddl = (
@@ -134,6 +151,58 @@ def decode_typed_changes(
         + ", _x_values array<binary>, _x_nulls array<boolean>"
         + ", _x_formats array<boolean>, _split boolean"
     )
+    if quarantine:
+        out_ddl += ", _err string, _raw binary"
+
+    def _with_quarantine_cols(out: "pa.RecordBatch") -> "pa.RecordBatch":
+        out = out.append_column(
+            pa.field("_err", pa.string()), pa.nulls(out.num_rows, pa.string())
+        )
+        return out.append_column(
+            pa.field("_raw", pa.binary()), pa.nulls(out.num_rows, pa.binary())
+        )
+
+    def _decode_with_retry(fr, ls, sq):
+        """Whole-slice decode; per-frame fallback ONLY on wire error."""
+        arrow_schema = typed_arrow_schema(schema)
+        try:
+            return [_with_quarantine_cols(
+                decode_frame_typed(fr, ls, sq, schema, cfg)
+            )]
+        except WireFormatError:
+            pass
+        outs = []
+        for i in range(len(fr)):
+            one = fr.slice(i, 1)
+            try:
+                outs.append(_with_quarantine_cols(
+                    decode_frame_typed(one, ls[i:i + 1], sq[i:i + 1],
+                                       schema, cfg)
+                ))
+            except WireFormatError as exc:
+                q_schema = pa.schema(
+                    list(arrow_schema)
+                    + [pa.field("_err", pa.string()),
+                       pa.field("_raw", pa.binary())]
+                )
+                outs.append(pa.RecordBatch.from_pylist(
+                    [{
+                        "frame_seq": int(sq[i]),
+                        "lsn": int(ls[i]),
+                        "offset_idx": 0,
+                        "op": "error",
+                        # _split=False (not null): the density guard
+                        # counts first-message rows via
+                        # (offset_idx==0) & ~_split — a null would
+                        # drop the quarantined frame from the count
+                        # and trip the order guard on in-order input
+                        "_split": False,
+                        "_err": f"{type(exc).__name__}: {exc}",
+                        "_raw": one[0].as_py(),
+                    }],
+                    schema=q_schema,
+                ))
+        return outs
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -162,15 +231,17 @@ def decode_typed_changes(
             for lo, hi in zip(cuts[:-1], cuts[1:]):
                 if hi <= lo:
                     continue
-                out = decode_frame_typed(
-                    frames.slice(lo, hi - lo),
-                    lsns[lo:hi].astype(np.int64),
-                    seqs[lo:hi].astype(np.int64),
-                    schema,
-                    cfg,
-                )
-                if out.num_rows:
-                    yield out
+                fr = frames.slice(lo, hi - lo)
+                ls = lsns[lo:hi].astype(np.int64)
+                sq = seqs[lo:hi].astype(np.int64)
+                if quarantine:
+                    for out in _decode_with_retry(fr, ls, sq):
+                        if out.num_rows:
+                            yield out
+                else:
+                    out = decode_frame_typed(fr, ls, sq, schema, cfg)
+                    if out.num_rows:
+                        yield out
 
     if parallelism:
         frames_df = frames_df.repartition(parallelism)

@@ -73,6 +73,18 @@ class IngestPipeline:
     # ``store.compact()`` from a background maintenance job instead).
     apply_mode: str = "cow"
     compact_min_deltas: int = 0
+    # dead-letter directory: when set, a frame that fails the wire
+    # parse is QUARANTINED (written there as (frame_seq, lsn, _err,
+    # _raw frame bytes, batch_id) parquet) instead of killing the
+    # batch — at 10^10 events one poison frame must not stop ingest.
+    # Granularity is the FRAME: messages sharing a corrupt frame are
+    # lost with it (disclosed; the raw bytes are retained for repair/
+    # replay).  Delivery to the dead letter is at-least-once — a
+    # corrupt frame above the batch's commit watermark rides the
+    # pending tail and is re-quarantined next batch; consumers key by
+    # frame_seq.  None (default): a wire error raises, the r4
+    # fail-fast behavior.
+    quarantine_dir: str | None = None
 
     def apply_frames(
         self,
@@ -112,9 +124,22 @@ class IngestPipeline:
         # single-pass decode: typed rows persisted, summary agg
         # materializes the cache (the ONLY scan+parse of the frames)
         typed_all = decode_typed_changes(
-            fresh, schema, self.config, parallelism=par
+            fresh, schema, self.config, parallelism=par,
+            quarantine=bool(self.quarantine_dir),
         ).persist()
         try:
+            n_quarantined = 0
+            if self.quarantine_dir:
+                bad = typed_all.where(F.col("_err").isNotNull()).select(
+                    "frame_seq", "lsn", "_err", "_raw",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                # count + write share the persisted typed cache; the
+                # clean path pays one cheap filter over it
+                n_quarantined = bad.count()
+                if n_quarantined:
+                    bad.write.mode("append").parquet(self.quarantine_dir)
+                typed_all = typed_all.drop("_err", "_raw")
             t0 = _time.time()
             summary = batch_summary_typed(typed_all)
             times["summary"] = _time.time() - t0
@@ -223,8 +248,12 @@ class IngestPipeline:
                     # still need their probe merge after the re-decode
                     typed_all.unpersist()
                     typed_all = decode_typed_changes(
-                        fresh, schema, self.config, parallelism=par
+                        fresh, schema, self.config, parallelism=par,
+                        quarantine=bool(self.quarantine_dir),
                     ).persist()
+                    if self.quarantine_dir:
+                        # already dead-lettered above — just strip
+                        typed_all = typed_all.drop("_err", "_raw")
                     data = typed_all.where(
                         F.col("table_name") == schema.table
                     )
@@ -289,6 +318,8 @@ class IngestPipeline:
             n_pending = int(obs.get["n"])
             times["pending"] = _time.time() - t0
         metrics["pending_frames"] = n_pending
+        if self.quarantine_dir:
+            metrics["quarantined_frames"] = n_quarantined
 
         if self.profile:
             metrics["phase_sec"] = {k: round(v, 2) for k, v in times.items()}
