@@ -1843,6 +1843,28 @@ def q_ann_ivf_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): the seeded
+    2-iteration k-means fit partitions the embedding space, candidate
+    pairs come only from within a cell (capped self-join — never
+    all-pairs), and each duplicate component keeps the member LEAST
+    similar to its centroid (the paper's diversity-preserving rule;
+    deterministic 2^-40-quantized keys, ties to min vec_id).
+    Threshold 0.45 because the synthetic vectors are near-random (max
+    pairwise cos ~0.51); a real corpus uses ~0.9.  The oracle replays
+    the unrolled fit, assignment, cap, pair verify, a recursive-CTE
+    connected components, and the survivor rule."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    vecs = _embeddings(spark, sf_dir)
+    init = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    return dedup.semdedup_clusters(
+        vecs, init, n_iters=2, threshold=0.45, max_cluster_size=400
+    )
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -2787,6 +2809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
+    "emb_semdedup": q_emb_semdedup,
 }
 
 
@@ -3197,10 +3220,82 @@ def _extra_oracles() -> dict[str, str]:
         LEFT JOIN hits h ON h.query_id = q.query_id
     """
 
+    _sd_ctes, _sd_final = _kmeans_ctes(2)
+    semdedup_sql = f"""
+        WITH RECURSIVE {_sd_ctes},
+        sd_asg AS (
+            SELECT vec_id, list_id FROM (
+                SELECT q.vec_id, p.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_asg_key(_cos2('q.qv', 'p.c'))} DESC
+                ) AS rn
+                FROM km_qbase q, {_sd_final} p
+            ) WHERE rn = 1
+        ),
+        sd_sz AS (
+            SELECT list_id, count(*) AS n FROM sd_asg GROUP BY list_id
+        ),
+        sd_m AS (
+            SELECT a.vec_id, a.list_id, q.qv
+            FROM sd_asg a
+            JOIN sd_sz s USING (list_id)
+            JOIN km_qbase q USING (vec_id)
+            WHERE s.n <= 400
+        ),
+        sd_edge0 AS (
+            SELECT a.vec_id AS ea, b.vec_id AS eb
+            FROM sd_m a JOIN sd_m b
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            WHERE {_cos2('a.qv', 'b.qv')} >= 0.45
+        ),
+        sd_edges AS (
+            SELECT ea AS a, eb AS b FROM sd_edge0
+            UNION ALL SELECT eb, ea FROM sd_edge0
+        ),
+        sd_reach(src, dst) AS (
+            SELECT a, b FROM sd_edges
+            UNION
+            SELECT r.src, e.b FROM sd_reach r JOIN sd_edges e ON r.dst = e.a
+        ),
+        sd_comp AS (
+            SELECT q.vec_id,
+                   least(q.vec_id, coalesce(min(r.dst), q.vec_id))
+                       AS cluster_id
+            FROM km_qbase q LEFT JOIN sd_reach r ON r.src = q.vec_id
+            GROUP BY q.vec_id
+        ),
+        sd_ck AS (
+            SELECT a.vec_id, a.list_id,
+                   CAST(round(coalesce({_cos2('q.qv', 'p.c')}, -2.0)
+                        * 1099511627776.0) AS BIGINT) AS ck
+            FROM sd_asg a
+            JOIN km_qbase q ON q.vec_id = a.vec_id
+            JOIN {_sd_final} p ON p.list_id = a.list_id
+        ),
+        sd_min AS (
+            SELECT c.cluster_id, min(k.ck) AS mk
+            FROM sd_comp c JOIN sd_ck k USING (vec_id)
+            GROUP BY c.cluster_id
+        ),
+        sd_surv AS (
+            SELECT c.cluster_id, min(c.vec_id) AS surv
+            FROM sd_comp c
+            JOIN sd_ck k USING (vec_id)
+            JOIN sd_min m ON m.cluster_id = c.cluster_id AND k.ck = m.mk
+            GROUP BY c.cluster_id
+        )
+        SELECT c.vec_id, k.list_id, c.cluster_id,
+               (c.vec_id = s.surv) AS keep
+        FROM sd_comp c
+        JOIN sd_ck k USING (vec_id)
+        JOIN sd_surv s ON s.cluster_id = c.cluster_id
+    """
+
     return {
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
+        "emb_semdedup": semdedup_sql,
         "ann_pq_topk": pq_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},

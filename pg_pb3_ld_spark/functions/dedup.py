@@ -699,3 +699,112 @@ def span_dedup(
         F.col("dup_token_cov").cast("long").alias("dup_token_cov"),
         frac.alias("cov_frac"),
     )
+
+
+def semdedup_clusters(
+    vecs: DataFrame, init_centroids: DataFrame, n_iters: int = 2,
+    threshold: float = 0.9, id_col: str = "vec_id",
+    emb_col: str = "embedding", quant: int = 1000,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means partitions the embedding space, candidate pairs come only
+    from WITHIN a cluster, and each duplicate group keeps its member
+    least similar to the cluster centroid (the paper's
+    diversity-preserving survivor rule) → (id, list_id, cluster_id,
+    keep) for every vector.
+
+    The k-means front end is what separates this from
+    :func:`embedding_neardup_clusters`'s sign-LSH: on *clustered*
+    corpora (real embeddings, unlike random hyperplane buckets) the
+    coarse quantizer concentrates true duplicates into the same cell
+    with far fewer tables, and the cluster structure is reusable (the
+    same fit serves IVF search).  Scale shape:
+
+    * the fit is :func:`~pg_pb3_ld_spark.functions.ann.kmeans_centroids`
+      — integer-quantized, order-independent, trainable on a sample;
+    * assignment is :func:`~pg_pb3_ld_spark.functions.ann.ivf_assign`'s
+      broadcast + packed-bigint hash-agg argmax (no shuffle of the
+      corpus, no window);
+    * within-cluster pairs are a self-join on ``list_id``, guarded by
+      :func:`cap_buckets` (``max_cluster_size``) — one degenerate
+      cell must not go quadratic; drops are queryable via
+      :func:`dropped_buckets` on the same keys;
+    * the survivor rule needs no window either: per-component
+      ``min(centroid-cos key)`` then ``min(id)`` among minimal-key
+      rows — two map-side-combining hash aggs, valid for any id range
+      (a packed key would cap ids at 2^21);
+    * centroid-cos keys quantize at 2^-40 like ``ivf_assign`` (exact
+      integer-derived ratios on both engines → oracle-exact), with
+      the same NULL/NaN → -2.0 sentinel for zero-norm vectors.
+
+    No reference counterpart (johto/pg_pb3_ld is a CDC decoder); this
+    is part of the training-data toolkit layered on the same engine.
+    """
+    from pg_pb3_ld_spark.functions import ann
+
+    cents = ann.kmeans_centroids(
+        vecs, init_centroids, n_iters, id_col, emb_col, quant
+    )
+    qv = ann.quantize_vectors(vecs, id_col, emb_col, quant).persist()
+    asg = None
+    try:
+        asg = ann.ivf_assign(qv, cents, id_col, emb_col).persist()
+        members = cap_buckets(
+            asg.join(qv, id_col), ["list_id"], max_cluster_size
+        )
+        a = members.select(
+            F.col("list_id"),
+            F.col(id_col).alias("_ia"), F.col(emb_col).alias("_qa"),
+        )
+        b = members.select(
+            F.col("list_id"),
+            F.col(id_col).alias("_ib"), F.col(emb_col).alias("_qb"),
+        )
+        edges = (
+            a.join(b, ["list_id"])
+            .where(F.col("_ia") < F.col("_ib"))
+            .where(ann.cosine(F.col("_qa"), F.col("_qb")) >= threshold)
+            .select(
+                F.col("_ia").alias("doc_a"), F.col("_ib").alias("doc_b")
+            )
+        )
+        comp = connected_components(edges, vecs.select(id_col), id_col)
+
+        # centroid-similarity key for the survivor rule, over the
+        # UNCAPPED assignment (capping only guards the pair join;
+        # capped-out vectors are singleton components and keep
+        # themselves).
+        cbr = F.broadcast(
+            cents.select("list_id", F.col(emb_col).alias("_c"))
+        )
+        cs = ann.cosine(F.col(emb_col), F.col("_c"))
+        ck = (
+            F.round(
+                F.coalesce(F.nanvl(cs, F.lit(-2.0)), F.lit(-2.0))
+                * F.lit(float(1 << 40))
+            ).cast("long")
+        )
+        keyed = (
+            asg.join(qv, id_col).join(cbr, "list_id")
+            .select(id_col, "list_id", ck.alias("_ck"))
+            .join(comp, id_col)
+        )
+        mink = keyed.groupBy("cluster_id").agg(F.min("_ck").alias("_mk"))
+        surv = (
+            keyed.join(mink, "cluster_id")
+            .where(F.col("_ck") == F.col("_mk"))
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias("_surv"))
+        )
+        return (
+            keyed.join(surv, "cluster_id")
+            .select(
+                id_col, "list_id", "cluster_id",
+                (F.col(id_col) == F.col("_surv")).alias("keep"),
+            )
+        )
+    finally:
+        qv.unpersist()
+        if asg is not None:
+            asg.unpersist()
