@@ -1865,6 +1865,23 @@ def q_emb_semdedup(spark, sf_dir):
     )
 
 
+def q_doc_export_manifest(spark, sf_dir):
+    """Sharded-corpus export manifest (the artifact a training-data
+    export ships beside its shards): portable md5 shard assignment →
+    per-shard row/key counts, key range, and an order-independent
+    decimal checksum of per-row content digests.  A consumer verifies
+    a shard without trusting the producer's file layout; two exports
+    of the same logical data certify equal regardless of
+    partitioning.  Pure map + one hash agg — no payload shuffle.
+    The write path (functions/layout.py export_shards) is pinned by
+    test_shard_export; this query checks the manifest math itself
+    against DuckDB."""
+    from pg_pb3_ld_spark.functions import layout
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return layout.shard_manifest(docs, "doc_id", 8, ["doc_id", "text"])
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -2810,6 +2827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
     "emb_semdedup": q_emb_semdedup,
+    "doc_export_manifest": q_doc_export_manifest,
 }
 
 
@@ -4033,6 +4051,23 @@ def _literal_oracles() -> dict[str, str]:
         f"CAST(pow(2, ({_u} // 16) % 8) AS BIGINT) - 132)"
     )
     return {
+        "doc_export_manifest": """
+            WITH k AS (
+                SELECT CAST(CAST(concat('0x', substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 15
+                       )) AS BIGINT) % 8 AS INT) AS shard,
+                       doc_id,
+                       CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                           CAST(doc_id AS VARCHAR), text)), 1, 15))
+                       AS BIGINT) AS d
+                FROM documents
+            )
+            SELECT shard, count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_keys,
+                   min(doc_id) AS min_key, max(doc_id) AS max_key,
+                   CAST(sum(d) AS DECIMAL(38,0)) AS checksum
+            FROM k GROUP BY shard
+        """,
         "doc_train_test_split": """
             WITH b AS (
                 SELECT doc_id,

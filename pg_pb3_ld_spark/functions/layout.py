@@ -93,3 +93,108 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def shard_key(key: Column, n_shards: int) -> Column:
+    """Portable deterministic shard assignment: first 15 md5 hex
+    chars of the key → bigint → pmod ``n_shards``.  Same construction
+    as the snapshot store's bucket_fn and the train/test split — no
+    RNG, no row order, no partitioning dependence, so the SAME key
+    lands in the SAME shard on any engine, any run, any cluster size
+    (what makes a 100-TB corpus export auditable and resumable)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def row_digest(cols: list[Column]) -> Column:
+    """Per-row content digest: first 15 md5 hex chars of the
+    unit-separator-joined column values → bigint.  Digest columns
+    must be cast-stable across engines (strings / integers — not
+    floats or timestamps); NULLs are skipped by concat_ws on both
+    engines (disclosed: NULL and '' collide, acceptable for a
+    checksum)."""
+    joined = F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+    return F.conv(
+        F.substring(F.md5(joined), 1, 15), 16, 10
+    ).cast("long")
+
+
+def shard_manifest(
+    df: DataFrame, key_col: str, n_shards: int,
+    digest_cols: list[str],
+) -> DataFrame:
+    """(shard, n_rows, n_keys, min_key, max_key, checksum) — the
+    content manifest a training-corpus export ships with its shards.
+
+    ``checksum`` is the decimal(38,0) SUM of per-row
+    :func:`row_digest` values: order-independent (sum), collision-
+    negligible at 2^-60/row, exactly replayable by any engine that
+    can md5 — so a consumer can verify a shard WITHOUT trusting the
+    producer's file layout, and two exports of the same logical data
+    (different partitioning, different file counts) certify equal.
+    One map-side-combining hash agg on the shard key; no shuffle of
+    payload bytes."""
+    keyed = df.select(
+        shard_key(F.col(key_col), n_shards).alias("shard"),
+        F.col(key_col).alias("_k"),
+        row_digest([F.col(c) for c in digest_cols]).alias("_d"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_k").alias("n_keys"),
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+            F.sum(F.col("_d").cast("decimal(38,0)")).alias("checksum"),
+        )
+    )
+
+
+def export_shards(
+    df: DataFrame, out_dir: str, key_col: str, n_shards: int,
+    digest_cols: list[str],
+) -> DataFrame:
+    """Write ``df`` as a sharded parquet corpus + return the manifest
+    recomputed FROM THE WRITTEN FILES (certifying what landed on
+    disk, not what was intended), joined with per-shard file stats.
+
+    Layout: ``out_dir/shard=K/part-*.parquet``.  The write keeps
+    natural parallelism (``partitionBy`` splits directories; a shard
+    directory may hold many files — the manifest certifies CONTENT,
+    not file layout).  File stats are a driver walk over n_shards
+    directories (bounded metadata, no Spark pass)."""
+    import os
+
+    spark = df.sparkSession
+    (
+        df.withColumn("shard", shard_key(F.col(key_col), n_shards))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    manifest = shard_manifest(
+        written.drop("shard"), key_col, n_shards, digest_cols
+    )
+    stats = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("shard="):
+            continue
+        sdir = os.path.join(out_dir, name)
+        files = [
+            f for f in os.listdir(sdir) if f.endswith(".parquet")
+        ]
+        stats.append((
+            int(name.split("=", 1)[1]),
+            len(files),
+            sum(os.path.getsize(os.path.join(sdir, f)) for f in files),
+        ))
+    stats_df = spark.createDataFrame(
+        stats, "shard int, n_files int, bytes bigint"
+    )
+    return manifest.join(F.broadcast(stats_df), "shard")
