@@ -915,37 +915,12 @@ def q_doc_bm25_topk(spark, sf_dir):
     )
 
 
-def q_cdc_multi_table(spark, sf_dir):
-    """Multi-table routing (VERDICT r4 #4) — ONE wire stream carrying
-    three interleaved tables (transcripts, doc_tags, and an UNTRACKED
-    audit_log whose columns are unknown to both) is decoded once and
-    routed through `MultiTablePipeline` into two REAL SnapshotStores
-    over a two-batch prefix replay.  Output = the union of both final
-    table states tagged by table; the DuckDB oracle re-derives both
-    last-write-wins states from the same deterministic change rule.
-    The untracked table's rows must reach neither store and its
-    unknown columns must not evolve a tracked schema (per-table
-    evolution probe) — any leak changes row counts or values.
-
-    Change rule (mirrored in SQL): events with event_id%5==0, ordered
-    by event_id; user_id%3==1 → transcripts(conv_id='c'+user_id%50,
-    turn_idx=event_id%6, text='t'+event_id); user_id%3==0 →
-    doc_tags(doc_id='d'+user_id%40, label=event_type,
-    score=event_id%1000); user_id%3==2 → audit_log (untracked).
-    event_type=='error' emits DELETE, else INSERT."""
-    import shutil
-    import tempfile
-
-    import pyarrow.parquet as pq
-
-    from pg_pb3_ld_spark.config import EngineConfig
-    from pg_pb3_ld_spark.generator import _frames_table, encode_routed_changes
+def _routed_changes(spark, sf_dir):
+    """Deterministic three-table interleaved change list (shared by
+    the multi-table routing and consistent-cut queries); rule
+    documented in q_cdc_multi_table's docstring and mirrored by both
+    oracles."""
     from pg_pb3_ld_spark.pb3 import wire
-    from pg_pb3_ld_spark.pipeline import MultiTablePipeline
-    from pg_pb3_ld_spark.schema import (
-        TargetColumn, TargetSchema, transcripts_schema,
-    )
-    from pg_pb3_ld_spark.sinks.store import SnapshotStore
 
     ev = _events(spark, sf_dir)
     src = (
@@ -984,6 +959,42 @@ def q_cdc_multi_table(spark, sf_dir):
                 [("audit_id", f"a{eid % 10}", wire.OID_TEXT)],
                 [("payload", f"p{eid}", wire.OID_TEXT)],
             ))
+    return changes
+
+
+def q_cdc_multi_table(spark, sf_dir):
+    """Multi-table routing (VERDICT r4 #4) — ONE wire stream carrying
+    three interleaved tables (transcripts, doc_tags, and an UNTRACKED
+    audit_log whose columns are unknown to both) is decoded once and
+    routed through `MultiTablePipeline` into two REAL SnapshotStores
+    over a two-batch prefix replay.  Output = the union of both final
+    table states tagged by table; the DuckDB oracle re-derives both
+    last-write-wins states from the same deterministic change rule.
+    The untracked table's rows must reach neither store and its
+    unknown columns must not evolve a tracked schema (per-table
+    evolution probe) — any leak changes row counts or values.
+
+    Change rule (mirrored in SQL): events with event_id%5==0, ordered
+    by event_id; user_id%3==1 → transcripts(conv_id='c'+user_id%50,
+    turn_idx=event_id%6, text='t'+event_id); user_id%3==0 →
+    doc_tags(doc_id='d'+user_id%40, label=event_type,
+    score=event_id%1000); user_id%3==2 → audit_log (untracked).
+    event_type=='error' emits DELETE, else INSERT."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import _frames_table, encode_routed_changes
+    from pg_pb3_ld_spark.pb3 import wire
+    from pg_pb3_ld_spark.pipeline import MultiTablePipeline
+    from pg_pb3_ld_spark.schema import (
+        TargetColumn, TargetSchema, transcripts_schema,
+    )
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    changes = _routed_changes(spark, sf_dir)
 
     cfg = EngineConfig(
         type_oids_mode="omit_nulls", formats_mode="disabled",
@@ -1026,6 +1037,90 @@ def q_cdc_multi_table(spark, sf_dir):
         ] + [
             ("doc_tags", r["doc_id"], 0, f"{r['label']}:{r['score']}")
             for r in stores["doc_tags"].read_table().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl string, k1 string, k2 int, val string"
+    )
+
+
+def q_cdc_consistent_cut(spark, sf_dir):
+    """Transactionally consistent CROSS-TABLE time travel: replay the
+    same interleaved three-table stream as q_cdc_multi_table in THREE
+    batches, then — after the whole stream has been applied — read
+    both stores AS OF the batch-2 boundary via
+    pipeline.consistent_cut (latest snapshot per store with watermark
+    <= the cut LSN, required EQUAL across stores so no transaction is
+    half-visible).  Output = union of both table states at the cut.
+
+    The oracle re-derives the cut arithmetically: frames never span a
+    commit (encoder commit flush) and each 25-change txn fits one
+    frame here, so batch 2 ends after txn 2*ceil(N/25)//3, i.e. the
+    first 25*that changes in event order — DuckDB replays
+    last-write-wins over exactly that prefix."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pg_pb3_ld_spark.config import EngineConfig
+    from pg_pb3_ld_spark.generator import _frames_table, encode_routed_changes
+    from pg_pb3_ld_spark.pb3 import wire
+    from pg_pb3_ld_spark.pipeline import MultiTablePipeline, read_consistent
+    from pg_pb3_ld_spark.schema import (
+        TargetColumn, TargetSchema, transcripts_schema,
+    )
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    changes = _routed_changes(spark, sf_dir)
+    cfg = EngineConfig(
+        type_oids_mode="omit_nulls", formats_mode="disabled",
+        binary_oid_ranges="20-23,1184",
+    )
+    frames = encode_routed_changes(changes, cfg, txn_every=25)
+    n_txns = (len(changes) + 24) // 25
+    # the oracle's cut arithmetic requires one frame per txn — holds
+    # for any realistic sf (25 tiny changes << the 4 MiB flush target)
+    assert len(frames) == n_txns, (len(frames), n_txns)
+    f1, f2 = n_txns // 3, 2 * n_txns // 3
+    assert 0 < f1 < f2 < n_txns
+    cut_lsn = frames[f2 - 1][1]
+    doc_tags = TargetSchema(
+        "doc_tags",
+        [
+            TargetColumn("doc_id", wire.OID_TEXT, "string", is_key=True),
+            TargetColumn("label", wire.OID_TEXT, "string"),
+            TargetColumn("score", wire.OID_INT4, "int"),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="pb3ld_cut_")
+    try:
+        fpath = os.path.join(root, "frames.parquet")
+        pq.write_table(_frames_table(frames), fpath)
+        fdf = spark.read.parquet(fpath)
+        stores = {
+            "transcripts": SnapshotStore.create(
+                spark, os.path.join(root, "tt"), transcripts_schema(),
+                num_buckets=8,
+            ),
+            "doc_tags": SnapshotStore.create(
+                spark, os.path.join(root, "dt"), doc_tags, num_buckets=8,
+            ),
+        }
+        pipe = MultiTablePipeline(spark, stores, cfg)
+        pipe.apply_frames(fdf.where(f"frame_seq < {f1}"), batch_id=1)
+        pipe.apply_frames(fdf.where(f"frame_seq < {f2}"), batch_id=2)
+        pipe.apply_frames(fdf, batch_id=3)
+        for st in stores.values():
+            st.refresh()
+        views = read_consistent(stores, cut_lsn)
+        rows = [
+            ("transcripts", r["conv_id"], int(r["turn_idx"]), r["text"])
+            for r in views["transcripts"].collect()
+        ] + [
+            ("doc_tags", r["doc_id"], 0, f"{r['label']}:{r['score']}")
+            for r in views["doc_tags"].collect()
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2771,6 +2866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_distinct_sketch": q_event_distinct_sketch,
     "doc_weighted_sample": q_doc_weighted_sample,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_consistent_cut": q_cdc_consistent_cut,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
     "doc_decontaminate": q_doc_decontaminate,
@@ -4180,6 +4276,47 @@ def _literal_oracles() -> dict[str, str]:
         # independently recomputes what every bucket's committed
         # lineage MUST say after the two merges: same deterministic
         # fold, same portable md5 bucket, last-batch-wins per bucket
+        "cdc_consistent_cut": """
+            WITH src AS (
+                SELECT event_id, user_id, event_type,
+                       row_number() OVER (ORDER BY event_id) AS rn,
+                       count(*) OVER () AS n
+                FROM events WHERE event_id % 5 = 0
+            ),
+            applied AS (
+                SELECT * FROM src
+                WHERE rn <= 25 * ((2 * ((n + 24) // 25)) // 3)
+            ),
+            m AS (
+                SELECT event_id, event_type,
+                       CASE WHEN user_id % 3 = 1 THEN 'transcripts'
+                            ELSE 'doc_tags' END AS tbl,
+                       CASE WHEN user_id % 3 = 1
+                            THEN concat('c', CAST(user_id % 50 AS VARCHAR))
+                            ELSE concat('d', CAST(user_id % 40 AS VARCHAR))
+                            END AS k1,
+                       CASE WHEN user_id % 3 = 1
+                            THEN CAST(event_id % 6 AS INT)
+                            ELSE 0 END AS k2,
+                       CASE WHEN user_id % 3 = 1
+                            THEN concat('t', CAST(event_id AS VARCHAR))
+                            ELSE concat(event_type, ':',
+                                        CAST(event_id % 1000 AS VARCHAR))
+                            END AS val
+                FROM applied
+                WHERE user_id % 3 IN (0, 1)
+            ),
+            last AS (
+                SELECT tbl, k1, k2, val, event_type,
+                       row_number() OVER (
+                           PARTITION BY tbl, k1, k2
+                           ORDER BY event_id DESC
+                       ) AS rn
+                FROM m
+            )
+            SELECT tbl, k1, k2, val
+            FROM last WHERE rn = 1 AND event_type <> 'error'
+        """,
         "cdc_multi_table": """
             WITH m AS (
                 SELECT event_id, event_type,

@@ -522,3 +522,76 @@ class MultiTablePipeline:
             n_pending = int(obs.get["n"])
         metrics["pending_frames"] = n_pending
         return metrics
+
+
+def consistent_cut(stores: dict, lsn: int) -> dict:
+    """Pick, for every store, the snapshot to read for a
+    TRANSACTIONALLY CONSISTENT multi-table view at commit-LSN
+    ``lsn`` — the cross-table analog of a single table's time travel.
+
+    For each store: the latest readable snapshot whose applied
+    watermark is ≤ ``lsn`` (driver-side manifest reads only —
+    n_stores × n_snapshots small; no Spark pass).  The chosen
+    watermarks must then be IDENTICAL across stores: every batch
+    commit applies whole transactions up to one commit LSN
+    (commit gating), so equal watermarks mean no transaction —
+    including one touching several tables — is half-visible.  Unequal
+    watermarks (a store bootstrapped later, fed by a different
+    pipeline, or whose cut snapshot was expired) RAISE with the
+    per-table positions rather than silently returning a torn view.
+
+    ``MultiTablePipeline`` commits every routed store at the same
+    batch watermark each batch (``hwm_override``, even for tables
+    with no changes in the batch), so a consistent cut exists at
+    every batch boundary by construction.
+
+    Returns ``{table: {"snapshot_id", "hwm_lsn", "hwm_frame_seq"}}``
+    for :func:`read_consistent` / ``store.read_table(as_of=...)``.
+    """
+    picks: dict = {}
+    for t, s in stores.items():
+        best = None
+        for h in s.history():
+            hw = h.get("hwm") or {}
+            hl = int(hw.get("lsn", -1))
+            if hl <= lsn and (
+                best is None
+                or (hl, h["snapshot_id"])
+                > (best[0], best[1]["snapshot_id"])
+            ):
+                best = (hl, h)
+        if best is None:
+            raise ValueError(
+                f"no readable snapshot of table {t!r} at or below "
+                f"lsn {lsn} — the cut predates the table or its "
+                "snapshots were expired"
+            )
+        picks[t] = best
+    lsns = {t: p[0] for t, p in picks.items()}
+    if len(set(lsns.values())) > 1:
+        raise ValueError(
+            f"no transactionally consistent cut at lsn {lsn}: "
+            f"per-table watermarks diverge {lsns} — cut at a shared "
+            "batch boundary, or re-bootstrap the lagging table"
+        )
+    return {
+        t: {
+            "snapshot_id": p[1]["snapshot_id"],
+            "hwm_lsn": int((p[1].get("hwm") or {}).get("lsn", -1)),
+            "hwm_frame_seq": int(
+                (p[1].get("hwm") or {}).get("frame_seq", -1)
+            ),
+        }
+        for t, p in picks.items()
+    }
+
+
+def read_consistent(stores: dict, lsn: int) -> dict:
+    """{table: DataFrame} — each store read as-of its
+    :func:`consistent_cut` snapshot; one transactionally consistent
+    multi-table view at ``lsn``."""
+    cut = consistent_cut(stores, lsn)
+    return {
+        t: stores[t].read_table(as_of=cut[t]["snapshot_id"])
+        for t in stores
+    }
