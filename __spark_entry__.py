@@ -1129,6 +1129,52 @@ def q_cdc_consistent_cut(spark, sf_dir):
     )
 
 
+def q_cdc_store_audit(spark, sf_dir):
+    """Store audit as a driver-checked surface: replay the shared
+    two-batch stream (_fold_event_batch) into a REAL md5-bucket
+    SnapshotStore, run `store.verify(deep=True)` — manifest-vs-disk
+    row accounting, misplaced-row scan, duplicate-key scan — and emit
+    per-bucket (bucket, n_rows, ok).  The DuckDB oracle independently
+    derives what every bucket's resident row count MUST be (overall
+    last-write-wins survivors grouped by the portable md5 bucket) and
+    expects ok=true everywhere; any store mis-accounting, phantom or
+    lost row flips a value.  Corruption-detection behavior (each
+    finding kind fires on a planted defect) is pinned in
+    tests/test_store_verify.py."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="pb3ld_audit_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        store.merge(_fold_event_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(_fold_event_batch(ev, cutoff, 1 << 62), batch_id=2)
+        store.refresh()
+        rep = store.verify(deep=True)
+        bad = {
+            f.get("bucket") for f in rep["findings"]
+            if f.get("bucket") is not None
+        }
+        rows = [
+            (int(b), int(v["rows"]), rep["ok"] or int(b) not in bad)
+            for b, v in store.lineage().items()
+            if int(v["rows"]) > 0
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "bucket int, n_rows long, ok boolean")
+
+
 def q_cdc_mor_apply(spark, sf_dir):
     """Merge-on-read apply (sinks/store.py merge_mor/compact): a
     THREE-batch deterministic change stream replays through REAL
@@ -2867,6 +2913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_consistent_cut": q_cdc_consistent_cut,
+    "cdc_store_audit": q_cdc_store_audit,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
     "doc_decontaminate": q_doc_decontaminate,
@@ -4276,6 +4323,33 @@ def _literal_oracles() -> dict[str, str]:
         # independently recomputes what every bucket's committed
         # lineage MUST say after the two merges: same deterministic
         # fold, same portable md5 bucket, last-batch-wins per bucket
+        "cdc_store_audit": """
+            WITH m AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type
+                FROM events
+            ),
+            last AS (
+                SELECT conv_id, turn_idx, event_type,
+                       row_number() OVER (
+                           PARTITION BY conv_id, turn_idx
+                           ORDER BY event_id DESC
+                       ) AS rn
+                FROM m
+            ),
+            live AS (
+                SELECT conv_id FROM last
+                WHERE rn = 1 AND event_type <> 'error'
+            )
+            SELECT CAST(CAST(concat('0x', substr(md5(conv_id), 1, 15))
+                        AS BIGINT) % 8 AS INT) AS bucket,
+                   count(*) AS n_rows,
+                   true AS ok
+            FROM live
+            GROUP BY 1
+        """,
         "cdc_consistent_cut": """
             WITH src AS (
                 SELECT event_id, user_id, event_type,

@@ -1610,6 +1610,146 @@ class SnapshotStore:
             )
         return out
 
+    def verify(self, deep: bool = False, as_of: int | None = None) -> dict:
+        """Table audit: check the committed manifest against the disk
+        and (``deep``) against the data itself — the maintenance
+        operator an operator runs before trusting a 10^10-event table
+        (Iceberg's ``verify``/Delta's ``fsck`` role).
+
+        Shallow checks are driver-only metadata (path existence +
+        parquet-footer row counts — same bounded reads the zone-map
+        harvest uses; no Spark job):
+
+        * ``missing_data`` / ``missing_delta`` — the manifest
+          references a path with no parquet files;
+        * ``row_count`` — footer rows != committed lineage rows
+          (buckets with outstanding MoR deltas are skipped: their
+          lineage reflects the base files, disclosed).
+
+        Deep checks add two bounded Spark passes (aggregate outputs
+        ≤ n_buckets rows each):
+
+        * ``misplaced`` — rows under a bucket dir whose RECOMPUTED
+          bucket differs.  ``read()`` derives ``_bucket`` from the
+          key, so full scans still see such rows — but bucket-pruned
+          reads (``read(buckets=...)``, ``read_range``) silently MISS
+          them, which is why this must be audited;
+        * ``zonemap`` — actual column min/max outside the committed
+          zone map (``read_range`` could wrongly prune the bucket);
+        * ``duplicate_key`` — >1 resolved row for a key (the
+          last-write-wins invariant every merge maintains).
+
+        Returns ``{"ok", "findings": [{kind, bucket, ...}], 
+        "buckets", "deep"}`` — findings never raise; the caller
+        decides (a maintenance job alerts, a test asserts).
+        """
+        import pyarrow.parquet as pq
+
+        meta = self._meta_for(as_of)
+        schema = self._schema_from(meta)
+        findings: list[dict] = []
+
+        def _rows_under(path: str) -> int | None:
+            n, seen = 0, False
+            for dirpath, _dirs, fns in os.walk(path):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        seen = True
+                        n += pq.ParquetFile(
+                            os.path.join(dirpath, fn)
+                        ).metadata.num_rows
+            return n if seen else None
+
+        files = meta.get("files", {})
+        deltas = meta.get("deltas", {})
+        lineage = meta.get("lineage", {})
+        for b, rel in sorted(files.items(), key=lambda kv: int(kv[0])):
+            path = os.path.join(self.root, rel)
+            n = _rows_under(path)
+            if n is None:
+                findings.append({"kind": "missing_data", "bucket": int(b)})
+                continue
+            if deltas.get(str(b)):
+                continue  # MoR bucket: lineage reflects base, skip
+            want = int(lineage.get(str(b), {}).get("rows", -1))
+            if want >= 0 and n != want:
+                findings.append({
+                    "kind": "row_count", "bucket": int(b),
+                    "footer_rows": n, "lineage_rows": want,
+                })
+        for b, rels in deltas.items():
+            for rel in rels:
+                if _rows_under(os.path.join(self.root, rel)) is None:
+                    findings.append({
+                        "kind": "missing_delta", "bucket": int(b),
+                        "path": rel,
+                    })
+
+        if deep and files:
+            key0 = schema.key_columns[0].name
+            zmap = meta.get("zonemap", {})
+            zcols = sorted({c for ent in zmap.values() for c in ent})
+            per_bucket = None
+            for b, rel in files.items():
+                part = (
+                    self.spark.read.schema(schema.ddl())
+                    .option("recursiveFileLookup", "true")
+                    .parquet(os.path.join(self.root, rel))
+                    .select(
+                        F.lit(int(b)).alias("_dir"),
+                        self.bucket_expr(key0).alias("_calc"),
+                        *[F.col(c) for c in zcols],
+                    )
+                )
+                per_bucket = part if per_bucket is None else (
+                    per_bucket.unionByName(part)
+                )
+            aggs = [
+                F.sum(
+                    F.when(F.col("_calc") != F.col("_dir"), 1)
+                    .otherwise(0)
+                ).alias("_mis"),
+            ]
+            for c in zcols:
+                aggs += [F.min(c).alias(f"_mn_{c}"),
+                         F.max(c).alias(f"_mx_{c}")]
+            for r in per_bucket.groupBy("_dir").agg(*aggs).collect():
+                b = int(r["_dir"])
+                if int(r["_mis"] or 0):
+                    findings.append({
+                        "kind": "misplaced", "bucket": b,
+                        "n_rows": int(r["_mis"]),
+                    })
+                for c, (lo, hi) in (zmap.get(str(b)) or {}).items():
+                    mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+                    if mn is not None and (mn < lo or mx > hi):
+                        findings.append({
+                            "kind": "zonemap", "bucket": b, "col": c,
+                            "actual": [mn, mx], "committed": [lo, hi],
+                        })
+            keys = [c.name for c in schema.key_columns]
+            dups = (
+                self.read(as_of=as_of)
+                .groupBy(*keys, "_bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .groupBy("_bucket")
+                .agg(F.count(F.lit(1)).alias("_k"))
+                .collect()
+            )
+            for r in dups:
+                findings.append({
+                    "kind": "duplicate_key", "bucket": int(r["_bucket"]),
+                    "n_keys": int(r["_k"]),
+                })
+
+        return {
+            "ok": not findings,
+            "findings": findings,
+            "buckets": len(files),
+            "deep": bool(deep),
+        }
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """GC: delete snapshot dirs that are (a) older than the
         ``keep_last`` most recent commits and (b) not referenced by
