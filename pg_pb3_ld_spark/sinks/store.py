@@ -1750,6 +1750,137 @@ class SnapshotStore:
             "deep": bool(deep),
         }
 
+    def repair_misplaced(self) -> dict:
+        """Repair for :meth:`verify`'s ``misplaced`` finding: rewrite
+        every bucket that holds (or should hold) mis-bucketed rows so
+        each row sits under its DERIVED bucket dir, committed as a new
+        snapshot compaction-style — bytes move, the watermark is
+        untouched, the atomic-rename protocol makes a crash leave the
+        parent snapshot fully readable.
+
+        Scope: placement only.  Full scans were already correct
+        (``read()`` derives ``_bucket`` from the key); this restores
+        the bucket-pruned paths (``read(buckets=...)``,
+        ``read_range``) and adopts the rows into lineage/zone maps.
+        ``duplicate_key`` findings are NOT adjudicated — data files
+        carry no per-row LSN, so picking a winner needs a replay or
+        re-bootstrap (disclosed).  Outstanding MoR deltas on touched
+        buckets are folded in and cleared (the rewrite reads the
+        RESOLVED state, like compaction).
+
+        The rewrite set is transitively safe by construction: src =
+        dirs holding a misplaced row, dest = those rows' derived
+        buckets; every row read from src ∪ dest derives into
+        src ∪ dest, so no untouched bucket can lose or gain rows.
+        Cost ∝ the affected buckets' rows, independent of table size.
+        """
+        schema = self.schema
+        key0 = schema.key_columns[0].name
+        pairs = None
+        for b, rel in self._meta["files"].items():
+            part = (
+                self.spark.read.schema(schema.ddl())
+                .option("recursiveFileLookup", "true")
+                .parquet(os.path.join(self.root, rel))
+                .select(
+                    F.lit(int(b)).alias("_dir"),
+                    self.bucket_expr(key0).alias("_calc"),
+                )
+                .where(F.col("_calc") != int(b))
+            )
+            pairs = part if pairs is None else pairs.unionByName(part)
+        if pairs is None:
+            return {"repaired_buckets": 0, "skipped": True}
+        moved = pairs.groupBy("_dir", "_calc").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        if not moved:
+            return {"repaired_buckets": 0, "skipped": True}
+        affected = sorted(
+            {int(r["_dir"]) for r in moved}
+            | {int(r["_calc"]) for r in moved}
+        )
+        n_moved = int(sum(r["n"] for r in moved))
+
+        resolved = self.read(buckets=affected)
+
+        import uuid as _uuid
+
+        new_id = self.snapshot_id + 1
+        snap_rel = os.path.join("snapshots", f"{new_id:06d}")
+        stage_rel = os.path.join("staging", _uuid.uuid4().hex)
+        stage_dir = os.path.join(self.root, stage_rel)
+        data_dir = os.path.join(stage_dir, "data")
+        os.makedirs(data_dir)
+        try:
+            keys = [c.name for c in schema.key_columns]
+            (
+                resolved.repartition(
+                    max(len(affected), 1), F.col("_bucket")
+                )
+                .sortWithinPartitions(*keys)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(data_dir)
+            )
+            files = dict(self._meta["files"])
+            deltas = {
+                k: list(v)
+                for k, v in self._meta.get("deltas", {}).items()
+            }
+            written = {
+                int(d.split("=")[1]): os.path.join(snap_rel, "data", d)
+                for d in os.listdir(data_dir)
+                if d.startswith("_bucket=")
+            }
+            bucket_rows = self._bucket_row_counts(data_dir)
+            zmap = dict(self._meta.get("zonemap", {}))
+            zcols = self._meta.get("zonemap_cols") or []
+            zstats = (
+                self._bucket_zone_stats(data_dir, zcols)
+                if zcols
+                else {}
+            )
+            lineage = dict(self._meta["lineage"])
+            for b in affected:
+                if b in written:
+                    files[str(b)] = written[b]
+                else:
+                    files.pop(str(b), None)  # emptied by the move
+                deltas.pop(str(b), None)
+                if b in zstats:
+                    zmap[str(b)] = zstats[b]
+                else:
+                    zmap.pop(str(b), None)
+                ent = dict(lineage.get(str(b), {}))
+                ent["rows"] = int(bucket_rows.get(b, 0))
+                ent["repaired_at_snapshot"] = new_id
+                lineage[str(b)] = ent
+            meta = {
+                **self._meta,
+                "snapshot_id": new_id,
+                "parent": self.snapshot_id,
+                "files": files,
+                "deltas": deltas,
+                "zonemap": zmap,
+                "lineage": lineage,
+                "committed_at": time.time(),
+            }
+            meta.pop("changes_rel", None)
+            with open(os.path.join(stage_dir, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            self._commit_staged(stage_dir, new_id, meta)
+            return {
+                "snapshot_id": new_id,
+                "repaired_buckets": len(affected),
+                "moved_rows": n_moved,
+            }
+        finally:
+            if stage_dir and os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir, ignore_errors=True)
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """GC: delete snapshot dirs that are (a) older than the
         ``keep_last`` most recent commits and (b) not referenced by

@@ -180,3 +180,51 @@ def test_shallow_skips_deep_checks(spark, store):
     # shallow still catches the row-count drift the planted file causes
     assert any(f["kind"] == "row_count" for f in rep["findings"])
     assert not any(f["kind"] == "misplaced" for f in rep["findings"])
+
+
+def test_repair_misplaced_restores_pruned_reads(spark, store):
+    b = sorted(int(k) for k in store._meta["files"])[0]
+    probe = spark.createDataFrame(
+        [(f"x{i}",) for i in range(40)], "conv_id string"
+    ).select("conv_id", store.bucket_expr("conv_id").alias("_b"))
+    foreign = next(r["conv_id"] for r in probe.collect() if r["_b"] != b)
+    derived = next(
+        int(r["_b"]) for r in probe.collect() if r["conv_id"] == foreign
+    )
+    _inject(store, b, foreign, 99, "planted", 3)
+    before = sorted(map(tuple, store.read_table().collect()))
+    hwm_before = store.hwm()
+
+    rep = store.repair_misplaced()
+    store.refresh()
+    assert rep["moved_rows"] == 1 and rep["repaired_buckets"] >= 2
+    # placement fixed: deep verify clean, pruned read finds the row
+    audit = store.verify(deep=True)
+    assert audit["ok"], audit["findings"]
+    assert (
+        store.read(buckets=[derived])
+        .where(F.col("conv_id") == foreign).count() == 1
+    )
+    # content identical, watermark untouched, parent still readable
+    assert sorted(map(tuple, store.read_table().collect())) == before
+    assert store.hwm() == hwm_before
+    assert store.read_table(as_of=rep["snapshot_id"] - 1).count() == \
+        len(before)
+
+
+def test_repair_noop_on_clean_store(store):
+    rep = store.repair_misplaced()
+    assert rep.get("skipped")
+
+
+def test_repair_does_not_adjudicate_duplicates(spark, store):
+    b = sorted(int(k) for k in store._meta["files"])[0]
+    probe = spark.createDataFrame(
+        [(f"c{i}",) for i in range(11)], "conv_id string"
+    ).select("conv_id", store.bucket_expr("conv_id").alias("_b"))
+    native = next(r["conv_id"] for r in probe.collect() if r["_b"] == b)
+    _inject(store, b, native, 0, "dup", 1)
+    rep = store.repair_misplaced()
+    assert rep.get("skipped")  # placement is fine; dup keys remain
+    audit = store.verify(deep=True)
+    assert any(f["kind"] == "duplicate_key" for f in audit["findings"])
