@@ -320,7 +320,33 @@ def main():
                      "(expect equi joins on (band_id, bk) + id keys, "
                      "no Python, no Window, no NestedLoop)", inc_plan))
 
+    # round 5 (cont.): SemDeDup edges + shard-export manifest
+    from pg_pb3_ld_spark.functions import dedup as _dd
+    from pg_pb3_ld_spark.functions import layout as _lo
+
+    members = spark.createDataFrame(
+        [(i % 3, i, [float(i % 7), 1.0, 0.5, 0.0]) for i in range(30)],
+        "list_id int, vec_id long, embedding array<double>",
+    )
+    sd_plan = plan_of(_dd.semdedup_edges(members, 0.9))
+    sections.append(("semdedup in-cell edges (expect equi join on "
+                     "list_id, no NLJ, no Python, no Window)", sd_plan))
+    man_plan = plan_of(_lo.shard_manifest(
+        docs, "doc_id", 8, ["doc_id", "text"]))
+    sections.append(("shard manifest (expect ONE HashAggregate chain "
+                     "on shard, no Python, no Window)", man_plan))
+
     checks = {
+        "semdedup edges: equi join on list_id, no NLJ/python/window": (
+            "NestedLoop" not in sd_plan
+            and "Window" not in sd_plan
+            and not _has_python(sd_plan)
+        ),
+        "shard manifest: hash agg, no python/window": (
+            "HashAggregate" in man_plan
+            and "Window" not in man_plan
+            and not _has_python(man_plan)
+        ),
         "incremental neardup: equi joins only, no python/window/NLJ": (
             not _has_python(inc_plan)
             and "Window" not in inc_plan

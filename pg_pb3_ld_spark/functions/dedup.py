@@ -701,6 +701,34 @@ def span_dedup(
     )
 
 
+def semdedup_edges(
+    members: DataFrame, threshold: float,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """Within-cell duplicate edges for :func:`semdedup_clusters`:
+    equi self-join on ``list_id`` (never all-pairs; cap the members
+    first with :func:`cap_buckets`), cosine verify at ``threshold``.
+    Exposed separately so the plan audit pins the join shape."""
+    from pg_pb3_ld_spark.functions import ann
+
+    a = members.select(
+        F.col("list_id"),
+        F.col(id_col).alias("_ia"), F.col(emb_col).alias("_qa"),
+    )
+    b = members.select(
+        F.col("list_id"),
+        F.col(id_col).alias("_ib"), F.col(emb_col).alias("_qb"),
+    )
+    return (
+        a.join(b, ["list_id"])
+        .where(F.col("_ia") < F.col("_ib"))
+        .where(ann.cosine(F.col("_qa"), F.col("_qb")) >= threshold)
+        .select(
+            F.col("_ia").alias("doc_a"), F.col("_ib").alias("doc_b")
+        )
+    )
+
+
 def semdedup_clusters(
     vecs: DataFrame, init_centroids: DataFrame, n_iters: int = 2,
     threshold: float = 0.9, id_col: str = "vec_id",
@@ -753,22 +781,7 @@ def semdedup_clusters(
         members = cap_buckets(
             asg.join(qv, id_col), ["list_id"], max_cluster_size
         )
-        a = members.select(
-            F.col("list_id"),
-            F.col(id_col).alias("_ia"), F.col(emb_col).alias("_qa"),
-        )
-        b = members.select(
-            F.col("list_id"),
-            F.col(id_col).alias("_ib"), F.col(emb_col).alias("_qb"),
-        )
-        edges = (
-            a.join(b, ["list_id"])
-            .where(F.col("_ia") < F.col("_ib"))
-            .where(ann.cosine(F.col("_qa"), F.col("_qb")) >= threshold)
-            .select(
-                F.col("_ia").alias("doc_a"), F.col("_ib").alias("doc_b")
-            )
-        )
+        edges = semdedup_edges(members, threshold, id_col, emb_col)
         comp = connected_components(edges, vecs.select(id_col), id_col)
 
         # centroid-similarity key for the survivor rule, over the
