@@ -2023,6 +2023,23 @@ def q_doc_export_manifest(spark, sf_dir):
     return layout.shard_manifest(docs, "doc_id", 8, ["doc_id", "text"])
 
 
+def q_doc_quality_logreg(spark, sf_dir):
+    """Trainable quality classifier (functions/classifier.py): 3
+    iterations of full-batch gradient descent for a linear model with
+    a hard-sigmoid surrogate, trained ON THE CORPUS with exact-rational
+    features and integer-exact gradient sums — the training trajectory
+    is bit-identical under any partitioning (each iteration is one
+    map-side-combining hash agg; weights ride as literals), and the
+    DuckDB oracle replays the ENTIRE unrolled fit plus the final
+    scoring pass.  Output: (doc_id, y, margin, pred)."""
+    from pg_pb3_ld_spark.functions import classifier
+
+    docs = _documents(spark, sf_dir)
+    feat = classifier.doc_features(docs)
+    w = classifier.logreg_fit(feat, n_iters=3, lr=0.5)
+    return classifier.logreg_score(feat, w)
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -2971,6 +2988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
     "emb_semdedup": q_emb_semdedup,
     "doc_export_manifest": q_doc_export_manifest,
+    "doc_quality_logreg": q_doc_quality_logreg,
 }
 
 
@@ -3452,11 +3470,72 @@ def _extra_oracles() -> dict[str, str]:
         JOIN sd_surv s ON s.cluster_id = c.cluster_id
     """
 
+    def _logreg_ctes(n_iters: int) -> tuple[str, str]:
+        def z(w: str) -> str:
+            return (f"(((({w}.w0 * f0) + ({w}.w1 * f1)) "
+                    f"+ ({w}.w2 * f2)) + ({w}.w3 * f3))")
+
+        def p(w: str) -> str:
+            return (f"least(greatest((0.25 * {z(w)}) + 0.5, 0.0), 1.0)")
+
+        ctes = """lr_feat AS (
+            SELECT doc_id,
+                   CAST(2 * len(list_distinct(string_split(text, ' ')))
+                        >= len(string_split(text, ' ')) AS INT) AS y,
+                   1.0 AS f0,
+                   len(string_split(text, ' ')) / 64.0 AS f1,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(greatest(len(string_split(text, ' ')), 1)
+                              AS DOUBLE) AS f2,
+                   length(text)
+                       / (64.0 * CAST(greatest(
+                              len(string_split(text, ' ')), 1)
+                          AS DOUBLE)) AS f3
+            FROM documents
+        ),
+        lr_w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+        prev = "lr_w0"
+        for it in range(1, n_iters + 1):
+            err = f"(CAST(y AS DOUBLE) - {p('w')})"
+            gs = ", ".join(
+                f"sum(CAST(round(({err} * f{j}) * 1048576.0) AS BIGINT))"
+                f" AS g{j}"
+                for j in range(4)
+            )
+            ws = ", ".join(
+                f"w.w{j} + (0.5 * ((CAST(g.g{j} AS DOUBLE) / 1048576.0)"
+                f" / g.n)) AS w{j}"
+                for j in range(4)
+            )
+            ctes += f""",
+        lr_g{it} AS (
+            SELECT {gs}, count(*) AS n
+            FROM lr_feat, {prev} w
+        ),
+        lr_w{it} AS (
+            SELECT {ws} FROM {prev} w, lr_g{it} g
+        )"""
+            prev = f"lr_w{it}"
+        return ctes, prev
+
+    _lr_ctes, _lr_final = _logreg_ctes(3)
+    logreg_sql = f"""
+        WITH {_lr_ctes}
+        SELECT doc_id, y,
+               floor((((((w.w0 * f0) + (w.w1 * f1)) + (w.w2 * f2))
+                       + (w.w3 * f3)) * 1000000.0)) / 1000000.0
+                   AS margin,
+               CAST(((((w.w0 * f0) + (w.w1 * f1)) + (w.w2 * f2))
+                     + (w.w3 * f3)) >= 0 AS INT) AS pred
+        FROM lr_feat, {_lr_final} w
+    """
+
     return {
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
         "emb_semdedup": semdedup_sql,
+        "doc_quality_logreg": logreg_sql,
         "ann_pq_topk": pq_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
