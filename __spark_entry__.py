@@ -2040,6 +2040,69 @@ def q_doc_quality_logreg(spark, sf_dir):
     return classifier.logreg_score(feat, w)
 
 
+def q_corpus_build_funnel(spark, sf_dir):
+    """END-TO-END corpus build — the integration query chaining the
+    toolkit the way a real training-data pipeline runs it, every stage
+    an already-oracle-proven component: near-dup survivors (MinHash →
+    Jaccard verify → CC) → eval-set removal + Bloom decontamination →
+    trainable quality classifier (3-iter integer-exact GD, trained on
+    the full corpus) → deterministic train/val/test split.  Output:
+    the funnel (stage, n_docs) — what a pipeline report shows.  The
+    DuckDB oracle composes the same stages' CTEs and re-derives every
+    count."""
+    from pg_pb3_ld_spark.functions import classifier, dedup
+
+    docs = _documents(spark, sf_dir)
+    n_raw = docs.count()
+
+    clusters = dedup.near_dup_clusters(docs, threshold=0.5)
+    keep = clusters.where("keep").select("doc_id")
+    n_dedup = keep.count()
+
+    is_eval = (F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)
+    dec = dedup.decontaminate_bloom(
+        docs.where(~is_eval), docs.where(is_eval), threshold=0.5
+    ).select("doc_id", "flagged")
+    clean = (
+        keep.where(~is_eval)
+        .join(dec, "doc_id", "left")
+        .where(~F.coalesce(F.col("flagged"), F.lit(False)))
+        .select("doc_id")
+    )
+    n_clean = clean.count()
+
+    feat = classifier.doc_features(docs)
+    w = classifier.logreg_fit(feat, n_iters=3, lr=0.5)
+    pred = classifier.logreg_score(feat, w).select("doc_id", "pred")
+    qual = clean.join(pred, "doc_id").where("pred = 1").select("doc_id")
+    n_qual = qual.count()
+
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    splits = {
+        r["s"]: r["n"]
+        for r in qual.select(
+            F.when(b < 90, "train").when(b < 95, "val")
+            .otherwise("test").alias("s")
+        ).groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = [
+        ("1_raw", n_raw),
+        ("2_dedup_survivors", n_dedup),
+        ("3_decontaminated", n_clean),
+        ("4_quality", n_qual),
+        ("5_train", splits.get("train", 0)),
+        ("6_val", splits.get("val", 0)),
+        ("7_test", splits.get("test", 0)),
+    ]
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -2989,6 +3052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semdedup": q_emb_semdedup,
     "doc_export_manifest": q_doc_export_manifest,
     "doc_quality_logreg": q_doc_quality_logreg,
+    "corpus_build_funnel": q_corpus_build_funnel,
 }
 
 
@@ -3530,12 +3594,161 @@ def _extra_oracles() -> dict[str, str]:
         FROM lr_feat, {_lr_final} w
     """
 
+    funnel_sql = f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        sig AS (
+                SELECT doc_id,
+                  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS mh0,
+                  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS mh1,
+                  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS mh2,
+                  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS mh3
+                FROM sh_lists
+            ),
+            bands AS (
+                SELECT 0 AS band_id, mh0 AS bk, doc_id FROM sig
+                UNION ALL SELECT 1, mh1, doc_id FROM sig
+                UNION ALL SELECT 2, mh2, doc_id FROM sig
+                UNION ALL SELECT 3, mh3, doc_id FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.bk = b.bk
+                 AND a.doc_id < b.doc_id
+            ),
+            sets AS (
+                SELECT doc_id, list_distinct(s) AS shs FROM sh_lists
+            ),
+            jac AS (
+                SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(sa.shs, sb.shs))
+                       / CAST(len(sa.shs) + len(sb.shs)
+                              - len(list_intersect(sa.shs, sb.shs))
+                              AS DOUBLE) AS j
+                FROM cand c
+                JOIN sets sa ON sa.doc_id = c.doc_a
+                JOIN sets sb ON sb.doc_id = c.doc_b
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.5
+                UNION ALL
+                SELECT doc_b, doc_a FROM jac WHERE j >= 0.5
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+        fn_comp AS (
+            SELECT d.doc_id,
+                   d.doc_id = least(d.doc_id,
+                                    coalesce(min(r.dst), d.doc_id)) AS keep
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id
+        ),
+        fn_keep AS (SELECT doc_id FROM fn_comp WHERE keep),
+        ds AS (SELECT doc_id, list_distinct(s) AS shs FROM sh_lists),
+            ev AS (
+                SELECT DISTINCT unnest(shs) AS shingle FROM ds
+                WHERE doc_id % 41 = 0 AND doc_id < 410
+            ),
+            pos AS (
+                SELECT CAST(concat('0x', substr(md5(concat(
+                    shingle, ':0')), 1, 12)) AS BIGINT) % 8192 AS pp
+                FROM ev
+                UNION ALL
+                SELECT CAST(concat('0x', substr(md5(concat(
+                    shingle, ':1')), 1, 12)) AS BIGINT) % 8192 FROM ev
+                UNION ALL
+                SELECT CAST(concat('0x', substr(md5(concat(
+                    shingle, ':2')), 1, 12)) AS BIGINT) % 8192 FROM ev
+            ),
+            words AS (
+                SELECT pp // 32 AS word,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(pp % 32 AS INT)) AS bits
+                FROM pos GROUP BY 1
+            ),
+            cs AS (
+                SELECT doc_id, unnest(shs) AS shingle FROM ds
+                WHERE NOT (doc_id % 41 = 0 AND doc_id < 410)
+            ),
+            upos AS (
+                SELECT doc_id, shingle,
+                       CAST(concat('0x', substr(md5(concat(
+                           shingle, ':', CAST(s.i AS VARCHAR)
+                       )), 1, 12)) AS BIGINT) % 8192 AS pp
+                FROM cs, UNNEST([0, 1, 2]) AS s(i)
+            ),
+            probe AS (
+                SELECT up.doc_id, up.shingle,
+                       min(CASE WHEN w.bits IS NOT NULL
+                                AND ((w.bits >> CAST(up.pp % 32
+                                     AS INT)) & 1) = 1
+                                THEN 1 ELSE 0 END) AS hit
+                FROM upos up
+                LEFT JOIN words w ON w.word = up.pp // 32
+                GROUP BY up.doc_id, up.shingle
+            ),
+            counts AS (
+                SELECT doc_id,
+                       count(*) AS n_shingles,
+                       sum(hit) AS n_overlap_bloom
+                FROM probe GROUP BY doc_id
+            ),
+        fn_flags AS (
+            SELECT doc_id,
+                   n_overlap_bloom / CAST(n_shingles AS DOUBLE) >= 0.5
+                       AS flagged
+            FROM counts
+        ),
+        fn_clean AS (
+            SELECT k.doc_id
+            FROM fn_keep k LEFT JOIN fn_flags f ON f.doc_id = k.doc_id
+            WHERE NOT (k.doc_id % 41 = 0 AND k.doc_id < 410)
+              AND NOT coalesce(f.flagged, false)
+        ),
+        {_lr_ctes},
+        fn_pred AS (
+            SELECT doc_id,
+                   CAST(((((w.w0 * f0) + (w.w1 * f1)) + (w.w2 * f2))
+                         + (w.w3 * f3)) >= 0 AS INT) AS pred
+            FROM lr_feat, {_lr_final} w
+        ),
+        fn_qual AS (
+            SELECT c.doc_id FROM fn_clean c
+            JOIN fn_pred p ON p.doc_id = c.doc_id
+            WHERE p.pred = 1
+        ),
+        fn_split AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 15
+                   )) AS BIGINT) % 100 AS INT) AS b
+            FROM fn_qual
+        )
+        SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+        UNION ALL
+        SELECT '2_dedup_survivors', count(*) FROM fn_keep
+        UNION ALL
+        SELECT '3_decontaminated', count(*) FROM fn_clean
+        UNION ALL
+        SELECT '4_quality', count(*) FROM fn_qual
+        UNION ALL
+        SELECT '5_train', count(*) FROM fn_split WHERE b < 90
+        UNION ALL
+        SELECT '6_val', count(*) FROM fn_split WHERE b >= 90 AND b < 95
+        UNION ALL
+        SELECT '7_test', count(*) FROM fn_split WHERE b >= 95
+    """
+
     return {
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
         "emb_semdedup": semdedup_sql,
         "doc_quality_logreg": logreg_sql,
+        "corpus_build_funnel": funnel_sql,
         "ann_pq_topk": pq_sql,
         "doc_minhash_lsh": f"""
             WITH {_SHINGLE_CTE},
