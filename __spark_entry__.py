@@ -2103,6 +2103,52 @@ def q_corpus_build_funnel(spark, sf_dir):
     return spark.createDataFrame(rows, "stage string, n_docs long")
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection end-to-end: synthesize AVI-MJPEG blobs
+    whose luma is constant within 3-frame scenes and jumps 97 (mod
+    256) between them, decode EVERY frame through the real
+    container+JPEG path, then detect cuts as mean-luma jumps ≥ 10
+    (video.scene_cuts — per-video window, no global sort).  Flat
+    DC-only blocks decode exactly, so the oracle recomputes every
+    frame mean arithmetically and replays the lag/threshold in SQL:
+    the check spans RIFF walk + Huffman + IDCT + feature + detector."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.video import (
+        encode_avi_mjpeg, encode_jpeg_gray_flat, sample_video_frames,
+        scene_cuts,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 150
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(8):
+                    base = did * 7 + (f // 3) * 97
+                    bv = np.array([
+                        [base % 256, (base + 50) % 256],
+                        [(base + 100) % 256, (base + 150) % 256],
+                    ])
+                    frames.append(encode_jpeg_gray_flat(bv))
+                blobs.append(encode_avi_mjpeg(frames, 16, 16, rate=4))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    frames = sample_video_frames(blobs, n_frames=8)
+    return scene_cuts(
+        frames.where(F.col("error").isNull()), threshold=10
+    )
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -3053,6 +3099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_export_manifest": q_doc_export_manifest,
     "doc_quality_logreg": q_doc_quality_logreg,
     "corpus_build_funnel": q_corpus_build_funnel,
+    "video_scene_cuts": q_video_scene_cuts,
 }
 
 
@@ -5785,6 +5832,34 @@ def _literal_oracles() -> dict[str, str]:
                        AS keep
             FROM dhashes h LEFT JOIN ireach r ON r.src = h.media_id
             GROUP BY h.media_id
+        """,
+        "video_scene_cuts": """
+            -- flat DC-only blocks decode exactly: frame mean =
+            -- floor(mean of the four (base+{0,50,100,150})%256
+            -- values) with base = doc_id*7 + (k//3)*97; 8 frames at
+            -- rate 4/1 all sampled -> t = 250ms*k
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       doc_id * 7 + (k // 3) * 97 AS base
+                FROM documents, range(8) t(k)
+                WHERE doc_id < 150
+            ),
+            m AS (
+                SELECT doc_id, frame_idx,
+                       CAST(floor((
+                            CAST(base % 256 AS DOUBLE)
+                          + (base + 50) % 256
+                          + (base + 100) % 256
+                          + (base + 150) % 256) / 4) AS INT) AS mp
+                FROM f
+            )
+            SELECT m.doc_id AS media_id, m.frame_idx,
+                   CAST(m.frame_idx * 250 AS INT) AS t_ms,
+                   m.mp AS mean_pixel,
+                   CAST(abs(m.mp - p.mp) AS INT) AS diff,
+                   (p.mp IS NULL OR abs(m.mp - p.mp) >= 10) AS is_cut
+            FROM m LEFT JOIN m p
+              ON p.doc_id = m.doc_id AND p.frame_idx = m.frame_idx - 1
         """,
         "video_frame_sample": """
             -- flat DC-only blocks with q=1 decode EXACTLY, so every

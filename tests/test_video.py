@@ -196,3 +196,39 @@ def test_sample_video_frames_error_rows(spark):
     assert {r.media_id for r in ok} == {1}
     # one frame sampled twice (n_total=1 < n_frames=2) — deterministic
     assert sorted(r.frame_idx for r in ok) == [0, 1]
+
+
+def test_scene_cuts_semantics(spark):
+    from pg_pb3_ld_spark.functions.video import scene_cuts
+
+    rows = [
+        # video 1: scenes [0,1,2][3]: jump of exactly 10 (>=) at 3
+        (1, 0, 0, 100), (1, 1, 250, 103), (1, 2, 500, 97),
+        (1, 3, 750, 107),
+        # video 2: monotone drift below threshold: only frame 0 cuts
+        (2, 0, 0, 50), (2, 1, 250, 55), (2, 2, 500, 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, t_ms int, mean_pixel int"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in scene_cuts(df, threshold=10).collect()
+    }
+    assert got[(1, 0)]["is_cut"] and got[(1, 0)]["diff"] is None
+    assert not got[(1, 1)]["is_cut"] and got[(1, 1)]["diff"] == 3
+    assert not got[(1, 2)]["is_cut"]
+    assert got[(1, 3)]["is_cut"] and got[(1, 3)]["diff"] == 10
+    assert got[(2, 0)]["is_cut"]
+    assert not got[(2, 1)]["is_cut"] and not got[(2, 2)]["is_cut"]
+
+
+def test_scene_cuts_plan_is_per_video_window(spark):
+    from pg_pb3_ld_spark.functions.video import scene_cuts
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 10)], "media_id long, frame_idx int, t_ms int, "
+        "mean_pixel int"
+    )
+    plan = scene_cuts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "SinglePartition" not in plan
