@@ -364,12 +364,22 @@ def kmeans_centroids(
                     F.transform("_sv", lambda s: s["_val"]).alias("_new"),
                 )
             )
+            # materialize each iteration's centroids (TINY: n_lists×d):
+            # (a) cents{t} references cents{t-1} twice (assignment join
+            # + empty-list coalesce fallback), so an un-cut lazy fit
+            # re-evaluates ~2^T subtrees; (b) qbase unpersists when the
+            # fit returns, so every downstream CONSUMER of a lazy cents
+            # would re-run the whole quantize+fit chain uncached
+            # (measured 258 s vs ~20 s for SemDeDup at sf0.1).  The
+            # checkpoint truncates lineage at n_lists rows per
+            # iteration — sequential Lloyd's cost, values unchanged.
             cents = (
                 cents.join(newc, "list_id", "left")
                 .select(
                     "list_id",
                     F.coalesce(F.col("_new"), F.col(emb_col)).alias(emb_col),
                 )
+                .localCheckpoint(eager=True)
             )
         return cents
     finally:

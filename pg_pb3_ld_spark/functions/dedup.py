@@ -798,10 +798,18 @@ def semdedup_clusters(
                 * F.lit(float(1 << 40))
             ).cast("long")
         )
+        # materialize (id, list, key, component) ONCE before the
+        # finally block unpersists qv/asg: the returned plan is lazy,
+        # and without this cut every consumer of `keyed` (min-key agg,
+        # survivor agg, final join) would re-run the whole quantize +
+        # fit + assignment chain from scratch — measured 258 s vs
+        # ~6 s at sf0.1.  localCheckpoint truncates the lineage, so
+        # the result no longer references the persisted parents.
         keyed = (
             asg.join(qv, id_col).join(cbr, "list_id")
             .select(id_col, "list_id", ck.alias("_ck"))
             .join(comp, id_col)
+            .localCheckpoint(eager=True)
         )
         mink = keyed.groupBy("cluster_id").agg(F.min("_ck").alias("_mk"))
         surv = (
