@@ -2723,6 +2723,45 @@ def q_audio_ulaw_frame_sample(spark, sf_dir):
     )
 
 
+def q_audio_segments(spark, sf_dir):
+    """VAD-style audio segmentation end-to-end: synthesize μ-law WAVs
+    whose first half is digital silence (byte 0xFF → 0) and second
+    half is loud, decode through the real G.711 path, frame-sample,
+    then run-length-group activity (multimodal.audio_segments: energy
+    gate + gaps-and-islands in per-media windows).  The oracle
+    re-derives every expanded sample arithmetically AND replays the
+    lag/running-sum/grouping in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_pb3_ld_spark.functions.multimodal import (
+        audio_segments, encode_wav_g711, sample_audio_frames,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                i = np.arange(800)
+                b = np.where(
+                    i < 400, 255, (int(did) * 13 + i * 5) % 256
+                ).astype(np.uint8)
+                blobs.append(encode_wav_g711(8000, 1, b.tobytes()))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = ids.mapInPandas(gen, "media_id long, blob binary")
+    frames = sample_audio_frames(blobs, n_frames=4)
+    return audio_segments(
+        frames.where(F.col("error").isNull()), rms_threshold=1
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals (round 5): most-common-2-gram
     fraction + duplicated 2-/3-gram occurrence fractions per doc —
@@ -3100,6 +3139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_logreg": q_doc_quality_logreg,
     "corpus_build_funnel": q_corpus_build_funnel,
     "video_scene_cuts": q_video_scene_cuts,
+    "audio_segments": q_audio_segments,
 }
 
 
@@ -4527,6 +4567,13 @@ def _literal_oracles() -> dict[str, str]:
     # `j` is the in-window sample offset; mirrors functions/multimodal
     # _g711_lut exactly so the oracle is codec-independent SQL.
     _u = "(255 - ((doc_id * 13 + (s0 + j) * 5) % 256))"
+    _us = ("(255 - (CASE WHEN (s0 + j) < 400 THEN 255 "
+           "ELSE (doc_id * 13 + (s0 + j) * 5) % 256 END))")
+    _ulaw_sil = (
+        f"(CASE WHEN {_us} >= 128 THEN -1 ELSE 1 END) * "
+        f"((({_us} % 16) * 8 + 132) * "
+        f"CAST(pow(2, ({_us} // 16) % 8) AS BIGINT) - 132)"
+    )
     _ulaw_val = (
         f"(CASE WHEN {_u} >= 128 THEN -1 ELSE 1 END) * "
         f"((({_u} % 16) * 8 + 132) * "
@@ -4563,6 +4610,43 @@ def _literal_oracles() -> dict[str, str]:
                         WHEN split_bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "audio_segments": f"""
+            WITH f AS (
+                SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                       least((799 * k) // 3, 720) AS s0
+                FROM documents, range(4) t(k)
+                WHERE doc_id < 200
+            ),
+            r AS (
+                SELECT doc_id, frame_idx,
+                       CAST((s0 * 1000) // 8000 AS INT) AS t_ms,
+                       CAST(floor(sqrt(list_sum(list_transform(
+                            range(0, 80),
+                            j -> pow(CAST({_ulaw_sil} AS DOUBLE), 2)))
+                            / 80)) AS INT) AS rms
+                FROM f
+            ),
+            a AS (SELECT *, rms >= 1 AS active FROM r),
+            c AS (
+                SELECT *, CASE WHEN lag(active) OVER w IS NULL
+                                 OR active != lag(active) OVER w
+                               THEN 1 ELSE 0 END AS chg
+                FROM a
+                WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            s AS (
+                SELECT *, sum(chg) OVER (
+                    PARTITION BY doc_id ORDER BY frame_idx
+                ) AS seg_idx FROM c
+            )
+            SELECT doc_id AS media_id, CAST(seg_idx AS INT) AS seg_idx,
+                   bool_and(active) AS active,
+                   CAST(min(frame_idx) AS INT) AS start_frame,
+                   CAST(max(frame_idx) AS INT) AS end_frame,
+                   count(*) AS n_frames,
+                   min(t_ms) AS start_ms
+            FROM s GROUP BY doc_id, seg_idx
         """,
         "audio_ulaw_frame_sample": f"""
             WITH f AS (

@@ -910,3 +910,45 @@ def extract_media_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def audio_segments(
+    frames: DataFrame, rms_threshold: int = 1, id_col: str = "media_id",
+) -> DataFrame:
+    """VAD-style activity segmentation over frame features: classic
+    energy gating (a frame is ACTIVE when its window RMS ≥ the
+    threshold) followed by run-length grouping — consecutive frames
+    with the same activity state collapse into one segment row
+    (media_id, seg_idx, active, start_frame, end_frame, n_frames,
+    start_ms).  Input is :func:`sample_audio_frames` output (or any
+    (id, frame_idx, t_ms, rms) relation).
+
+    Gaps-and-islands in two per-media windows (partitioned by the
+    media id, ordered by the bounded frame_idx — the sessionize
+    shuffle shape, never a global sort) plus one hash agg; richer
+    detectors (adaptive thresholds, hangover smoothing) slot into the
+    same frame relation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    active = F.col("rms") >= rms_threshold
+    prev = F.lag(active).over(w)
+    chg = F.when(prev.isNull() | (active != prev), 1).otherwise(0)
+    seg = (
+        frames
+        .withColumn("_act", active)
+        .withColumn("_chg", chg)
+        .withColumn(
+            "seg_idx",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("int"),
+        )
+    )
+    return seg.groupBy(id_col, "seg_idx").agg(
+        F.min("_act").alias("active"),
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("t_ms").alias("start_ms"),
+    )

@@ -500,3 +500,38 @@ def test_ms_adpcm_stereo_nibble_interleave():
     n = len(got) // 2
     assert got[0::2].tolist() == lv[:n]
     assert got[1::2].tolist() == rv[:n]
+
+
+def test_audio_segments_semantics(spark):
+    from pg_pb3_ld_spark.functions.multimodal import audio_segments
+
+    rows = [
+        # media 1: silence, loud, loud, silence → 3 segments
+        (1, 0, 0, 0), (1, 1, 100, 900), (1, 2, 200, 850), (1, 3, 300, 0),
+        # media 2: all loud → 1 segment
+        (2, 0, 0, 40), (2, 1, 100, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, t_ms int, rms int"
+    )
+    got = sorted(
+        map(tuple, audio_segments(df, rms_threshold=1).collect())
+    )
+    assert got == [
+        (1, 1, False, 0, 0, 1, 0),
+        (1, 2, True, 1, 2, 2, 100),
+        (1, 3, False, 3, 3, 1, 300),
+        (2, 1, True, 0, 1, 2, 0),
+    ]
+
+
+def test_audio_segments_threshold_boundary(spark):
+    from pg_pb3_ld_spark.functions.multimodal import audio_segments
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 9), (1, 1, 100, 10)],
+        "media_id long, frame_idx int, t_ms int, rms int",
+    )
+    got = {r["seg_idx"]: r for r in
+           audio_segments(df, rms_threshold=10).collect()}
+    assert not got[1]["active"] and got[2]["active"]
