@@ -1175,6 +1175,55 @@ def q_cdc_store_audit(spark, sf_dir):
     return spark.createDataFrame(rows, "bucket int, n_rows long, ok boolean")
 
 
+def q_cdc_rebucket(spark, sf_dir):
+    """Bucket-geometry migration mid-stream: merge the first two
+    thirds of the shared event stream into an 8-bucket md5 store,
+    `rebucket` it to 16 buckets (watermark-preserving bootstrap of
+    the resolved state), then apply the final third against the NEW
+    store — proving (a) the table state is bucket-count-invariant and
+    (b) the WAL tail resumes exactly-once across the migration.
+    Output (conv_id, turn_idx, text, bucket) with bucket = the NEW
+    16-way placement; the oracle derives the same LWW state and the
+    md5 % 16 bucket directly."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+    c1, c2 = mx // 3, 2 * mx // 3
+    root = tempfile.mkdtemp(prefix="pb3ld_rebucket_")
+    try:
+        store = SnapshotStore.create(
+            spark, os.path.join(root, "a"), transcripts_schema(),
+            num_buckets=8, bucket_fn="md5",
+        )
+        store.merge(_fold_event_batch(ev, -1, c1), batch_id=1)
+        store.merge(_fold_event_batch(ev, c1, c2), batch_id=2)
+        store.refresh()
+        new = store.rebucket(os.path.join(root, "b"), num_buckets=16)
+        assert new.hwm() == store.hwm()
+        new.merge(_fold_event_batch(ev, c2, 1 << 62), batch_id=3)
+        new.refresh()
+        rep = new.verify(deep=True)
+        assert rep["ok"], rep["findings"]
+        out = new.read().select(
+            "conv_id", "turn_idx", "text",
+            F.col("_bucket").alias("bucket"),
+        )
+        rows = [
+            (r["conv_id"], int(r["turn_idx"]), r["text"], int(r["bucket"]))
+            for r in out.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, bucket int"
+    )
+
+
 def q_cdc_mor_apply(spark, sf_dir):
     """Merge-on-read apply (sinks/store.py merge_mor/compact): a
     THREE-batch deterministic change stream replays through REAL
@@ -3079,6 +3128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_consistent_cut": q_cdc_consistent_cut,
     "cdc_store_audit": q_cdc_store_audit,
+    "cdc_rebucket": q_cdc_rebucket,
     "cdc_mor_apply": q_cdc_mor_apply,
     "cdc_bootstrap": q_cdc_bootstrap,
     "doc_decontaminate": q_doc_decontaminate,
@@ -4746,6 +4796,29 @@ def _literal_oracles() -> dict[str, str]:
         # independently recomputes what every bucket's committed
         # lineage MUST say after the two merges: same deterministic
         # fold, same portable md5 bucket, last-batch-wins per bucket
+        "cdc_rebucket": """
+            WITH m AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type
+                FROM events
+            ),
+            last AS (
+                SELECT conv_id, turn_idx, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY conv_id, turn_idx
+                           ORDER BY event_id DESC
+                       ) AS rn
+                FROM m
+            )
+            SELECT conv_id, turn_idx,
+                   concat('t', CAST(event_id AS VARCHAR)) AS text,
+                   CAST(CAST(concat('0x', substr(md5(conv_id), 1, 15))
+                        AS BIGINT) % 16 AS INT) AS bucket
+            FROM last
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
         "cdc_store_audit": """
             WITH m AS (
                 SELECT concat('c', CAST(user_id % 50 AS VARCHAR))

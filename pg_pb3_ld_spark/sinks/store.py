@@ -1881,6 +1881,46 @@ class SnapshotStore:
             if stage_dir and os.path.exists(stage_dir):
                 shutil.rmtree(stage_dir, ignore_errors=True)
 
+    def rebucket(
+        self,
+        new_root: str,
+        num_buckets: int,
+        bucket_fn: str | None = None,
+        hot_split_rows: int | None = None,
+    ) -> "SnapshotStore":
+        """Bucket-geometry migration: materialize the CURRENT resolved
+        state (MoR deltas folded in) into a NEW store with a different
+        bucket count / bucket function, watermark-preserving — the
+        hash-bucket analog of Iceberg's partition-spec evolution,
+        which a 10^10-event table eventually needs (a bucket count
+        sized for year one serializes writes at year three).
+
+        The new store bootstraps at THIS store's (lsn, frame_seq)
+        watermark, so pointing the ingest pipeline at the new root
+        resumes the same WAL tail exactly-once: frames at-or-below the
+        point are dropped by the standard replay filter, frames above
+        apply against the new geometry.  The old store remains intact
+        and readable for rollback until deleted.  Cost: one full
+        resolved read + one bucket-partitioned write — the same shape
+        as a full compaction, run from the maintenance job that owns
+        the table (not concurrently with a writer)."""
+        new = SnapshotStore.create(
+            self.spark,
+            new_root,
+            self.schema,
+            num_buckets=num_buckets,
+            bucket_fn=bucket_fn or self._meta.get("bucket_fn", "xxhash64"),
+            hot_split_rows=(
+                int(self._meta.get("hot_split_rows", 0))
+                if hot_split_rows is None else int(hot_split_rows)
+            ),
+            changelog=bool(self._meta.get("changelog", False)),
+            zonemap_cols=list(self._meta.get("zonemap_cols") or []),
+        )
+        new.bootstrap(self.read_table(), as_of=self.hwm())
+        new.refresh()
+        return new
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """GC: delete snapshot dirs that are (a) older than the
         ``keep_last`` most recent commits and (b) not referenced by

@@ -228,3 +228,29 @@ def test_repair_does_not_adjudicate_duplicates(spark, store):
     assert rep.get("skipped")  # placement is fine; dup keys remain
     audit = store.verify(deep=True)
     assert any(f["kind"] == "duplicate_key" for f in audit["findings"])
+
+
+def test_rebucket_preserves_state_watermark_and_resumes(
+    spark, store, tmpdir_path
+):
+    before = sorted(map(tuple, store.read_table().collect()))
+    hwm = store.hwm()
+    new = store.rebucket(os.path.join(tmpdir_path, "n"), num_buckets=9)
+    # geometry migrated, content identical, watermark preserved
+    assert new.num_buckets == 9 and store.num_buckets == 4
+    assert new._meta["bucket_fn"] == "md5"
+    assert new.hwm() == hwm
+    assert sorted(map(tuple, new.read_table().collect())) == before
+    assert new.verify(deep=True)["ok"]
+    # old store intact for rollback
+    assert sorted(map(tuple, store.read_table().collect())) == before
+    # replaying an ALREADY-APPLIED batch against the new store is a
+    # no-op (exactly-once across the migration): merge with the same
+    # hwm_override is dropped by the watermark
+    m = new.merge(
+        _batch(spark).withColumn("last_lsn", F.col("last_lsn") - 1000)
+        .withColumn("last_frame_seq", F.col("last_frame_seq") - 1000),
+        batch_id=9, hwm_override=(hwm[0] - 1, hwm[1] - 1),
+    )
+    new.refresh()
+    assert new.hwm() == hwm  # watermark never regresses
