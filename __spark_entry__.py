@@ -2811,6 +2811,18 @@ def q_audio_segments(spark, sf_dir):
     )
 
 
+def q_doc_overlap_chunks(spark, sf_dir):
+    """Overlapping context-window chunking (textops.overlap_chunks):
+    16-token windows every 12 tokens, last window anchored so every
+    token is covered — the RAG/long-doc splitter as a pure-Catalyst
+    sequence+explode+slice (no shuffle, no Python).  The oracle
+    replays window arithmetic, slicing, and joins in SQL."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = _documents(spark, sf_dir)
+    return textops.overlap_chunks(docs, size=16, stride=12)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals (round 5): most-common-2-gram
     fraction + duplicated 2-/3-gram occurrence fractions per doc —
@@ -3190,6 +3202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_funnel": q_corpus_build_funnel,
     "video_scene_cuts": q_video_scene_cuts,
     "audio_segments": q_audio_segments,
+    "doc_overlap_chunks": q_doc_overlap_chunks,
 }
 
 
@@ -4646,6 +4659,30 @@ def _literal_oracles() -> dict[str, str]:
                    min(doc_id) AS min_key, max(doc_id) AS max_key,
                    CAST(sum(d) AS DECIMAL(38,0)) AS checksum
             FROM k GROUP BY shard
+        """,
+        "doc_overlap_chunks": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS tk,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, tk,
+                       1 + (greatest(n - 16, 0) + 11) // 12 AS nc
+                FROM t WHERE n > 0
+            ),
+            e AS (
+                SELECT doc_id, tk, CAST(k AS INT) AS chunk_idx,
+                       CAST(k * 12 AS INT) AS start_tok
+                FROM c, UNNEST(range(nc)) AS u(k)
+            )
+            SELECT doc_id, chunk_idx, start_tok,
+                   CAST(len(list_slice(tk, start_tok + 1,
+                                       start_tok + 16)) AS INT) AS n_tok,
+                   array_to_string(list_slice(tk, start_tok + 1,
+                                              start_tok + 16), ' ')
+                       AS chunk_text
+            FROM e
         """,
         "doc_train_test_split": """
             WITH b AS (

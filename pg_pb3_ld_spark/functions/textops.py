@@ -441,3 +441,43 @@ def lm_bigram_scores(df, id_col: str = "doc_id", text_col: str = "text",
         F.avg("nll").alias("avg_nll"),
         F.exp(F.avg("nll")).alias("ppl"),
     )
+
+
+def overlap_chunks(
+    docs: DataFrame, size: int = 64, stride: int = 48,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping context-window chunking (the RAG / long-doc
+    pretraining splitter): token windows of ``size`` starting every
+    ``stride`` tokens, last window anchored so every token is covered
+    → (id, chunk_idx, start_tok, n_tok, chunk_text).
+
+    Pure Catalyst: one ``sequence`` + ``posexplode`` per doc, the
+    window text a ``slice``+``array_join`` — no shuffle, no Python;
+    output rows ∝ tokens/stride.  ``stride < size`` gives the overlap
+    that keeps boundary-spanning context retrievable."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - size, F.lit(0)) + stride - 1) / stride
+        ).cast("int")
+    )
+    base = docs.select(
+        id_col, toks.alias("_t"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("_ks"),
+    ).where(n > 0)
+    start = F.col("_k") * stride
+    win = F.slice(F.col("_t"), start + 1, size)
+    return base.select(
+        id_col, F.posexplode("_ks").alias("chunk_idx", "_k"), "_t"
+    ).select(
+        id_col,
+        "chunk_idx",
+        start.cast("int").alias("start_tok"),
+        F.size(win).cast("int").alias("n_tok"),
+        F.array_join(win, " ").alias("chunk_text"),
+    )

@@ -177,3 +177,45 @@ def test_interval_join_randomized_vs_bruteforce(spark):
             if s <= ts <= e
         )
         assert _ij(spark, points, ivals, w=w) == want, f"trial {trial}"
+
+
+def test_overlap_chunks_cover_every_token_with_overlap(spark):
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11))),  # 11 toks
+         (2, "a b"),                                  # < size
+         (3, " ".join(f"u{i}" for i in range(10)))],  # exact multiple
+        "doc_id long, text string",
+    )
+    out = textops.overlap_chunks(docs, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 → last chunk short (2 toks), all covered
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in c1] == [0, 3, 6, 9]
+    assert [r["n_tok"] for r in c1] == [4, 4, 4, 2]
+    covered = set()
+    for r in c1:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(11))
+    # overlap: consecutive chunks share size - stride = 1 token
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    # short doc: single whole-doc chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    # n=10,size=4,stride=3 → starts 0,3,6 cover 0..9 exactly
+    assert [r["start_tok"] for r in sorted(
+        by_doc[3], key=lambda r: r["chunk_idx"])] == [0, 3, 6]
+
+
+def test_overlap_chunks_plan_has_no_shuffle_or_python(spark):
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        textops.overlap_chunks(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
