@@ -2198,6 +2198,22 @@ def q_video_scene_cuts(spark, sf_dir):
     )
 
 
+def q_emb_semdedup_dropped(spark, sf_dir):
+    """SemDeDup's surfaced drop report: k-means cells larger than the
+    cap are excluded from the quadratic pair join and REPORTED
+    (list_id, bucket_size) — the never-drop-silently discipline
+    (same contract as lsh_dropped_buckets).  Cap 40 is below the
+    fixture's ~50-member cells so drops actually occur; the oracle
+    replays the unrolled fit + assignment and the size filter."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    vecs = _embeddings(spark, sf_dir)
+    init = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    return dedup.semdedup_dropped(vecs, init, max_cluster_size=40)
+
+
 def q_media_resize(spark, sf_dir):
     """REAL raster path end-to-end: synthesize an 8×8 RGB PNG per doc
     (pixel (y,x,c) = (doc_id + flat_index) mod 256), then decode →
@@ -3197,6 +3213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
     "emb_semdedup": q_emb_semdedup,
+    "emb_semdedup_dropped": q_emb_semdedup_dropped,
     "doc_export_manifest": q_doc_export_manifest,
     "doc_quality_logreg": q_doc_quality_logreg,
     "corpus_build_funnel": q_corpus_build_funnel,
@@ -3892,11 +3909,27 @@ def _extra_oracles() -> dict[str, str]:
         SELECT '7_test', count(*) FROM fn_split WHERE b >= 95
     """
 
+    semdedup_dropped_sql = f"""
+        WITH {_sd_ctes},
+        sdd_asg AS (
+            SELECT vec_id, list_id FROM (
+                SELECT q.vec_id, p.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_asg_key(_cos2('q.qv', 'p.c'))} DESC
+                ) AS rn
+                FROM km_qbase q, {_sd_final} p
+            ) WHERE rn = 1
+        )
+        SELECT list_id, count(*) AS bucket_size
+        FROM sdd_asg GROUP BY list_id HAVING count(*) > 40
+    """
+
     return {
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
         "emb_semdedup": semdedup_sql,
+        "emb_semdedup_dropped": semdedup_dropped_sql,
         "doc_quality_logreg": logreg_sql,
         "corpus_build_funnel": funnel_sql,
         "ann_pq_topk": pq_sql,

@@ -701,6 +701,25 @@ def span_dedup(
     )
 
 
+def semdedup_dropped(
+    vecs: DataFrame, init_centroids: DataFrame, n_iters: int = 2,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    quant: int = 1000, max_cluster_size: int | None = None,
+) -> DataFrame:
+    """(list_id, bucket_size) for k-means cells excluded from
+    :func:`semdedup_clusters`'s pair join by ``max_cluster_size`` —
+    the surfaced drop report (never drop silently at scale; the
+    SemDeDup face of :func:`dropped_buckets`)."""
+    from pg_pb3_ld_spark.functions import ann
+
+    cents = ann.kmeans_centroids(
+        vecs, init_centroids, n_iters, id_col, emb_col, quant
+    )
+    qv = ann.quantize_vectors(vecs, id_col, emb_col, quant)
+    asg = ann.ivf_assign(qv, cents, id_col, emb_col)
+    return dropped_buckets(asg, ["list_id"], max_cluster_size)
+
+
 def semdedup_edges(
     members: DataFrame, threshold: float,
     id_col: str = "vec_id", emb_col: str = "embedding",
