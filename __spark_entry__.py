@@ -2893,6 +2893,40 @@ def q_transcript_render(spark, sf_dir):
     return render_chat(turns)
 
 
+def q_transcript_qa(spark, sf_dir):
+    """Transcript integrity QA (round 5): the validation gate over
+    the payload table itself — per-conversation turn-index
+    gap/duplicate detection, role-alternation violations, orphan
+    tool turns, empty turns.  Turns derive deterministically from
+    documents (conv = doc_id//6, seq = doc_id%6) with arithmetic
+    defect injection so every defect class is exercised: conv%7==3
+    gets a turn-idx gap (seq 2 → 9), conv%7==5 a duplicate (seq 4 →
+    3), conv%5==1 an ORPHAN tool turn (after a user turn), conv%5==2
+    a VALID tool turn (after an assistant turn), conv%11==2 a
+    consecutive-assistant role violation, conv%13==7 an empty text.
+    ONE groupBy, all checks array expressions — no window."""
+    from pg_pb3_ld_spark.functions.textops import transcript_qa
+
+    d = F.col("doc_id")
+    conv = (d / 6).cast("long")
+    seq = (d % 6).cast("int")
+    turns = _documents(spark, sf_dir).select(
+        conv.alias("conv_id"),
+        F.when((conv % 7 == 3) & (seq == 2), F.lit(9))
+        .when((conv % 7 == 5) & (seq == 4), F.lit(3))
+        .otherwise(seq).cast("int").alias("turn_idx"),
+        F.when((conv % 5 == 1) & (seq == 4), "tool")
+        .when((conv % 5 == 2) & (seq == 3), "tool")
+        .when((conv % 11 == 2) & (seq == 3), "assistant")
+        .when(seq == 0, "system")
+        .when(seq % 2 == 1, "user")
+        .otherwise("assistant").alias("role"),
+        F.when((conv % 13 == 7) & (seq == 1), F.lit(""))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return transcript_qa(turns)
+
+
 def q_doc_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing (round 5): shard =
     doc_id%8, docs laid head-to-tail in doc_id order per shard,
@@ -3201,6 +3235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_flac_frame_sample": q_audio_flac_frame_sample,
     "gif_frame_sample": q_gif_frame_sample,
     "transcript_render": q_transcript_render,
+    "transcript_qa": q_transcript_qa,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_train_test_split": q_doc_train_test_split,
     "doc_bpe_merges": q_doc_bpe_merges,
@@ -5814,6 +5849,73 @@ def _literal_oracles() -> dict[str, str]:
                    md5(string_agg('<|' || role || '|>' || text,
                         chr(10) ORDER BY turn_idx)) AS digest
             FROM turns GROUP BY conv_id
+        """,
+        "transcript_qa": """
+            -- replays the defect injection, the canonical
+            -- (turn_idx, role, is_empty) turn order, and every check
+            WITH turns AS (
+                SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+                       CAST(CASE
+                           WHEN (doc_id // 6) % 7 = 3 AND doc_id % 6 = 2
+                               THEN 9
+                           WHEN (doc_id // 6) % 7 = 5 AND doc_id % 6 = 4
+                               THEN 3
+                           ELSE doc_id % 6 END AS INT) AS i,
+                       CASE
+                           WHEN (doc_id // 6) % 5 = 1 AND doc_id % 6 = 4
+                               THEN 'tool'
+                           WHEN (doc_id // 6) % 5 = 2 AND doc_id % 6 = 3
+                               THEN 'tool'
+                           WHEN (doc_id // 6) % 11 = 2 AND doc_id % 6 = 3
+                               THEN 'assistant'
+                           WHEN doc_id % 6 = 0 THEN 'system'
+                           WHEN (doc_id % 6) % 2 = 1 THEN 'user'
+                           ELSE 'assistant' END AS r,
+                       CASE
+                           WHEN (doc_id // 6) % 13 = 7 AND doc_id % 6 = 1
+                               THEN ''
+                           ELSE text END AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT conv_id, i, r,
+                       (text IS NULL OR text = '') AS e
+                FROM turns
+            ),
+            o AS (
+                SELECT *, lag(r) OVER w AS pr,
+                       row_number() OVER w AS rn
+                FROM c WINDOW w AS (
+                    PARTITION BY conv_id ORDER BY i, r, e
+                )
+            ),
+            rep AS (
+                SELECT conv_id,
+                       CAST(count(*) AS INT) AS n_turns,
+                       NOT (min(i) = 0
+                            AND max(i) = count(DISTINCT i) - 1)
+                           AS has_gap,
+                       count(DISTINCT i) <> count(*) AS has_dup_idx,
+                       CAST(sum(CASE WHEN pr IS NOT NULL AND pr = r
+                                     THEN 1 ELSE 0 END)
+                            + CASE WHEN max(CASE WHEN rn = 1 THEN r END)
+                                       IN ('system', 'user')
+                                   THEN 0 ELSE 1 END AS INT)
+                           AS role_violations,
+                       CAST(sum(CASE WHEN r = 'tool'
+                                     AND (pr IS NULL
+                                          OR pr <> 'assistant')
+                                     THEN 1 ELSE 0 END) AS INT)
+                           AS orphan_tools,
+                       CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS INT)
+                           AS empty_turns
+                FROM o GROUP BY conv_id
+            )
+            SELECT *,
+                   (NOT has_gap AND NOT has_dup_idx
+                    AND role_violations = 0 AND orphan_tools = 0
+                    AND empty_turns = 0) AS ok
+            FROM rep
         """,
         "doc_pack_chunks": """
             WITH base AS (

@@ -481,3 +481,86 @@ def overlap_chunks(
         F.size(win).cast("int").alias("n_tok"),
         F.array_join(win, " ").alias("chunk_text"),
     )
+
+
+def transcript_qa(
+    df: DataFrame, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+    role_col: str = "role", text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation transcript integrity report — the QA gate an
+    SFT pipeline runs before rendering/packing (the transcripts table
+    is the payload this engine ingests; reference analog: the decoded
+    per-row stream of ``pg_pb3_ld.c:300-334``, whose consumers must
+    validate turn structure themselves).
+
+    Turns are canonically ordered by ``(turn_idx, role, is_empty)``
+    (a total order on the fields the checks read, so the report is
+    deterministic under any partitioning even with duplicate
+    turn_idx).  Per conversation:
+
+    * ``has_gap``         — turn_idx does not cover 0..n_distinct-1
+    * ``has_dup_idx``     — duplicate turn_idx values
+    * ``role_violations`` — adjacent turns with the same role, plus a
+      conversation opening with a role other than system/user
+    * ``orphan_tools``    — 'tool' turns not immediately preceded by
+      an 'assistant' turn (incl. a tool turn opening the conversation)
+    * ``empty_turns``     — null/empty text
+    * ``ok``              — all of the above clean
+
+    Scale shape: ONE hash-partitioned groupBy on ``conv_col`` with
+    bounded group size (turns per conversation); ordering + every
+    check run as array expressions inside the aggregate — no window,
+    no Python, no second shuffle."""
+    turn = F.struct(
+        F.col(turn_col).cast("int").alias("i"),
+        F.col(role_col).alias("r"),
+        (F.col(text_col).isNull() | (F.col(text_col) == "")).alias("e"),
+    )
+    agg = df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.array_sort(F.collect_list(turn)).alias("_a")
+    )
+    a = F.col("_a")
+    n = F.size(a)
+    first = a[0]
+    idxs = F.transform(a, lambda x: x["i"])
+    ndist = F.size(F.array_distinct(idxs))
+    # adjacent (prev, cur) role pairs over the canonical order
+    pairs = F.zip_with(
+        F.slice(a, 1, n - 1),
+        F.slice(a, 2, n - 1),
+        lambda p, c: F.struct(p["r"].alias("pr"), c["r"].alias("cr")),
+    )
+    role_viol = (
+        F.size(F.filter(pairs, lambda x: x["pr"] == x["cr"]))
+        + F.when(first["r"].isin("system", "user"), F.lit(0)).otherwise(
+            F.lit(1)
+        )
+    )
+    orphan = (
+        F.size(
+            F.filter(
+                pairs,
+                lambda x: (x["cr"] == "tool") & (x["pr"] != "assistant"),
+            )
+        )
+        + F.when(first["r"] == "tool", F.lit(1)).otherwise(F.lit(0))
+    )
+    empty_ct = F.size(F.filter(a, lambda x: x["e"]))
+    has_gap = ~((first["i"] == 0) & (F.element_at(a, -1)["i"] == ndist - 1))
+    has_dup = ndist != n
+    return agg.select(
+        "conv_id",
+        n.cast("int").alias("n_turns"),
+        has_gap.alias("has_gap"),
+        has_dup.alias("has_dup_idx"),
+        role_viol.cast("int").alias("role_violations"),
+        orphan.cast("int").alias("orphan_tools"),
+        empty_ct.cast("int").alias("empty_turns"),
+        (
+            ~has_gap
+            & ~has_dup
+            & (role_viol == 0)
+            & (orphan == 0)
+            & (empty_ct == 0)
+        ).alias("ok"),
+    )
