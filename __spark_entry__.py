@@ -794,6 +794,33 @@ def q_event_distinct_sketch(spark, sf_dir):
     )
 
 
+def q_event_cms_counts(spark, sf_dir):
+    """Count-Min sketch frequency estimation
+    (`functions/sketches.py`) — the hot-key diagnosis primitive for
+    skew handling at 10^10 change events: the sketch is 4×256 bigint
+    cells (8 KiB, input-size independent, mergeable across
+    micro-batches by summing), built by one explode + map-side-
+    combining HashAggregate; probing the exact top-20 users reports
+    est vs exact per key, with the CMS one-sided guarantee
+    (overestimate ≥ 0 always — a genuinely hot key can never be
+    missed).  DuckDB replays every cell and every min-probe."""
+    from pg_pb3_ld_spark.functions.sketches import cms_cells, cms_estimate
+
+    ev = _events(spark, sf_dir)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(20)
+    cells = cms_cells(ev, "user_id", depth=4, width=256)
+    est = cms_estimate(cells, top, "user_id", depth=4, width=256)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).cast("long").alias("overest"),
+    )
+
+
 def q_doc_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling (Efraimidis–Spirakis A-Res,
     `functions/sketches.py`) — 50 documents drawn without replacement
@@ -3186,6 +3213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_pagerank": q_domain_pagerank,
     "event_quantiles": q_event_quantiles,
     "event_distinct_sketch": q_event_distinct_sketch,
+    "event_cms_counts": q_event_cms_counts,
     "doc_weighted_sample": q_doc_weighted_sample,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_consistent_cut": q_cdc_consistent_cut,
@@ -5584,6 +5612,45 @@ def _literal_oracles() -> dict[str, str]:
                    floor(abs(est_distinct - exact_distinct)
                          / exact_distinct * 10000) / 10000 AS rel_err
             FROM est
+        """,
+        "event_cms_counts": """
+            -- replays every CMS cell and every min-probe
+            WITH cells AS (
+                SELECT t.d,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(t.d AS VARCHAR), '|',
+                           CAST(e.user_id AS VARCHAR)
+                       )), 1, 12)) AS BIGINT) % 256 AS col,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events e, range(4) t(d)
+                GROUP BY 1, 2
+            ),
+            ex AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+                FROM events GROUP BY 1
+            ),
+            top AS (
+                SELECT user_id, exact_n FROM ex
+                ORDER BY exact_n DESC, user_id LIMIT 20
+            ),
+            probe AS (
+                SELECT t.user_id, r.d,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(r.d AS VARCHAR), '|',
+                           CAST(t.user_id AS VARCHAR)
+                       )), 1, 12)) AS BIGINT) % 256 AS col
+                FROM top t, range(4) r(d)
+            ),
+            est AS (
+                SELECT p.user_id,
+                       CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_n
+                FROM probe p LEFT JOIN cells c
+                    ON p.d = c.d AND p.col = c.col
+                GROUP BY 1
+            )
+            SELECT t.user_id, t.exact_n, est.est_n,
+                   CAST(est.est_n - t.exact_n AS BIGINT) AS overest
+            FROM top t JOIN est USING (user_id)
         """,
         "doc_weighted_sample": """
             WITH k AS (

@@ -120,3 +120,84 @@ def weighted_sample(
         .orderBy(F.desc("_wkey"), F.col(id_col))
         .limit(n)
     )
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch build: ``depth × width`` bigint counters —
+    row ``d`` for key ``k`` increments cell ``(d, md5(d ∥ k) mod
+    width)``.  Returns (d, col, n) with at most depth·width rows.
+
+    This is the fixed-size frequency state for hot-key diagnosis at
+    10^10 change events: the full sketch is ~depth·width bigints
+    (8 KiB at 4×256) no matter how many rows or distinct conv_ids
+    flow through.  The build is one explode + ONE map-side-combining
+    HashAggregate — every task emits ≤ depth·width partials, so the
+    shuffle is O(tasks·depth·width), independent of input size.
+    Sketches MERGE by unioning cells and re-summing (counter sums are
+    exact integers → bit-identical under any partitioning, batching,
+    or retry), so per-micro-batch sketches roll up for free."""
+    k = F.col(key_col).cast("string")
+    cell = (
+        md5_hash48(
+            F.concat(F.col("d").cast("string"), F.lit("|"), F.col("_k"))
+        )
+        % width
+    )
+    return (
+        df.select(k.alias("_k"))
+        .select(
+            "_k",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+        .select("d", cell.alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch:
+    ``est(k) = min over rows d of cell(d, md5(d ∥ k) mod width)`` —
+    GUARANTEED ≥ the true count (hash collisions only ever add), so
+    a hot-key probe never misses a genuinely hot key.
+
+    ``cells`` is tiny (≤ depth·width rows) and is broadcast; the
+    probe side explodes into depth rows per key and aggregates back
+    with min() — no shuffle of the sketch, one HashAggregate on the
+    probe keys."""
+    pe = (
+        probes.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+    )
+    cell = (
+        md5_hash48(
+            F.concat(
+                F.col("d").cast("string"),
+                F.lit("|"),
+                F.col(key_col).cast("string"),
+            )
+        )
+        % width
+    )
+    return (
+        pe.withColumn("col", cell)
+        .join(F.broadcast(cells), ["d", "col"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("est_n")
+        )
+    )

@@ -89,3 +89,85 @@ def test_weighted_sample_weight_monotone(spark):
         for r in weighted_sample(df, F.col("w"), "doc_id", 10).collect()
     }
     assert 999 in got and len(got) == 10
+
+
+# ------------------------------------------------------ count-min
+
+
+def _cms(spark, rows):
+    from pg_pb3_ld_spark.functions.sketches import cms_cells
+
+    df = spark.createDataFrame(rows, "k long")
+    return cms_cells(df, "k", depth=4, width=32)
+
+
+def test_cms_never_underestimates(spark):
+    from pg_pb3_ld_spark.functions.sketches import cms_cells, cms_estimate
+
+    # skewed multiset: key i appears (i % 7) + 1 times
+    rows = [(i,) for i in range(60) for _ in range((i % 7) + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    cells = cms_cells(df, "k", depth=4, width=32)
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(cells, probes, "k", depth=4, width=32)
+        .collect()
+    }
+    exact = {i: (i % 7) + 1 for i in range(60)}
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert est[k] >= e  # the CMS one-sided guarantee
+    # the hottest key's estimate is still in the right ballpark
+    # (width 32 on 60 keys: collisions add, min-of-4 bounds them)
+    assert est[6] <= exact[6] + sum(exact.values()) // 4
+
+
+def test_cms_cells_partition_invariant_and_mergeable(spark):
+    rows = [(i % 13,) for i in range(200)]
+    base = sorted(
+        (r["d"], r["col"], r["n"]) for r in _cms(spark, rows).collect()
+    )
+    shuffled = sorted(
+        (r["d"], r["col"], r["n"])
+        for r in cms_cells_repart(spark, rows).collect()
+    )
+    assert base == shuffled
+    # merging two halves' sketches by summing cells == whole sketch
+    from pg_pb3_ld_spark.functions.sketches import cms_cells
+    import pyspark.sql.functions as F
+
+    a = cms_cells(
+        spark.createDataFrame(rows[:100], "k long"), "k", 4, 32
+    )
+    b = cms_cells(
+        spark.createDataFrame(rows[100:], "k long"), "k", 4, 32
+    )
+    merged = sorted(
+        (r["d"], r["col"], r["n"])
+        for r in a.unionByName(b)
+        .groupBy("d", "col")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    assert merged == base
+
+
+def cms_cells_repart(spark, rows):
+    from pg_pb3_ld_spark.functions.sketches import cms_cells
+
+    df = spark.createDataFrame(rows, "k long").repartition(7)
+    return cms_cells(df, "k", depth=4, width=32)
+
+
+def test_cms_estimate_plan_broadcasts_cells(spark):
+    from pg_pb3_ld_spark.functions.sketches import cms_cells, cms_estimate
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    cells = cms_cells(df, "k", 4, 32)
+    plan = (
+        cms_estimate(cells, df, "k", 4, 32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
