@@ -1890,6 +1890,67 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_emb_decontaminate(spark, sf_dir):
+    """Semantic decontamination (round 5): the embedding-side sibling
+    of ``doc_decontaminate`` — paraphrased eval leakage defeats
+    n-gram/Bloom matching, but not cosine similarity.  Eval set =
+    vec_id%17==0 (30 vectors, the SMALL side → broadcast, the only
+    sane plan at 10^10 corpus vectors); corpus rows score max-cosine
+    against every eval vector via ONE broadcast join + map-side-
+    combining max-struct HashAggregate (deterministic argmax: ties
+    break to the smallest eval_id), flagged at 0.9.  Known leaks are
+    PLANTED arithmetically (corpus vec_id%23==1 takes the eval
+    vector for 17·(vec_id%30), exact sim 1.0 vs ~0.4 background) so
+    the flag path is exercised; DuckDB replays plant, every cosine,
+    and the argmax."""
+    emb = _embeddings(spark, sf_dir)
+    ev = emb.where(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("q")
+    )
+    corpus = (
+        emb.where(F.col("vec_id") % 17 != 0)
+        .withColumn("_tgt", F.lit(17) * (F.col("vec_id") % 30))
+        .join(
+            F.broadcast(
+                ev.select(
+                    F.col("eval_id").alias("_tgt"),
+                    F.col("q").alias("_pvec"),
+                )
+            ),
+            "_tgt",
+            "left",  # at tiny SF the plant target may not exist
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.when(
+                (F.col("vec_id") % 23 == 1) & F.col("_pvec").isNotNull(),
+                F.col("_pvec"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    scored = corpus.join(F.broadcast(ev)).select(
+        "vec_id",
+        "label",
+        "eval_id",
+        _cosine_expr().alias("_s"),
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.struct(F.col("_s").alias("s"), (-F.col("eval_id")).alias("ni"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        (-F.col("b.ni")).cast("long").alias("top_eval_id"),
+        F.round(F.col("b.s"), 4).alias("max_sim"),
+        (F.col("b.s") >= 0.9).alias("flagged"),
+    )
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """SQ8 scalar-quantized ANN (ann.sq8_*): per-dim global min/max
     codebook (2·d doubles, broadcast), vectors coded to 8-bit
@@ -3242,6 +3303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_incremental_neardup": q_doc_incremental_neardup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_sq8_topk": q_ann_sq8_topk,
+    "emb_decontaminate": q_emb_decontaminate,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_banded_topk": q_ann_banded_topk,
     "ann_recall10": q_ann_recall10,
@@ -4255,6 +4317,50 @@ def _extra_oracles() -> dict[str, str]:
             SELECT e.vec_id, e.label, round({_COS}, 4) AS cos_sim
             FROM embeddings e, q WHERE e.vec_id != 0
             ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        """,
+        "emb_decontaminate": """
+            -- replays the plant, every cosine, and the argmax
+            WITH ev AS (
+                SELECT vec_id AS eval_id, embedding AS q
+                FROM embeddings WHERE vec_id % 17 = 0
+            ),
+            c AS (
+                SELECT c0.vec_id, c0.label,
+                       CASE WHEN c0.vec_id % 23 = 1
+                                 AND t.q IS NOT NULL THEN t.q
+                            ELSE c0.embedding END AS emb
+                FROM embeddings c0
+                LEFT JOIN ev t ON t.eval_id = 17 * (c0.vec_id % 30)
+                WHERE c0.vec_id % 17 != 0
+            ),
+            s AS (
+                SELECT c.vec_id, c.label, ev.eval_id,
+                       list_sum(list_transform(
+                           range(1, len(c.emb) + 1),
+                           i -> CAST(c.emb[i] AS DOUBLE)
+                                * CAST(ev.q[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(
+                             range(1, len(c.emb) + 1),
+                             i -> CAST(c.emb[i] AS DOUBLE)
+                                  * CAST(c.emb[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(
+                             range(1, len(ev.q) + 1),
+                             i -> CAST(ev.q[i] AS DOUBLE)
+                                  * CAST(ev.q[i] AS DOUBLE)))))
+                           AS s
+                FROM c, ev
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, eval_id
+                ) AS rn
+                FROM s
+            )
+            SELECT vec_id, label,
+                   CAST(eval_id AS BIGINT) AS top_eval_id,
+                   round(s, 4) AS max_sim,
+                   s >= 0.9 AS flagged
+            FROM r WHERE rn = 1
         """,
         "ann_sq8_topk": """
             WITH dims AS (
