@@ -336,7 +336,46 @@ def main():
     sections.append(("shard manifest (expect ONE HashAggregate chain "
                      "on shard, no Python, no Window)", man_plan))
 
+    # round 5 (cont. 21): transcript QA + count-min sketch
+    from pg_pb3_ld_spark.functions.sketches import cms_cells, cms_estimate
+    from pg_pb3_ld_spark.functions.textops import transcript_qa
+
+    qa_src = spark.createDataFrame(
+        [(str(i % 5), i % 4, "user" if i % 2 else "assistant", "t")
+         for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    qa_plan = plan_of(transcript_qa(qa_src))
+    sections.append(("transcript QA (expect ONE conv_id exchange + "
+                     "ObjectHashAggregate, no Window, no Python)",
+                     qa_plan))
+    cms = cms_cells(ev.select("user_id"), "user_id", 4, 64)
+    cms_plan = plan_of(cms)
+    sections.append(("count-min build (expect explode + "
+                     "map-side-combining HashAggregate, no Python)",
+                     cms_plan))
+    cms_est_plan = plan_of(
+        cms_estimate(cms, ev.select("user_id"), "user_id", 4, 64)
+    )
+    sections.append(("count-min probe (expect BroadcastHashJoin of "
+                     "cells, no SortMergeJoin, no Python)",
+                     cms_est_plan))
+
     checks = {
+        "transcript qa: one conv exchange, no window/python": (
+            qa_plan.count("hashpartitioning(conv_id") == 1
+            and "Window" not in qa_plan
+            and not _has_python(qa_plan)
+        ),
+        "cms build: hash agg partials, no python": (
+            "HashAggregate" in cms_plan
+            and not _has_python(cms_plan)
+        ),
+        "cms probe: broadcast join, no SMJ/python": (
+            "BroadcastHashJoin" in cms_est_plan
+            and "SortMergeJoin" not in cms_est_plan
+            and not _has_python(cms_est_plan)
+        ),
         "semdedup edges: equi join on list_id, no NLJ/python/window": (
             "NestedLoop" not in sd_plan
             and "Window" not in sd_plan
