@@ -292,6 +292,58 @@ def q_cdc_lineage(spark, sf_dir):
     )
 
 
+def q_cdc_batch_metrics(spark, sf_dir):
+    """Per-micro-batch metrics as a queryable, oracle-checked surface
+    (round 5) — the north rule's "metrics emitted each micro-batch"
+    companion to ``cdc_lineage``: a THREE-batch replay through real
+    `SnapshotStore.merge` commits, emitting each merge's RETURNED
+    metrics dict (applied keys/changes, deletes, buckets rewritten,
+    post-commit hwm).  The stream derives deterministically from
+    ``events`` (event_id thirds), so DuckDB independently recomputes
+    what every batch's metrics MUST say — the monitoring surface is
+    verified, not just printed."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    mx = int(ev.agg(F.max("event_id").alias("m")).collect()[0]["m"])
+    c1, c2 = mx // 3, (2 * mx) // 3
+
+    root = tempfile.mkdtemp(prefix="pb3ld_metrics_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        rows = []
+        for bid, (lo, hi) in enumerate(
+            [(-1, c1), (c1, c2), (c2, 1 << 62)], start=1
+        ):
+            m = store.merge(
+                _fold_event_batch(ev, lo, hi), batch_id=bid
+            )
+            rows.append(
+                (
+                    bid,
+                    int(m["applied_keys"]),
+                    int(m["applied_changes"]),
+                    int(m["deletes"]),
+                    int(m["buckets_rewritten"]),
+                    int(m["hwm_lsn"]),
+                )
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, applied_keys long, applied_changes long, "
+        "deletes long, buckets_rewritten long, hwm_lsn long",
+    )
+
+
 def _fold_event_batch(batch_df, lo_excl, hi_incl):
     """Deterministic folded transcripts batch derived from `events`
     (event_id in (lo_excl, hi_incl]) — the shared stream for the
@@ -3260,6 +3312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_type_dispatch": q_change_type_dispatch,
     "empty_txn_suppression": q_empty_txn_suppression,
     "cdc_lineage": q_cdc_lineage,
+    "cdc_batch_metrics": q_cdc_batch_metrics,
     "cdc_changelog": q_cdc_changelog,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -5346,6 +5399,57 @@ def _literal_oracles() -> dict[str, str]:
                     PARTITION BY bucket ORDER BY batch DESC
                 ) AS rn FROM per
             ) WHERE rn = 1
+        """,
+        "cdc_batch_metrics": """
+            -- re-derives every batch's merge metrics from the
+            -- deterministic event_id-thirds framing
+            WITH m AS (SELECT max(event_id) AS mx FROM events),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT mx // 3 FROM m)
+                                THEN 1
+                            WHEN event_id <=
+                                 (SELECT (2 * mx) // 3 FROM m)
+                                THEN 2
+                            ELSE 3 END AS batch
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx, batch,
+                       max(event_id) AS last_lsn,
+                       CAST(count(*) AS BIGINT) AS n_changes
+                FROM ek GROUP BY 1, 2, 3
+            ),
+            lastk AS (
+                SELECT conv_id, turn_idx, batch, event_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            fb AS (
+                SELECT f.conv_id, f.turn_idx, f.batch, f.last_lsn,
+                       f.n_changes,
+                       CASE WHEN l.event_type = 'error'
+                            THEN 1 ELSE 0 END AS is_del,
+                       CAST(CAST(concat(
+                           '0x', substr(md5(f.conv_id), 1, 15)
+                       ) AS BIGINT) % 8 AS INT) AS bucket
+                FROM folded f
+                JOIN lastk l USING (conv_id, turn_idx, batch)
+            )
+            SELECT CAST(batch AS INT) AS batch_id,
+                   CAST(count(*) AS BIGINT) AS applied_keys,
+                   CAST(sum(n_changes) AS BIGINT) AS applied_changes,
+                   CAST(sum(is_del) AS BIGINT) AS deletes,
+                   CAST(count(DISTINCT bucket) AS BIGINT)
+                       AS buckets_rewritten,
+                   CAST(max(last_lsn) AS BIGINT) AS hwm_lsn
+            FROM fb GROUP BY batch
         """,
         "cdc_changelog": """
             WITH c AS (
