@@ -3067,6 +3067,56 @@ def q_transcript_qa(spark, sf_dir):
     return transcript_qa(turns)
 
 
+def q_doc_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth (Heaps-law) curve (round 5) — tokenizer and
+    corpus planning needs "how fast does the type inventory grow as
+    docs stream in", but cumulative-distinct is unshardable if asked
+    naively.  The Spark-first reduction: a token's contribution to
+    the curve is fully determined by its FIRST occurrence, so one
+    token-keyed min(doc_id) HashAggregate (map-side combined)
+    collapses the corpus to |vocab| rows, deciles of the doc_id range
+    bucket those first occurrences, and the cumulation runs over a
+    10-row relation (window cost is bounded BY CONSTRUCTION, not by
+    data size).  The synthetic corpus has only 31 base types (all
+    first-seen in decile 0), so a rare type ``u<doc_id//7>`` is
+    injected per doc to spread first occurrences across the whole
+    range — disclosed fixture shaping, replayed by the oracle.
+    DuckDB replays first-occurrences, deciles, and the running
+    sum."""
+    from pg_pb3_ld_spark.functions.textops import tokens
+
+    docs = _documents(spark, sf_dir)
+    mx = int(docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
+    rare = F.concat(
+        F.lit("u"), F.floor(F.col("doc_id") / 7).cast("long").cast("string")
+    )
+    first = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.concat(tokens(F.col("text")), F.array(rare))
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    decile = F.least(
+        F.lit(9), F.floor(F.col("first_doc") * 10 / (mx + 1))
+    ).cast("int")
+    per = first.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "decile",
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )
+
+
 def q_doc_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing (round 5): shard =
     doc_id%8, docs laid head-to-tail in doc_id order per shard,
@@ -3380,6 +3430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_render": q_transcript_render,
     "transcript_qa": q_transcript_qa,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_bpe_tokenize": q_doc_bpe_tokenize,
@@ -6193,6 +6244,33 @@ def _literal_oracles() -> dict[str, str]:
                     AND role_violations = 0 AND orphan_tools = 0
                     AND empty_turns = 0) AS ok
             FROM rep
+        """,
+        "doc_vocab_growth": """
+            -- replays first occurrences, deciles, the running sum
+            WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+            f AS (
+                SELECT t.tok, min(d.doc_id) AS first_doc
+                FROM documents d,
+                     unnest(list_append(
+                         string_split(d.text, ' '),
+                         'u' || CAST(d.doc_id // 7 AS VARCHAR)
+                     )) AS t(tok)
+                GROUP BY t.tok
+            ),
+            per AS (
+                SELECT CAST(least(9, floor(
+                           first_doc * 10 / ((SELECT mx FROM m) + 1)
+                       )) AS INT) AS decile,
+                       CAST(count(*) AS BIGINT) AS new_types
+                FROM f GROUP BY 1
+            )
+            SELECT decile, new_types,
+                   CAST(sum(new_types) OVER (
+                       ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW
+                   ) AS BIGINT) AS cum_types
+            FROM per
         """,
         "doc_pack_chunks": """
             WITH base AS (
