@@ -528,6 +528,69 @@ def q_cdc_incremental_agg(spark, sf_dir):
     )
 
 
+def q_cdc_scd2(spark, sf_dir):
+    """SCD Type-2 history (round 5) — the OTHER classic CDC sink mode
+    next to MERGE-upsert: one row per VERSION of each key with a
+    (valid_from, valid_to) validity interval, derived from the change
+    feed of a real 3-batch store replay (`operators/scd.py`) — O(feed)
+    to maintain, never an O(table × snapshots) re-diff.  Granularity
+    is per-commit (the feed resolves intra-batch churn, exactly like
+    SCD2 built off Delta CDF / Iceberg changelogs).
+
+    Semantics the oracle pins: INSERT/UPDATE open a version at their
+    commit LSN; the key's NEXT change of any type closes it (UPDATE
+    and effective DELETE each close exactly one version); DELETE opens
+    nothing, so a delete→re-insert key shows a validity GAP.  DuckDB
+    replays the 3-batch fold, the per-batch state machine
+    (INSERT/UPDATE/DELETE classification against running state, no-op
+    DELETEs dropped), and the closing lead window.  Tests additionally
+    prove current ≡ live table and as_of(S) ≡ time travel
+    (`tests/test_scd.py`).  Scale shape: ONE key-hash shuffle; window
+    partitions are per-key COMMIT counts, bounded by batch count."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.operators.scd import scd2_history
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    m = int(ev.agg(F.max("event_id").alias("m")).collect()[0]["m"])
+    c1, c2 = m // 3, (2 * m) // 3
+    root = tempfile.mkdtemp(prefix="pb3ld_scd2_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5", changelog=True,
+        )
+        store.merge(_fold_event_batch(ev, -1, c1), batch_id=1)
+        store.merge(_fold_event_batch(ev, c1, c2), batch_id=2)
+        store.merge(_fold_event_batch(ev, c2, 1 << 62), batch_id=3)
+        hist = scd2_history(
+            store.read_changes(0), ["conv_id", "turn_idx"], ["text"]
+        )
+        rows = [
+            (
+                r["conv_id"], int(r["turn_idx"]), r["text"],
+                int(r["valid_from_lsn"]), int(r["valid_from_snap"]),
+                None if r["valid_to_lsn"] is None else int(r["valid_to_lsn"]),
+                None
+                if r["valid_to_snap"] is None
+                else int(r["valid_to_snap"]),
+                bool(r["is_current"]),
+            )
+            for r in hist.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, "
+        "valid_from_lsn bigint, valid_from_snap bigint, "
+        "valid_to_lsn bigint, valid_to_snap bigint, is_current boolean",
+    )
+
+
 def q_cdc_snapshot_diff(spark, sf_dir):
     """`store.diff_snapshots` — endpoint state re-diff (the recovery
     path when a feed consumer falls below the retention window): the
@@ -3366,6 +3429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "cdc_scd2": q_cdc_scd2,
     "event_sessionize": q_event_sessionize,
     "event_window_agg": q_event_window_agg,
     "event_asof_join": q_event_asof_join,
@@ -5566,6 +5630,123 @@ def _literal_oracles() -> dict[str, str]:
                 WHERE NOT (b2.kind = 'DELETE' AND s1.conv_id IS NULL)
             )
             SELECT * FROM feed1 UNION ALL SELECT * FROM feed2
+        """,
+        "cdc_scd2": """
+            WITH m AS (SELECT max(event_id) AS m FROM events),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <=
+                                 (SELECT CAST(floor(m / 3) AS BIGINT)
+                                  FROM m) THEN 1
+                            WHEN event_id <=
+                                 (SELECT CAST(floor(m * 2 / 3)
+                                              AS BIGINT) FROM m) THEN 2
+                            ELSE 3 END AS batch
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx, batch,
+                       max(event_id) AS last_lsn
+                FROM ek GROUP BY conv_id, turn_idx, batch
+            ),
+            lastk AS (
+                SELECT conv_id, turn_idx, batch,
+                       CASE WHEN event_type = 'error'
+                            THEN 'DELETE' ELSE 'PATCH' END AS kind
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            fb AS (
+                SELECT f.conv_id, f.turn_idx, f.batch, f.last_lsn,
+                       l.kind
+                FROM folded f
+                JOIN lastk l USING (conv_id, turn_idx, batch)
+            ),
+            b1 AS (SELECT * FROM fb WHERE batch = 1),
+            b2 AS (SELECT * FROM fb WHERE batch = 2),
+            b3 AS (SELECT * FROM fb WHERE batch = 3),
+            s1 AS (
+                SELECT conv_id, turn_idx FROM b1 WHERE kind = 'PATCH'
+            ),
+            feed1 AS (
+                SELECT conv_id, turn_idx, 'INSERT' AS change_type,
+                       concat('t', CAST(last_lsn AS VARCHAR)) AS text,
+                       last_lsn, CAST(1 AS BIGINT) AS snapshot_id
+                FROM b1 WHERE kind = 'PATCH'
+            ),
+            feed2 AS (
+                SELECT b2.conv_id, b2.turn_idx,
+                       CASE WHEN b2.kind = 'DELETE' THEN 'DELETE'
+                            WHEN s1.conv_id IS NULL THEN 'INSERT'
+                            ELSE 'UPDATE' END AS change_type,
+                       CASE WHEN b2.kind = 'DELETE' THEN NULL
+                            ELSE concat(
+                                't', CAST(b2.last_lsn AS VARCHAR))
+                            END AS text,
+                       b2.last_lsn, CAST(2 AS BIGINT) AS snapshot_id
+                FROM b2 LEFT JOIN s1
+                  ON b2.conv_id = s1.conv_id
+                 AND b2.turn_idx = s1.turn_idx
+                WHERE NOT (b2.kind = 'DELETE' AND s1.conv_id IS NULL)
+            ),
+            s2 AS (
+                SELECT conv_id, turn_idx FROM (
+                    SELECT conv_id, turn_idx FROM s1
+                    UNION
+                    SELECT conv_id, turn_idx FROM b2
+                    WHERE kind = 'PATCH'
+                ) u
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM b2 d
+                    WHERE d.kind = 'DELETE'
+                      AND d.conv_id = u.conv_id
+                      AND d.turn_idx = u.turn_idx
+                )
+            ),
+            feed3 AS (
+                SELECT b3.conv_id, b3.turn_idx,
+                       CASE WHEN b3.kind = 'DELETE' THEN 'DELETE'
+                            WHEN s2.conv_id IS NULL THEN 'INSERT'
+                            ELSE 'UPDATE' END AS change_type,
+                       CASE WHEN b3.kind = 'DELETE' THEN NULL
+                            ELSE concat(
+                                't', CAST(b3.last_lsn AS VARCHAR))
+                            END AS text,
+                       b3.last_lsn, CAST(3 AS BIGINT) AS snapshot_id
+                FROM b3 LEFT JOIN s2
+                  ON b3.conv_id = s2.conv_id
+                 AND b3.turn_idx = s2.turn_idx
+                WHERE NOT (b3.kind = 'DELETE' AND s2.conv_id IS NULL)
+            ),
+            feed AS (
+                SELECT * FROM feed1
+                UNION ALL SELECT * FROM feed2
+                UNION ALL SELECT * FROM feed3
+            ),
+            hist AS (
+                SELECT conv_id, turn_idx, change_type, text,
+                       last_lsn AS valid_from_lsn,
+                       snapshot_id AS valid_from_snap,
+                       lead(last_lsn) OVER w AS valid_to_lsn,
+                       lead(snapshot_id) OVER w AS valid_to_snap
+                FROM feed
+                WINDOW w AS (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY snapshot_id, last_lsn
+                )
+            )
+            SELECT conv_id, turn_idx, text,
+                   valid_from_lsn, valid_from_snap,
+                   valid_to_lsn, valid_to_snap,
+                   (valid_to_lsn IS NULL) AS is_current
+            FROM hist WHERE change_type <> 'DELETE'
         """,
         "cdc_snapshot_diff": """
             WITH c AS (
