@@ -3130,6 +3130,39 @@ def q_transcript_qa(spark, sf_dir):
     return transcript_qa(turns)
 
 
+def q_transcript_tool_flow(spark, sf_dir):
+    """Behavioral dedup of agent transcripts (round 5): fingerprint
+    every conversation by its ORDERED ``role:tool`` action sequence
+    and cluster identical trajectories — the dedup key that matches
+    how agent data actually repeats (same policy path, different
+    wording).  Turns derive deterministically from documents (conv =
+    doc_id//6, seq = doc_id%6); conv%3==1 conversations call a tool
+    at seq 4 whose NAME alternates by conv%2, so exactly three flow
+    shapes exist for full-length conversations and the cluster sizes
+    / canonical-survivor rule are all exercised.  DuckDB replays the
+    canonical sequence build (string_agg ordered by turn_idx) and the
+    md5 byte-for-byte.  Scale shape: conv groupBy + fingerprint
+    groupBy + fingerprint join — no window, no Python, no all-pairs."""
+    from pg_pb3_ld_spark.functions.textops import tool_flow
+
+    d = F.col("doc_id")
+    conv = (d / 6).cast("long")
+    seq = (d % 6).cast("int")
+    is_tool = (conv % 3 == 1) & (seq == 4)
+    turns = _documents(spark, sf_dir).select(
+        conv.alias("conv_id"),
+        seq.alias("turn_idx"),
+        F.when(is_tool, "tool")
+        .when(seq == 0, "system")
+        .when(seq % 2 == 1, "user")
+        .otherwise("assistant").alias("role"),
+        F.when(
+            is_tool, F.concat(F.lit("t"), (conv % 2).cast("string"))
+        ).alias("tool"),
+    )
+    return tool_flow(turns)
+
+
 def q_doc_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) curve (round 5) — tokenizer and
     corpus planning needs "how fast does the type inventory grow as
@@ -3493,6 +3526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_frame_sample": q_gif_frame_sample,
     "transcript_render": q_transcript_render,
     "transcript_qa": q_transcript_qa,
+    "transcript_tool_flow": q_transcript_tool_flow,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6358,6 +6392,46 @@ def _literal_oracles() -> dict[str, str]:
                    md5(string_agg('<|' || role || '|>' || text,
                         chr(10) ORDER BY turn_idx)) AS digest
             FROM turns GROUP BY conv_id
+        """,
+        "transcript_tool_flow": """
+            WITH turns AS (
+                SELECT CAST(floor(doc_id / 6) AS BIGINT) AS conv_id,
+                       CAST(doc_id % 6 AS INT) AS turn_idx,
+                       CASE WHEN CAST(floor(doc_id / 6) AS BIGINT) % 3
+                                 = 1 AND doc_id % 6 = 4 THEN 'tool'
+                            WHEN doc_id % 6 = 0 THEN 'system'
+                            WHEN doc_id % 6 % 2 = 1 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       CASE WHEN CAST(floor(doc_id / 6) AS BIGINT) % 3
+                                 = 1 AND doc_id % 6 = 4
+                            THEN concat('t', CAST(
+                                CAST(floor(doc_id / 6) AS BIGINT) % 2
+                                AS VARCHAR))
+                            END AS tool
+                FROM documents
+            ),
+            sig AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(sum(CASE WHEN role = 'tool' THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                           AS n_tool_turns,
+                       md5(string_agg(
+                           role || ':' || coalesce(tool, ''), '|'
+                           ORDER BY turn_idx)) AS flow_sig
+                FROM turns GROUP BY conv_id
+            ),
+            grp AS (
+                SELECT flow_sig,
+                       CAST(count(*) AS BIGINT) AS flow_count,
+                       min(conv_id) AS canonical_conv
+                FROM sig GROUP BY flow_sig
+            )
+            SELECT s.conv_id, s.n_turns, s.n_tool_turns, s.flow_sig,
+                   g.flow_count,
+                   (s.conv_id = g.canonical_conv) AS is_canonical,
+                   g.canonical_conv
+            FROM sig s JOIN grp g USING (flow_sig)
         """,
         "transcript_qa": """
             -- replays the defect injection, the canonical

@@ -564,3 +564,71 @@ def transcript_qa(
             & (empty_ct == 0)
         ).alias("ok"),
     )
+
+
+def tool_flow(
+    df: DataFrame, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+    role_col: str = "role", tool_col: str = "tool",
+) -> DataFrame:
+    """Behavioral dedup of agent transcripts: fingerprint each
+    conversation by its ORDERED action sequence — the ``role:tool``
+    string of every turn in turn order — and group conversations with
+    identical flows.  Text-level dedup (MinHash/SemDeDup) misses
+    agent episodes that differ in wording but replay the same tool
+    trajectory; training on thousands of behaviorally identical
+    episodes over-weights one policy path, so the flow fingerprint is
+    the dedup key that actually matches how agent data repeats.
+    (The transcripts table is the payload this engine ingests;
+    reference analog: the decoded per-row stream of
+    ``pg_pb3_ld.c:300-334`` — flow analysis is downstream-consumer
+    logic the reference leaves to its users.)
+
+    Output per conversation: ``n_turns``, ``n_tool_turns``,
+    ``flow_sig`` (md5 of the canonical sequence — portable, DuckDB
+    replays it byte-for-byte), ``flow_count`` (behavioral-cluster
+    size), ``canonical_conv`` (min conv in the cluster),
+    ``is_canonical`` (the dedup survivor rule).
+
+    Scale shape: one hash groupBy on the conversation (bounded group
+    size = turns per conversation, sequence built as array
+    expressions — no window, no Python), one groupBy on the
+    fingerprint (rows = conversations, map-side combined), and a
+    fingerprint-keyed join back.  No all-pairs anything: identical
+    flows collide on an md5 key exactly like exact-dedup."""
+    item = F.struct(
+        F.col(turn_col).cast("int").alias("i"),
+        F.col(role_col).alias("r"),
+        F.coalesce(F.col(tool_col), F.lit("")).alias("t"),
+    )
+    per = df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.array_sort(F.collect_list(item)).alias("_seq")
+    )
+    seq = F.col("_seq")
+    sig = per.select(
+        "conv_id",
+        F.size(seq).cast("long").alias("n_turns"),
+        F.size(F.filter(seq, lambda x: x["r"] == "tool"))
+        .cast("long")
+        .alias("n_tool_turns"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    seq, lambda x: F.concat(x["r"], F.lit(":"), x["t"])
+                ),
+                "|",
+            )
+        ).alias("flow_sig"),
+    )
+    grp = sig.groupBy("flow_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("flow_count"),
+        F.min("conv_id").alias("canonical_conv"),
+    )
+    return sig.join(grp, "flow_sig").select(
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        "flow_sig",
+        "flow_count",
+        (F.col("conv_id") == F.col("canonical_conv")).alias("is_canonical"),
+        "canonical_conv",
+    )
