@@ -2276,9 +2276,12 @@ def q_doc_export_manifest(spark, sf_dir):
 
 
 def q_doc_quality_logreg(spark, sf_dir):
-    """Trainable quality classifier (functions/classifier.py): 3
-    iterations of full-batch gradient descent for a linear model with
-    a hard-sigmoid surrogate, trained ON THE CORPUS with exact-rational
+    """Trainable quality classifier (functions/classifier.py): 8
+    iterations of full-batch gradient descent at lr 2.0 (the first
+    operating point where the fit separates this corpus — 459/500
+    train accuracy; 3×0.5 left every margin negative) for a linear
+    model with a hard-sigmoid surrogate, trained ON THE CORPUS with
+    exact-rational
     features and integer-exact gradient sums — the training trajectory
     is bit-identical under any partitioning (each iteration is one
     map-side-combining hash agg; weights ride as literals), and the
@@ -2288,7 +2291,7 @@ def q_doc_quality_logreg(spark, sf_dir):
 
     docs = _documents(spark, sf_dir)
     feat = classifier.doc_features(docs)
-    w = classifier.logreg_fit(feat, n_iters=3, lr=0.5)
+    w = classifier.logreg_fit(feat, n_iters=8, lr=2.0)
     return classifier.logreg_score(feat, w)
 
 
@@ -2324,7 +2327,7 @@ def q_corpus_build_funnel(spark, sf_dir):
     n_clean = clean.count()
 
     feat = classifier.doc_features(docs)
-    w = classifier.logreg_fit(feat, n_iters=3, lr=0.5)
+    w = classifier.logreg_fit(feat, n_iters=8, lr=2.0)
     pred = classifier.logreg_score(feat, w).select("doc_id", "pred")
     qual = clean.join(pred, "doc_id").where("pred = 1").select("doc_id")
     n_qual = qual.count()
@@ -4028,7 +4031,7 @@ def _extra_oracles() -> dict[str, str]:
         JOIN sd_surv s ON s.cluster_id = c.cluster_id
     """
 
-    def _logreg_ctes(n_iters: int) -> tuple[str, str]:
+    def _logreg_ctes(n_iters: int, lr: float = 0.5) -> tuple[str, str]:
         def z(w: str) -> str:
             return (f"(((({w}.w0 * f0) + ({w}.w1 * f1)) "
                     f"+ ({w}.w2 * f2)) + ({w}.w3 * f3))")
@@ -4061,7 +4064,7 @@ def _extra_oracles() -> dict[str, str]:
                 for j in range(4)
             )
             ws = ", ".join(
-                f"w.w{j} + (0.5 * ((CAST(g.g{j} AS DOUBLE) / 1048576.0)"
+                f"w.w{j} + ({lr!r} * ((CAST(g.g{j} AS DOUBLE) / 1048576.0)"
                 f" / g.n)) AS w{j}"
                 for j in range(4)
             )
@@ -4076,7 +4079,11 @@ def _extra_oracles() -> dict[str, str]:
             prev = f"lr_w{it}"
         return ctes, prev
 
-    _lr_ctes, _lr_final = _logreg_ctes(3)
+    # 8 iterations at lr 2.0 is the first operating point where the
+    # fit actually separates the corpus (459/500 train accuracy, ~36%
+    # positive) — 3 iterations at 0.5 left every margin negative, so
+    # the funnel's quality stage silently dropped 100% of documents.
+    _lr_ctes, _lr_final = _logreg_ctes(8, lr=2.0)
     logreg_sql = f"""
         WITH {_lr_ctes}
         SELECT doc_id, y,
