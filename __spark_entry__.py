@@ -3166,6 +3166,74 @@ def q_transcript_tool_flow(spark, sf_dir):
     return tool_flow(turns)
 
 
+def _branch_turns(spark, sf_dir):
+    """Shared branched-conversation synthesis for the tree queries:
+    conv = doc_id//8, node = doc_id%8.  Fixed per-conv topology with
+    a conv%3-varied eighth node so all leaf/branch shapes occur:
+    0:system(root) ← 1:user ← {2,3:assistant siblings}; 4:user ← 2;
+    {5,6:assistant siblings} ← 4; node 7 is a THIRD sibling under 1
+    (assistant) when conv%3==0, else a user extension under 5
+    (conv%3==1) or 6 (conv%3==2).  Every parent slot < child slot, so
+    a truncated tail conversation never dangles.  score = (conv*7 +
+    node*13) % 5 — siblings 2 and 7 always tie (26≡91 mod 5),
+    exercising the min-node tie-break."""
+    d = F.col("doc_id")
+    conv = (d / 8).cast("long")
+    slot = (d % 8).cast("long")
+    parent = (
+        F.when(slot == 1, F.lit(0))
+        .when(slot.isin(2, 3), F.lit(1))
+        .when(slot == 4, F.lit(2))
+        .when(slot.isin(5, 6), F.lit(4))
+        .when(
+            slot == 7,
+            F.when(conv % 3 == 0, F.lit(1))
+            .when(conv % 3 == 1, F.lit(5))
+            .otherwise(F.lit(6)),
+        )
+    ).cast("long")
+    role = (
+        F.when(slot == 0, F.lit("system"))
+        .when(slot.isin(1, 4), F.lit("user"))
+        .when(
+            slot == 7,
+            F.when(conv % 3 == 0, F.lit("assistant")).otherwise(
+                F.lit("user")
+            ),
+        )
+        .otherwise(F.lit("assistant"))
+    )
+    return _documents(spark, sf_dir).select(
+        conv.alias("conv_id"),
+        slot.alias("node_id"),
+        parent.alias("parent_id"),
+        role.alias("role"),
+        ((conv * 7 + slot * 13) % 5).cast("long").alias("score"),
+    )
+
+
+def q_transcript_branch_paths(spark, sf_dir):
+    """Branched-transcript linearization (round 5): regenerations
+    make stored conversations TREES of turns; every root→leaf path is
+    one training sample.  Pointer-doubling list ranking settles
+    depth-6 trees in 3 shuffle joins; the DuckDB oracle walks the
+    same trees with a recursive CTE."""
+    from pg_pb3_ld_spark.functions.textops import branch_paths
+
+    return branch_paths(_branch_turns(spark, sf_dir))
+
+
+def q_transcript_pref_pairs(spark, sf_dir):
+    """Preference-pair extraction (round 5): assistant siblings under
+    one prompt turn become (chosen, rejected) DPO pairs — chosen =
+    max score, ties to the MIN node id via one associative
+    max(struct) agg (siblings 2 and 7 tie by construction).  Oracle
+    replays the ranking with a row_number window."""
+    from pg_pb3_ld_spark.functions.textops import preference_pairs
+
+    return preference_pairs(_branch_turns(spark, sf_dir))
+
+
 def q_doc_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) curve (round 5) — tokenizer and
     corpus planning needs "how fast does the type inventory grow as
@@ -3530,6 +3598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_render": q_transcript_render,
     "transcript_qa": q_transcript_qa,
     "transcript_tool_flow": q_transcript_tool_flow,
+    "transcript_branch_paths": q_transcript_branch_paths,
+    "transcript_pref_pairs": q_transcript_pref_pairs,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6439,6 +6509,110 @@ def _literal_oracles() -> dict[str, str]:
                    (s.conv_id = g.canonical_conv) AS is_canonical,
                    g.canonical_conv
             FROM sig s JOIN grp g USING (flow_sig)
+        """,
+        "transcript_branch_paths": """
+            -- replays the branched-tree synthesis, then walks every
+            -- leaf to its root with a recursive CTE (the sequential
+            -- mirror of the engine's pointer-doubling list ranking)
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS BIGINT) AS node_id,
+                       CAST(CASE CAST(doc_id % 8 AS BIGINT)
+                            WHEN 1 THEN 0
+                            WHEN 2 THEN 1 WHEN 3 THEN 1
+                            WHEN 4 THEN 2
+                            WHEN 5 THEN 4 WHEN 6 THEN 4
+                            WHEN 7 THEN (
+                                CASE CAST(doc_id // 8 AS BIGINT) % 3
+                                WHEN 0 THEN 1 WHEN 1 THEN 5
+                                ELSE 6 END)
+                            END AS BIGINT) AS parent_id
+                FROM documents
+            ),
+            leaves AS (
+                SELECT conv_id, node_id FROM t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM t p
+                    WHERE p.conv_id = t.conv_id
+                      AND p.parent_id = t.node_id
+                )
+            ),
+            walk AS (
+                SELECT l.conv_id, l.node_id AS leaf_id,
+                       l.node_id AS cur,
+                       CAST(l.node_id AS VARCHAR) AS path,
+                       1 AS depth
+                FROM leaves l
+                UNION ALL
+                SELECT w.conv_id, w.leaf_id, t.parent_id,
+                       CAST(t.parent_id AS VARCHAR) || '/' || w.path,
+                       w.depth + 1
+                FROM walk w JOIN t ON t.conv_id = w.conv_id
+                                  AND t.node_id = w.cur
+                WHERE t.parent_id IS NOT NULL
+            )
+            SELECT w.conv_id, w.leaf_id,
+                   CAST(w.depth AS INT) AS depth, w.path
+            FROM walk w JOIN t ON t.conv_id = w.conv_id
+                              AND t.node_id = w.cur
+            WHERE t.parent_id IS NULL
+        """,
+        "transcript_pref_pairs": """
+            -- replays the synthesis (roles + scores), ranks
+            -- assistant siblings per (conv, parent) and emits one
+            -- row per rejected sibling
+            WITH t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS BIGINT) AS node_id,
+                       CAST(CASE CAST(doc_id % 8 AS BIGINT)
+                            WHEN 1 THEN 0
+                            WHEN 2 THEN 1 WHEN 3 THEN 1
+                            WHEN 4 THEN 2
+                            WHEN 5 THEN 4 WHEN 6 THEN 4
+                            WHEN 7 THEN (
+                                CASE CAST(doc_id // 8 AS BIGINT) % 3
+                                WHEN 0 THEN 1 WHEN 1 THEN 5
+                                ELSE 6 END)
+                            END AS BIGINT) AS parent_id,
+                       CASE
+                           WHEN doc_id % 8 = 0 THEN 'system'
+                           WHEN doc_id % 8 IN (1, 4) THEN 'user'
+                           WHEN doc_id % 8 = 7 THEN (
+                               CASE WHEN CAST(doc_id // 8 AS BIGINT)
+                                         % 3 = 0
+                                    THEN 'assistant' ELSE 'user' END)
+                           ELSE 'assistant' END AS role,
+                       CAST((CAST(doc_id // 8 AS BIGINT) * 7
+                             + CAST(doc_id % 8 AS BIGINT) * 13) % 5
+                            AS BIGINT) AS score
+                FROM documents
+            ),
+            c AS (
+                SELECT conv_id, parent_id, node_id, score FROM t
+                WHERE role = 'assistant' AND parent_id IS NOT NULL
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY conv_id, parent_id
+                           ORDER BY score DESC, node_id ASC
+                       ) AS rn,
+                       count(*) OVER (
+                           PARTITION BY conv_id, parent_id
+                       ) AS n
+                FROM c
+            ),
+            ch AS (
+                SELECT conv_id, parent_id, node_id AS chosen_id,
+                       score AS chosen_score
+                FROM r WHERE rn = 1 AND n >= 2
+            )
+            SELECT c.conv_id, c.parent_id, ch.chosen_id,
+                   c.node_id AS rejected_id, ch.chosen_score,
+                   c.score AS rejected_score,
+                   ch.chosen_score - c.score AS margin
+            FROM c JOIN ch USING (conv_id, parent_id)
+            WHERE c.node_id <> ch.chosen_id
         """,
         "transcript_qa": """
             -- replays the defect injection, the canonical

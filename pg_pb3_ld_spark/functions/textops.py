@@ -632,3 +632,159 @@ def tool_flow(
         (F.col("conv_id") == F.col("canonical_conv")).alias("is_canonical"),
         "canonical_conv",
     )
+
+
+def branch_paths(
+    df, conv_col: str = "conv_id", node_col: str = "node_id",
+    parent_col: str = "parent_id", max_rounds: int = 32,
+    checkpoint_every: int = 4,
+):
+    """Root-to-leaf path reconstruction over BRANCHED conversations —
+    regenerations/edits give a turn multiple children, so a stored
+    transcript is a tree of turns (parent pointers), and every
+    training sample is one root→leaf path through it.  (The
+    transcripts table is the payload this engine ingests; reference
+    analog: the decoded per-row stream of ``pg_pb3_ld.c:300-334`` —
+    tree linearization is downstream-consumer logic the reference
+    leaves to its users.)
+
+    Pointer doubling (parallel list ranking): each node carries
+    ``(jump, path)`` — initially ``(parent, [node])`` — and every
+    round folds its jump target's state in: ``path ∥= path(jump)``,
+    ``jump = jump(jump)``.  Depth-d chains terminate in ⌈log2 d⌉
+    rounds (the same O(log) discipline as
+    ``dedup.connected_components``), each round ONE shuffle join on
+    ``(conv, node)``.  A dangling parent pointer terminates the walk
+    at the dangler (``transcript_qa`` is the integrity gate for
+    that); a parent CYCLE would never terminate, so exhausting
+    ``max_rounds`` raises rather than returning partial paths.
+
+    Returns one row per LEAF (a node no other node claims as parent):
+    ``(conv_id, leaf_id, depth, path)`` with ``path`` the root→leaf
+    node ids joined by '/'.
+
+    Scale shape: ⌈log2 depth⌉ self-joins on the (conv, node) key +
+    one anti-join for leaves; path arrays are bounded by conversation
+    depth; lineage is truncated by ``localCheckpoint`` every
+    ``checkpoint_every`` rounds exactly like the CC loop."""
+    state = df.select(
+        F.col(conv_col).cast("long").alias("conv_id"),
+        F.col(node_col).cast("long").alias("node_id"),
+        F.col(parent_col).cast("long").alias("_jump"),
+        F.array(F.col(node_col).cast("long")).alias("_path"),
+    )
+    done = False
+    for rnd in range(max_rounds):
+        if state.where(F.col("_jump").isNotNull()).limit(1).count() == 0:
+            done = True
+            break
+        right = state.select(
+            F.col("conv_id").alias("_rc"),
+            F.col("node_id").alias("_rn"),
+            F.col("_jump").alias("_rjump"),
+            F.col("_path").alias("_rpath"),
+        )
+        joined = state.join(
+            right,
+            (F.col("conv_id") == F.col("_rc"))
+            & (F.col("_jump") == F.col("_rn")),
+            "left",
+        )
+        settled = F.col("_jump").isNull() | F.col("_rn").isNull()
+        state = joined.select(
+            "conv_id",
+            "node_id",
+            F.when(settled, F.lit(None).cast("long"))
+            .otherwise(F.col("_rjump"))
+            .alias("_jump"),
+            F.when(settled, F.col("_path"))
+            .otherwise(F.concat(F.col("_path"), F.col("_rpath")))
+            .alias("_path"),
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    if not done and state.where(
+        F.col("_jump").isNotNull()
+    ).limit(1).count() > 0:
+        raise RuntimeError(
+            f"branch_paths: parent chains not settled after "
+            f"{max_rounds} doubling rounds (depth > 2^{max_rounds} "
+            "or a parent-pointer cycle)"
+        )
+    parents = df.where(F.col(parent_col).isNotNull()).select(
+        F.col(conv_col).cast("long").alias("conv_id"),
+        F.col(parent_col).cast("long").alias("node_id"),
+    ).distinct()
+    leaves = state.join(parents, ["conv_id", "node_id"], "left_anti")
+    return leaves.select(
+        "conv_id",
+        F.col("node_id").alias("leaf_id"),
+        F.size("_path").cast("int").alias("depth"),
+        F.array_join(
+            F.transform(F.reverse("_path"), lambda x: x.cast("string")),
+            "/",
+        ).alias("path"),
+    )
+
+
+def preference_pairs(
+    df, conv_col: str = "conv_id", node_col: str = "node_id",
+    parent_col: str = "parent_id", role_col: str = "role",
+    score_col: str = "score",
+):
+    """(chosen, rejected) preference-pair extraction from regenerated
+    assistant siblings — the RLHF/DPO data staple: when one prompt
+    turn has several assistant children (regenerations), the
+    best-scored sibling is ``chosen`` and every other sibling is a
+    ``rejected`` partner.  Deterministic under any partitioning:
+    chosen = max score, ties broken by MIN node id (``max(struct(
+    score, -node))`` — one associative, map-side-combining agg, no
+    window).  Branch points with a single candidate emit nothing.
+
+    Output: ``(conv_id, parent_id, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin)`` — one row per rejected
+    sibling.
+
+    Scale shape: one hash groupBy on (conv, parent) + one join back
+    on the SAME key (co-partitioned); group sizes are bounded by the
+    per-turn regeneration count."""
+    cands = df.where(
+        (F.col(role_col) == "assistant") & F.col(parent_col).isNotNull()
+    ).select(
+        F.col(conv_col).cast("long").alias("conv_id"),
+        F.col(parent_col).cast("long").alias("parent_id"),
+        F.col(node_col).cast("long").alias("node_id"),
+        F.col(score_col).cast("long").alias("_score"),
+    )
+    best = (
+        cands.groupBy("conv_id", "parent_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score").alias("s"),
+                    (-F.col("node_id")).alias("negn"),
+                )
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 2)
+        .select(
+            "conv_id",
+            "parent_id",
+            (-F.col("_b.negn")).alias("chosen_id"),
+            F.col("_b.s").alias("chosen_score"),
+        )
+    )
+    return (
+        cands.join(best, ["conv_id", "parent_id"])
+        .where(F.col("node_id") != F.col("chosen_id"))
+        .select(
+            "conv_id",
+            "parent_id",
+            "chosen_id",
+            F.col("node_id").alias("rejected_id"),
+            "chosen_score",
+            F.col("_score").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("_score")).alias("margin"),
+        )
+    )
