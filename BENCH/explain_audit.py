@@ -361,7 +361,44 @@ def main():
                      "cells, no SortMergeJoin, no Python)",
                      cms_est_plan))
 
+    # round 5: branched-transcript tree ops — the doubling rounds and
+    # the leaf anti-join must be pure equi joins (no NLJ/Window), and
+    # the preference-pair agg must be one max(struct) HashAggregate
+    # with a co-partitioned join-back (no Window)
+    from pg_pb3_ld_spark.functions.textops import (
+        branch_paths,
+        preference_pairs,
+    )
+
+    tree = spark.createDataFrame(
+        [(c, i, i - 1 if i else None,
+          "assistant" if i % 2 else "user", (c * 7 + i) % 5)
+         for c in range(4) for i in range(6)],
+        "conv_id long, node_id long, parent_id long, "
+        "role string, score long",
+    )
+    bp_plan = plan_of(branch_paths(tree, max_rounds=4))
+    sections.append(("branch paths (expect equi joins + LeftAnti "
+                     "leaves, no NestedLoop, no Window, no Python)",
+                     bp_plan))
+    pp_plan = plan_of(preference_pairs(tree))
+    sections.append(("preference pairs (expect max(struct) "
+                     "HashAggregate + equi join-back, no Window, "
+                     "no Python)", pp_plan))
+
     checks = {
+        "branch paths: anti-join leaves, no NLJ/window/python": (
+            "LeftAnti" in bp_plan
+            and "NestedLoop" not in bp_plan
+            and "Window" not in bp_plan
+            and not _has_python(bp_plan)
+        ),
+        "preference pairs: hash agg + equi join, no window/python": (
+            "HashAggregate" in pp_plan
+            and "Window" not in pp_plan
+            and "NestedLoop" not in pp_plan
+            and not _has_python(pp_plan)
+        ),
         "transcript qa: one conv exchange, no window/python": (
             qa_plan.count("hashpartitioning(conv_id") == 1
             and "Window" not in qa_plan

@@ -3226,9 +3226,10 @@ def q_transcript_branch_paths(spark, sf_dir):
 def q_transcript_pref_pairs(spark, sf_dir):
     """Preference-pair extraction (round 5): assistant siblings under
     one prompt turn become (chosen, rejected) DPO pairs — chosen =
-    max score, ties to the MIN node id via one associative
-    max(struct) agg (siblings 2 and 7 tie by construction).  Oracle
-    replays the ranking with a row_number window."""
+    max score, ties to the MIN node id via two scalar hash aggs on
+    the one (conv, parent) key (siblings 2 and 7 tie by
+    construction).  Oracle replays the ranking with a row_number
+    window."""
     from pg_pb3_ld_spark.functions.textops import preference_pairs
 
     return preference_pairs(_branch_turns(spark, sf_dir))

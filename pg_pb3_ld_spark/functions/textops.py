@@ -737,17 +737,25 @@ def preference_pairs(
     turn has several assistant children (regenerations), the
     best-scored sibling is ``chosen`` and every other sibling is a
     ``rejected`` partner.  Deterministic under any partitioning:
-    chosen = max score, ties broken by MIN node id (``max(struct(
-    score, -node))`` — one associative, map-side-combining agg, no
-    window).  Branch points with a single candidate emit nothing.
+    chosen = max score, ties broken by MIN node id.  Branch points
+    with a single candidate emit nothing.
+
+    The ranking is TWO scalar hash aggs, not one ``max(struct)``:
+    struct-buffered aggregates (``max(struct)``, ``max_by``,
+    ``first``) fall to SortAggregate in Spark 4 (the same trap the
+    IVF argmax hit, README "Performance notes"), so we take
+    ``max(score)`` (pass 1), join the scores back, and take
+    ``min(node) FILTER (score = max)`` (pass 2) — every agg a
+    long-buffered, map-side-combining HashAggregate, no window,
+    and no packed-bigint range assumption on user scores.
 
     Output: ``(conv_id, parent_id, chosen_id, rejected_id,
     chosen_score, rejected_score, margin)`` — one row per rejected
     sibling.
 
-    Scale shape: one hash groupBy on (conv, parent) + one join back
-    on the SAME key (co-partitioned); group sizes are bounded by the
-    per-turn regeneration count."""
+    Scale shape: everything shuffles on the ONE (conv, parent) key —
+    two hash aggs + two equi join-backs, all co-partitioned; group
+    sizes are bounded by the per-turn regeneration count."""
     cands = df.where(
         (F.col(role_col) == "assistant") & F.col(parent_col).isNotNull()
     ).select(
@@ -756,27 +764,24 @@ def preference_pairs(
         F.col(node_col).cast("long").alias("node_id"),
         F.col(score_col).cast("long").alias("_score"),
     )
+    key = ["conv_id", "parent_id"]
     best = (
-        cands.groupBy("conv_id", "parent_id")
+        cands.groupBy(*key)
         .agg(
-            F.max(
-                F.struct(
-                    F.col("_score").alias("s"),
-                    (-F.col("node_id")).alias("negn"),
-                )
-            ).alias("_b"),
+            F.max("_score").alias("chosen_score"),
             F.count(F.lit(1)).alias("_n"),
         )
         .where(F.col("_n") >= 2)
-        .select(
-            "conv_id",
-            "parent_id",
-            (-F.col("_b.negn")).alias("chosen_id"),
-            F.col("_b.s").alias("chosen_score"),
-        )
+        .drop("_n")
+    )
+    base = cands.join(best, key)
+    chosen = base.groupBy(*key).agg(
+        F.min(
+            F.when(F.col("_score") == F.col("chosen_score"), F.col("node_id"))
+        ).alias("chosen_id")
     )
     return (
-        cands.join(best, ["conv_id", "parent_id"])
+        base.join(chosen, key)
         .where(F.col("node_id") != F.col("chosen_id"))
         .select(
             "conv_id",
