@@ -386,7 +386,42 @@ def main():
                      "HashAggregate + equi join-back, no Window, "
                      "no Python)", pp_plan))
 
+    # round 5: compliance family — pseudonymization must stay a pure
+    # projection; the erasure shard report is two hash aggs + one
+    # tiny full-outer equi join
+    from pg_pb3_ld_spark.functions.compliance import (
+        pseudonymize,
+        shard_invalidation,
+    )
+
+    subj_df = spark.createDataFrame(
+        [(i, f"user{i % 9:02d}", f"by user{i % 9:02d}: t") for i in range(30)],
+        "doc_id long, author string, body string",
+    )
+    pseud_plan = plan_of(
+        pseudonymize(subj_df, "author", "k", text_cols=("body",))
+    )
+    sections.append(("pseudonymize (expect pure projection: "
+                     "no Exchange, no Python)", pseud_plan))
+    inval_plan = plan_of(shard_invalidation(
+        subj_df.select(F.col("author").alias("conv_id")),
+        subj_df.select(F.col("author").alias("conv_id")),
+        "conv_id", 8,
+    ))
+    sections.append(("erasure shard report (expect HashAggregates + "
+                     "equi full-outer join, no Window, no Python)",
+                     inval_plan))
+
     checks = {
+        "pseudonymize: pure projection (no exchange, no python)": (
+            "Exchange" not in pseud_plan and not _has_python(pseud_plan)
+        ),
+        "erasure shard report: hash aggs, no window/python/NLJ": (
+            "HashAggregate" in inval_plan
+            and "Window" not in inval_plan
+            and "NestedLoop" not in inval_plan
+            and not _has_python(inval_plan)
+        ),
         "branch paths: anti-join leaves, no NLJ/window/python": (
             "LeftAnti" in bp_plan
             and "NestedLoop" not in bp_plan

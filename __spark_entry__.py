@@ -3235,6 +3235,99 @@ def q_transcript_pref_pairs(spark, sf_dir):
     return preference_pairs(_branch_turns(spark, sf_dir))
 
 
+def q_doc_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization (round 5 compliance family): replace a
+    subject identifier with a stable md5-keyed token AND scrub its
+    prose mentions with the same token — referential integrity across
+    the column and the text, portable to any md5-capable engine.
+    Authors are synthesized fixed-width ('user' + 2-digit pad, so no
+    prefix collisions); body embeds the author twice.  Pure codegen
+    projection (plan-audited: no shuffle, no Python)."""
+    from pg_pb3_ld_spark.functions.compliance import pseudonymize
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.lpad((F.col("doc_id") % 37).cast("string"), 2, "0"),
+        ).alias("author"),
+        "text",
+    ).select(
+        "doc_id",
+        "author",
+        F.concat(
+            F.lit("by "), F.col("author"), F.lit(": "),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("body"),
+    )
+    out = pseudonymize(d, "author", "pb3ld-demo-key", text_cols=("body",))
+    return out.select(
+        "doc_id",
+        F.col("author").alias("author_token"),
+        F.col("body").alias("scrubbed_body"),
+    )
+
+
+def q_cdc_erasure(spark, sf_dir):
+    """Right-to-be-forgotten through the REAL store (round 5
+    compliance family): a two-batch replay through SnapshotStore.merge
+    builds the live state, then an OUT-OF-BAND erasure request (every
+    live conv whose portable md5 value ≡ 0 mod 4 — no CDC delete in
+    the stream) is discharged by compliance.erase_subjects: the DELETE
+    batch is synthesized from the store's own resolved state and
+    merged as one ordinary atomic, watermark-advancing, changelog-
+    visible commit.  Output = the per-export-shard invalidation
+    report (which shards of an 8-shard corpus export must be rebuilt,
+    and what remains), with purged counts read from the PRE-erasure
+    snapshot via time travel and remaining counts from the REAL
+    post-erasure store — if the erasure missed or over-deleted
+    anything, the DuckDB oracle's independently derived counts
+    hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.functions.compliance import (
+        erase_subjects,
+        shard_invalidation,
+    )
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+
+    root = tempfile.mkdtemp(prefix="pb3ld_erasure_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5",
+        )
+        store.merge(_fold_event_batch(ev, -1, cutoff), batch_id=1)
+        store.merge(_fold_event_batch(ev, cutoff, 1 << 62), batch_id=2)
+        pre_id = store.snapshot_id
+        md5i = F.conv(
+            F.substring(F.md5(F.col("conv_id")), 1, 15), 16, 10
+        ).cast("long")
+        subjects = (
+            store.read_table()
+            .where(F.pmod(md5i, F.lit(4)) == 0)
+            .select("conv_id")
+            .distinct()
+        )
+        erase_subjects(store, subjects, batch_id=3)
+        store.refresh()
+        pre = store.read(as_of=pre_id).drop("_bucket")
+        purged = pre.join(F.broadcast(subjects), "conv_id")
+        remaining = store.read_table()
+        return shard_invalidation(
+            purged, remaining, "conv_id", 8
+        ).orderBy("shard").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_doc_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) curve (round 5) — tokenizer and
     corpus planning needs "how fast does the type inventory grow as
@@ -3601,6 +3694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_tool_flow": q_transcript_tool_flow,
     "transcript_branch_paths": q_transcript_branch_paths,
     "transcript_pref_pairs": q_transcript_pref_pairs,
+    "doc_pseudonymize": q_doc_pseudonymize,
+    "cdc_erasure": q_cdc_erasure,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6614,6 +6709,87 @@ def _literal_oracles() -> dict[str, str]:
                    ch.chosen_score - c.score AS margin
             FROM c JOIN ch USING (conv_id, parent_id)
             WHERE c.node_id <> ch.chosen_id
+        """,
+        "doc_pseudonymize": """
+            -- replays the keyed-token construction and the in-text
+            -- scrub byte-for-byte (md5 over UTF-8 is engine-portable)
+            WITH a AS (
+                SELECT doc_id, text,
+                       'user' || lpad(CAST(doc_id % 37 AS VARCHAR),
+                                      2, '0') AS author
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, author,
+                       'by ' || author || ': ' || substr(text, 1, 40)
+                           AS body,
+                       'subj_' || substr(
+                           md5('pb3ld-demo-key|' || author), 1, 12
+                       ) AS tok
+                FROM a
+            )
+            SELECT doc_id, tok AS author_token,
+                   replace(body, author, tok) AS scrubbed_body
+            FROM t
+        """,
+        "cdc_erasure": """
+            -- derives the post-two-merge live state (last event per
+            -- key decides existence), the md5%4=0 erasure subjects,
+            -- and the per-shard purged/remaining counts the real
+            -- store must report after the erasure commit
+            WITH ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type
+                FROM events
+            ),
+            last AS (
+                SELECT conv_id, turn_idx, event_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            live AS (
+                SELECT conv_id, turn_idx FROM last
+                WHERE event_type <> 'error'
+            ),
+            subj AS (
+                SELECT DISTINCT conv_id FROM live
+                WHERE CAST(CAST(concat(
+                          '0x', substr(md5(conv_id), 1, 15)
+                      ) AS BIGINT) % 4 AS INT) = 0
+            ),
+            tagged AS (
+                SELECT l.conv_id, l.turn_idx,
+                       (s.conv_id IS NOT NULL) AS is_subj,
+                       CAST(CAST(concat(
+                           '0x', substr(md5(l.conv_id), 1, 15)
+                       ) AS BIGINT) % 8 AS INT) AS shard
+                FROM live l LEFT JOIN subj s USING (conv_id)
+            ),
+            p AS (
+                SELECT shard,
+                       CAST(count(*) AS BIGINT) AS n_purged_rows,
+                       CAST(count(DISTINCT conv_id) AS BIGINT)
+                           AS n_purged_convs
+                FROM tagged WHERE is_subj GROUP BY shard
+            ),
+            r AS (
+                SELECT shard,
+                       CAST(count(*) AS BIGINT) AS n_remaining_rows,
+                       CAST(count(DISTINCT conv_id) AS BIGINT)
+                           AS n_remaining_convs
+                FROM tagged WHERE NOT is_subj GROUP BY shard
+            )
+            SELECT COALESCE(p.shard, r.shard) AS shard,
+                   COALESCE(n_purged_rows, 0) AS n_purged_rows,
+                   COALESCE(n_purged_convs, 0) AS n_purged_convs,
+                   COALESCE(n_remaining_rows, 0) AS n_remaining_rows,
+                   COALESCE(n_remaining_convs, 0) AS n_remaining_convs
+            FROM p FULL OUTER JOIN r ON p.shard = r.shard
         """,
         "transcript_qa": """
             -- replays the defect injection, the canonical
