@@ -3235,6 +3235,25 @@ def q_transcript_pref_pairs(spark, sf_dir):
     return preference_pairs(_branch_turns(spark, sf_dir))
 
 
+def q_transcript_bt_ratings(spark, sf_dir):
+    """Bradley-Terry policy ratings (round 5) — the reward-modeling
+    half of the RLHF loop, downstream of ``preference_pairs``: each
+    assistant sibling's generation policy is its node_id mod 3, and
+    the pairwise integer-exact GD fit (8 iters, lr 2.0, hard-sigmoid
+    surrogate, quantized-bigint gradients — the pairwise sibling of
+    the quality classifier) recovers one strength per policy,
+    bit-identical under any partitioning.  The DuckDB oracle replays
+    the ENTIRE unrolled trajectory."""
+    from pg_pb3_ld_spark.functions.preference import bt_ratings
+    from pg_pb3_ld_spark.functions.textops import preference_pairs
+
+    pairs = preference_pairs(_branch_turns(spark, sf_dir)).select(
+        (F.col("chosen_id") % 3).cast("int").alias("winner_model"),
+        (F.col("rejected_id") % 3).cast("int").alias("loser_model"),
+    )
+    return bt_ratings(pairs, 3, n_iters=8, lr=2.0)
+
+
 def q_doc_pseudonymize(spark, sf_dir):
     """Keyed pseudonymization (round 5 compliance family): replace a
     subject identifier with a stable md5-keyed token AND scrub its
@@ -3696,6 +3715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_pref_pairs": q_transcript_pref_pairs,
     "doc_pseudonymize": q_doc_pseudonymize,
     "cdc_erasure": q_cdc_erasure,
+    "transcript_bt_ratings": q_transcript_bt_ratings,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -4931,7 +4951,120 @@ def _extra_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     out = _extra_oracles()
     out.update(_literal_oracles())
+    out["transcript_bt_ratings"] = _bt_oracle_sql()
     return out
+
+
+def _bt_oracle_sql(n_iters: int = 8, lr: float = 2.0) -> str:
+    """Unrolled DuckDB replay of the Bradley-Terry fit: the branched-
+    tree synthesis + preference-pair ranking (same CTEs as
+    transcript_pref_pairs), then ``n_iters`` GD iterations mirroring
+    functions/preference.py op-for-op (hard-sigmoid surrogate,
+    round(·2^20) BIGINT gradient sums, driver-double θ updates)."""
+    ctes = """t AS (
+            SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                   CAST(doc_id % 8 AS BIGINT) AS node_id,
+                   CAST(CASE CAST(doc_id % 8 AS BIGINT)
+                        WHEN 1 THEN 0
+                        WHEN 2 THEN 1 WHEN 3 THEN 1
+                        WHEN 4 THEN 2
+                        WHEN 5 THEN 4 WHEN 6 THEN 4
+                        WHEN 7 THEN (
+                            CASE CAST(doc_id // 8 AS BIGINT) % 3
+                            WHEN 0 THEN 1 WHEN 1 THEN 5
+                            ELSE 6 END)
+                        END AS BIGINT) AS parent_id,
+                   CASE
+                       WHEN doc_id % 8 = 0 THEN 'system'
+                       WHEN doc_id % 8 IN (1, 4) THEN 'user'
+                       WHEN doc_id % 8 = 7 THEN (
+                           CASE WHEN CAST(doc_id // 8 AS BIGINT)
+                                     % 3 = 0
+                                THEN 'assistant' ELSE 'user' END)
+                       ELSE 'assistant' END AS role,
+                   CAST((CAST(doc_id // 8 AS BIGINT) * 7
+                         + CAST(doc_id % 8 AS BIGINT) * 13) % 5
+                        AS BIGINT) AS score
+            FROM documents
+        ),
+        c AS (
+            SELECT conv_id, parent_id, node_id, score FROM t
+            WHERE role = 'assistant' AND parent_id IS NOT NULL
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY conv_id, parent_id
+                       ORDER BY score DESC, node_id ASC
+                   ) AS rn,
+                   count(*) OVER (
+                       PARTITION BY conv_id, parent_id
+                   ) AS n
+            FROM c
+        ),
+        ch AS (
+            SELECT conv_id, parent_id, node_id AS chosen_id
+            FROM r WHERE rn = 1 AND n >= 2
+        ),
+        bt_pairs AS (
+            SELECT CAST(ch.chosen_id % 3 AS INT) AS w,
+                   CAST(c.node_id % 3 AS INT) AS l
+            FROM c JOIN ch USING (conv_id, parent_id)
+            WHERE c.node_id <> ch.chosen_id
+        ),
+        bt_w0 AS (SELECT 0.0 AS t0, 0.0 AS t1, 0.0 AS t2)"""
+
+    def theta_of(col: str) -> str:
+        return (f"(CASE {col} WHEN 0 THEN pw.t0 WHEN 1 THEN pw.t1 "
+                f"ELSE pw.t2 END)")
+
+    prev = "bt_w0"
+    for it in range(1, n_iters + 1):
+        p = (f"least(greatest((0.25 * ({theta_of('w')} - "
+             f"{theta_of('l')})) + 0.5, 0.0), 1.0)")
+        gs = ", ".join(
+            f"sum(CASE WHEN w = {m} THEN qe ELSE 0 END)"
+            f" - sum(CASE WHEN l = {m} THEN qe ELSE 0 END) AS g{m}"
+            for m in range(3)
+        )
+        ws = ", ".join(
+            f"pw.t{m} + ({lr!r} * ((CAST(g.g{m} AS DOUBLE) / 1048576.0)"
+            f" / CAST(g.n AS DOUBLE))) AS t{m}"
+            for m in range(3)
+        )
+        ctes += f""",
+        bt_g{it} AS (
+            SELECT {gs}, count(*) AS n
+            FROM (
+                SELECT w, l,
+                       CAST(round((1.0 - {p}) * 1048576.0) AS BIGINT)
+                           AS qe
+                FROM bt_pairs, {prev} pw
+            )
+        ),
+        bt_w{it} AS (
+            SELECT {ws} FROM {prev} pw, bt_g{it} g
+        )"""
+        prev = f"bt_w{it}"
+
+    return f"""
+        WITH {ctes}
+        SELECT m.model_id,
+               COALESCE(wn.n_wins, 0) AS n_wins,
+               COALESCE(ls.n_losses, 0) AS n_losses,
+               floor((CASE m.model_id WHEN 0 THEN fw.t0
+                      WHEN 1 THEN fw.t1 ELSE fw.t2 END)
+                     * 1000000.0) / 1000000.0 AS theta6
+        FROM (SELECT 0 AS model_id UNION ALL SELECT 1
+              UNION ALL SELECT 2) m
+        LEFT JOIN (SELECT w AS model_id,
+                          CAST(count(*) AS BIGINT) AS n_wins
+                   FROM bt_pairs GROUP BY w) wn USING (model_id)
+        LEFT JOIN (SELECT l AS model_id,
+                          CAST(count(*) AS BIGINT) AS n_losses
+                   FROM bt_pairs GROUP BY l) ls USING (model_id)
+        CROSS JOIN {prev} fw
+    """
 
 
 def _bpe_oracle_ctes(n: int = 10) -> str:

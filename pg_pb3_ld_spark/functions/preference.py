@@ -1,0 +1,118 @@
+"""Bradley-Terry policy ratings from preference pairs — the reward-
+modeling half of the RLHF data loop, fit in pure Catalyst with the
+repo's integer-exact full-batch GD discipline (the pairwise sibling
+of functions/classifier.py; same hard-sigmoid surrogate, same
+quantized-bigint gradients, same weights-as-literals shape).
+
+Given (winner, loser) pairs over a SMALL set of policies (models,
+prompt variants, decoding configs — the thing A/B'd at training
+time), Bradley-Terry models P(w beats l) = sigmoid(θ_w − θ_l) and the
+fit recovers one strength per policy.  Design points:
+
+* **hard sigmoid** surrogate (exact IEEE mul/add/min/max only) so the
+  trajectory cannot fork on a libm ulp between engines;
+* each pair contributes ``qe = round((1 − p)·2^20)`` ONCE and enters
+  the winner's gradient as +qe and the loser's as −qe — exact
+  antisymmetry, so ``Σ_m g_m = 0`` per pair and ``Σ_m θ_m`` stays
+  exactly 0.0 through every iteration (a free invariant the tests
+  pin);
+* per-model gradients are order-independent exact BIGINT sums → the
+  fit is bit-identical under any partitioning or cluster size;
+* one map-side-combining hash aggregate per iteration (2·k
+  conditional sums + a count over the pair scan); θ rides as
+  literals.  At 10^9 pairs an iteration is a single scan-agg — no
+  row shuffle, no Python, no MLlib.
+
+No reference counterpart (johto/pg_pb3_ld is a CDC decoder); part of
+the training-data toolkit downstream of
+``textops.preference_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pg_pb3_ld_spark.functions.classifier import QUANT, hard_sigmoid
+
+
+def _theta_expr(col: str, theta: list[float]):
+    e = F.lit(0.0)
+    for m, t in enumerate(theta):
+        e = F.when(F.col(col) == m, F.lit(t)).otherwise(e)
+    return e
+
+
+def bt_fit(
+    pairs: DataFrame,
+    n_models: int,
+    winner_col: str = "winner_model",
+    loser_col: str = "loser_model",
+    n_iters: int = 8,
+    lr: float = 2.0,
+) -> list[float]:
+    """Full-batch GD from θ=0; returns the strength per policy id
+    (ids must be 0..n_models−1).  Self-pairs (winner == loser) are
+    exact no-ops (+qe and −qe cancel in the same sum)."""
+    pairs = pairs.persist()
+    try:
+        theta = [0.0] * n_models
+        for _ in range(n_iters):
+            delta = _theta_expr(winner_col, theta) - _theta_expr(
+                loser_col, theta
+            )
+            qe = F.round((F.lit(1.0) - hard_sigmoid(delta)) * F.lit(QUANT)
+                         ).cast("long")
+            aggs = [
+                (
+                    F.sum(F.when(F.col(winner_col) == m, qe).otherwise(0))
+                    - F.sum(F.when(F.col(loser_col) == m, qe).otherwise(0))
+                ).alias(f"g{m}")
+                for m in range(n_models)
+            ] + [F.count(F.lit(1)).alias("n")]
+            row = pairs.agg(*aggs).collect()[0]
+            n = float(row["n"])
+            theta = [
+                theta[m] + lr * ((row[f"g{m}"] / QUANT) / n)
+                for m in range(n_models)
+            ]
+        return theta
+    finally:
+        pairs.unpersist()
+
+
+def bt_ratings(
+    pairs: DataFrame,
+    n_models: int,
+    winner_col: str = "winner_model",
+    loser_col: str = "loser_model",
+    n_iters: int = 8,
+    lr: float = 2.0,
+) -> DataFrame:
+    """(model_id, n_wins, n_losses, theta6) — fitted Bradley-Terry
+    strengths plus the raw win/loss tallies.  ``theta6`` is the
+    strength floored to 1e-6 (stable cross-engine hashing, same
+    convention as the classifier margins).  Every model 0..n−1 gets a
+    row even when it never appears in a pair (θ stays 0)."""
+    theta = bt_fit(pairs, n_models, winner_col, loser_col, n_iters, lr)
+    spark = pairs.sparkSession
+    base = spark.createDataFrame(
+        [(m, float(t)) for m, t in enumerate(theta)],
+        "model_id int, _theta double",
+    )
+    wins = pairs.groupBy(
+        F.col(winner_col).cast("int").alias("model_id")
+    ).agg(F.count(F.lit(1)).alias("n_wins"))
+    losses = pairs.groupBy(
+        F.col(loser_col).cast("int").alias("model_id")
+    ).agg(F.count(F.lit(1)).alias("n_losses"))
+    return (
+        base.join(wins, "model_id", "left")
+        .join(losses, "model_id", "left")
+        .select(
+            "model_id",
+            F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
+            F.coalesce("n_losses", F.lit(0)).alias("n_losses"),
+            (F.floor(F.col("_theta") * F.lit(1e6)) / F.lit(1e6))
+            .alias("theta6"),
+        )
+    )
