@@ -3235,6 +3235,50 @@ def q_transcript_pref_pairs(spark, sf_dir):
     return preference_pairs(_branch_turns(spark, sf_dir))
 
 
+def q_cdc_shard_refresh(spark, sf_dir):
+    """Incremental export maintenance (round 5) — the CDC-to-corpus
+    glue: a THREE-batch replay through a changelog store, an export
+    conceptually taken at snapshot 2, then `read_changes` since that
+    snapshot drives `layout.shard_refresh_plan`: which md5-portable
+    export shards are stale, the INSERT/UPDATE/DELETE counts each must
+    apply, and its post-refresh row count — re-export only the stale
+    shards, never the corpus.  DuckDB independently derives batch 3's
+    exact CDF classification against the post-batch-2 state AND the
+    final live table, so a wrong classification, a missed delete, or
+    a misplaced shard all hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from pg_pb3_ld_spark.functions.layout import shard_refresh_plan
+    from pg_pb3_ld_spark.schema import transcripts_schema
+    from pg_pb3_ld_spark.sinks.store import SnapshotStore
+
+    ev = _events(spark, sf_dir)
+    row = ev.agg(
+        F.floor(F.max("event_id") / 3).cast("long").alias("c1"),
+        F.floor(F.max("event_id") * 2 / 3).cast("long").alias("c2"),
+    ).collect()[0]
+    c1, c2 = row["c1"], row["c2"]
+
+    root = tempfile.mkdtemp(prefix="pb3ld_refresh_")
+    try:
+        store = SnapshotStore.create(
+            spark, root, transcripts_schema(), num_buckets=8,
+            bucket_fn="md5", changelog=True,
+        )
+        store.merge(_fold_event_batch(ev, -1, c1), batch_id=1)
+        store.merge(_fold_event_batch(ev, c1, c2), batch_id=2)
+        export_snap = store.snapshot_id
+        store.merge(_fold_event_batch(ev, c2, 1 << 62), batch_id=3)
+        store.refresh()
+        changes = store.read_changes(since_snapshot=export_snap)
+        return shard_refresh_plan(
+            changes, store.read_table(), "conv_id", 8
+        ).orderBy("shard").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_transcript_bt_ratings(spark, sf_dir):
     """Bradley-Terry policy ratings (round 5) — the reward-modeling
     half of the RLHF loop, downstream of ``preference_pairs``: each
@@ -3716,6 +3760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pseudonymize": q_doc_pseudonymize,
     "cdc_erasure": q_cdc_erasure,
     "transcript_bt_ratings": q_transcript_bt_ratings,
+    "cdc_shard_refresh": q_cdc_shard_refresh,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6842,6 +6887,90 @@ def _literal_oracles() -> dict[str, str]:
                    ch.chosen_score - c.score AS margin
             FROM c JOIN ch USING (conv_id, parent_id)
             WHERE c.node_id <> ch.chosen_id
+        """,
+        "cdc_shard_refresh": """
+            -- derives batch 3's exact CDF classification against the
+            -- post-batch-2 state, the final live table, and the
+            -- md5%8 shard placement of both
+            WITH c AS (
+                SELECT CAST(floor(max(event_id) / 3) AS BIGINT) AS c1,
+                       CAST(floor(max(event_id) * 2 / 3) AS BIGINT)
+                           AS c2
+                FROM events
+            ),
+            ek AS (
+                SELECT concat('c', CAST(user_id % 50 AS VARCHAR))
+                           AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       event_id, event_type,
+                       CASE WHEN event_id <= (SELECT c1 FROM c) THEN 1
+                            WHEN event_id <= (SELECT c2 FROM c) THEN 2
+                            ELSE 3 END AS batch
+                FROM events
+            ),
+            fb AS (
+                SELECT conv_id, turn_idx, batch,
+                       CASE WHEN event_type = 'error'
+                            THEN 'DELETE' ELSE 'PATCH' END AS kind
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, batch
+                        ORDER BY event_id DESC
+                    ) AS rn FROM ek
+                ) WHERE rn = 1
+            ),
+            s12 AS (
+                SELECT conv_id, turn_idx FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY batch DESC
+                    ) AS rn FROM fb WHERE batch <= 2
+                ) WHERE rn = 1 AND kind = 'PATCH'
+            ),
+            b3 AS (SELECT * FROM fb WHERE batch = 3),
+            feed3 AS (
+                SELECT b3.conv_id,
+                       CASE WHEN b3.kind = 'DELETE' THEN 'DELETE'
+                            WHEN s12.conv_id IS NULL THEN 'INSERT'
+                            ELSE 'UPDATE' END AS change_type
+                FROM b3 LEFT JOIN s12
+                  ON b3.conv_id = s12.conv_id
+                 AND b3.turn_idx = s12.turn_idx
+                WHERE NOT (b3.kind = 'DELETE' AND s12.conv_id IS NULL)
+            ),
+            live3 AS (
+                SELECT conv_id, turn_idx FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY batch DESC
+                    ) AS rn FROM fb
+                ) WHERE rn = 1 AND kind = 'PATCH'
+            ),
+            plan AS (
+                SELECT CAST(CAST(concat(
+                           '0x', substr(md5(conv_id), 1, 15)
+                       ) AS BIGINT) % 8 AS INT) AS shard,
+                       CAST(sum(CASE WHEN change_type = 'INSERT'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_inserts,
+                       CAST(sum(CASE WHEN change_type = 'UPDATE'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_updates,
+                       CAST(sum(CASE WHEN change_type = 'DELETE'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_deletes
+                FROM feed3 GROUP BY 1
+            ),
+            cur AS (
+                SELECT CAST(CAST(concat(
+                           '0x', substr(md5(conv_id), 1, 15)
+                       ) AS BIGINT) % 8 AS INT) AS shard,
+                       CAST(count(*) AS BIGINT) AS n_rows_after
+                FROM live3 GROUP BY 1
+            )
+            SELECT p.shard, p.n_inserts, p.n_updates, p.n_deletes,
+                   COALESCE(cur.n_rows_after, 0) AS n_rows_after
+            FROM plan p LEFT JOIN cur USING (shard)
         """,
         "doc_pseudonymize": """
             -- replays the keyed-token construction and the in-text

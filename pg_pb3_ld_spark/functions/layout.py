@@ -198,3 +198,57 @@ def export_shards(
         stats, "shard int, n_files int, bytes bigint"
     )
     return manifest.join(F.broadcast(stats_df), "shard")
+
+
+def shard_refresh_plan(
+    changes: DataFrame,
+    current: DataFrame,
+    key_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Incremental export maintenance: which shards of a sharded
+    corpus export are STALE given the change feed since the export's
+    snapshot, and what each must now contain.
+
+    ``changes`` = a ``SnapshotStore.read_changes`` slice (needs
+    ``change_type`` + the key column); ``current`` = the live table.
+    One row per shard that received ANY change: the INSERT / UPDATE /
+    DELETE counts to apply and ``n_rows_after`` (the shard's post-
+    refresh row count — 0 when the refresh empties it).  Untouched
+    shards are absent: their files and manifest entries remain valid,
+    which is the point — at 10^10 rows re-exporting 3 stale shards
+    instead of all N is the difference between a minutes-long
+    incremental refresh and a full-corpus rewrite.
+
+    Scale shape: two map-side-combining hash aggs (feed slice,
+    current table) + one left equi join on the tiny shard key — no
+    payload shuffle; compose with :func:`export_shards` restricted to
+    the stale shard list, and the shard assignment stays the portable
+    md5 :func:`shard_key`, so the refreshed manifest certifies
+    against the untouched shards' old entries."""
+    ch = changes.select(
+        shard_key(F.col(key_col), n_shards).alias("shard"),
+        "change_type",
+    )
+    plan = ch.groupBy("shard").agg(
+        F.sum(F.when(F.col("change_type") == "INSERT", 1).otherwise(0))
+        .alias("n_inserts"),
+        F.sum(F.when(F.col("change_type") == "UPDATE", 1).otherwise(0))
+        .alias("n_updates"),
+        F.sum(F.when(F.col("change_type") == "DELETE", 1).otherwise(0))
+        .alias("n_deletes"),
+    )
+    cur = (
+        current.select(
+            shard_key(F.col(key_col), n_shards).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows_after"))
+    )
+    return plan.join(cur, "shard", "left").select(
+        "shard",
+        "n_inserts",
+        "n_updates",
+        "n_deletes",
+        F.coalesce("n_rows_after", F.lit(0)).alias("n_rows_after"),
+    )

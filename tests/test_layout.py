@@ -121,3 +121,43 @@ def test_zorder_bounds_both_dimensions(spark, tmpdir_path):
         == spark.read.parquet(base_path).count()
         == n
     )
+
+
+def test_shard_refresh_plan_counts_and_absent_untouched(spark):
+    from pg_pb3_ld_spark.functions.layout import (
+        shard_key, shard_refresh_plan,
+    )
+
+    changes = spark.createDataFrame(
+        [("c1", "INSERT"), ("c1", "UPDATE"), ("c9", "DELETE")],
+        "conv_id string, change_type string",
+    )
+    current = spark.createDataFrame(
+        [("c1",), ("c1",), ("c2",)], "conv_id string"
+    )
+    plan = {r["shard"]: r for r in shard_refresh_plan(
+        changes, current, "conv_id", 4
+    ).collect()}
+    shards = {
+        c: spark.createDataFrame([(c,)], "conv_id string")
+        .select(shard_key(F.col("conv_id"), 4)).collect()[0][0]
+        for c in ("c1", "c2", "c9")
+    }
+    # expectations derived from the shard map (keys may co-locate)
+    exp: dict[int, list[int]] = {}
+    for conv, kind in (("c1", "INSERT"), ("c1", "UPDATE"),
+                       ("c9", "DELETE")):
+        e = exp.setdefault(shards[conv], [0, 0, 0, 0])
+        e["INSERT UPDATE DELETE".split().index(kind)] += 1
+    for conv in ("c1", "c1", "c2"):
+        if shards[conv] in exp:           # untouched shards absent
+            exp[shards[conv]][3] += 1
+    assert set(plan) == set(exp)
+    for sh, (ni, nu, nd, nr) in exp.items():
+        r = plan[sh]
+        assert (r["n_inserts"], r["n_updates"], r["n_deletes"],
+                r["n_rows_after"]) == (ni, nu, nd, nr)
+    # a changed shard with no surviving rows must report 0, not NULL
+    only_del = [s for s in exp if exp[s][3] == 0]
+    for s in only_del:
+        assert plan[s]["n_rows_after"] == 0
