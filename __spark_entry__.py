@@ -3235,6 +3235,32 @@ def q_transcript_pref_pairs(spark, sf_dir):
     return preference_pairs(_branch_turns(spark, sf_dir))
 
 
+def q_transcript_context_fit(spark, sf_dir):
+    """Context-window fitting (round 5): keep every system turn plus
+    the longest turn-SUFFIX whose token total fits the remaining
+    budget — the standard truncate-from-the-front chat policy,
+    preserving turn boundaries (vs ``doc_pack_chunks`` which packs
+    documents ACROSS boundaries).  One conv_id exchange shared by
+    both window passes.  Conversations are documents grouped 10 turns
+    each (turn 0 = system); budget 300 tokens exercises full-fit,
+    truncated, and system-only outcomes at sf0.01."""
+    from pg_pb3_ld_spark.functions.textops import context_fit
+
+    d = F.col("doc_id")
+    slot = (d % 10).cast("int")
+    turns = _documents(spark, sf_dir).select(
+        (d / 10).cast("long").alias("conv_id"),
+        slot.alias("turn_idx"),
+        F.when(slot == 0, "system")
+        .when(slot % 2 == 1, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("n_tokens"),
+    )
+    return context_fit(turns, budget=300)
+
+
 def q_cdc_shard_refresh(spark, sf_dir):
     """Incremental export maintenance (round 5) — the CDC-to-corpus
     glue: a THREE-batch replay through a changelog store, an export
@@ -3761,6 +3787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_erasure": q_cdc_erasure,
     "transcript_bt_ratings": q_transcript_bt_ratings,
     "cdc_shard_refresh": q_cdc_shard_refresh,
+    "transcript_context_fit": q_transcript_context_fit,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6887,6 +6914,42 @@ def _literal_oracles() -> dict[str, str]:
                    ch.chosen_score - c.score AS margin
             FROM c JOIN ch USING (conv_id, parent_id)
             WHERE c.node_id <> ch.chosen_id
+        """,
+        "transcript_context_fit": """
+            -- replays the turn synthesis and both window passes
+            -- (system-token total + reverse suffix running sum)
+            WITH t AS (
+                SELECT CAST(doc_id // 10 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 10 AS INT) AS turn_idx,
+                       CASE WHEN doc_id % 10 = 0 THEN 'system'
+                            WHEN (doc_id % 10) % 2 = 1 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            w AS (
+                SELECT *,
+                       sum(CASE WHEN role = 'system' THEN n_tokens
+                                ELSE 0 END) OVER (
+                           PARTITION BY conv_id
+                       ) AS sys_tokens,
+                       sum(CASE WHEN role = 'system' THEN 0
+                                ELSE n_tokens END) OVER (
+                           PARTITION BY conv_id
+                           ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS suffix
+                FROM t
+            )
+            SELECT conv_id, turn_idx, role, n_tokens, sys_tokens,
+                   CASE WHEN role = 'system' THEN NULL
+                        ELSE suffix END AS suffix_tokens,
+                   (role = 'system'
+                    OR suffix <= greatest(300 - sys_tokens, 0))
+                       AS kept
+            FROM w
         """,
         "cdc_shard_refresh": """
             -- derives batch 3's exact CDF classification against the

@@ -793,3 +793,55 @@ def preference_pairs(
             (F.col("chosen_score") - F.col("_score")).alias("margin"),
         )
     )
+
+
+def context_fit(
+    df, budget: int, conv_col: str = "conv_id",
+    turn_col: str = "turn_idx", role_col: str = "role",
+    tokens_col: str = "n_tokens",
+):
+    """Context-window fitting for chat training samples: keep every
+    ``system`` turn (standing instructions) plus the LONGEST SUFFIX of
+    the remaining turns whose token total fits the budget left after
+    the system turns — the standard truncate-from-the-front policy
+    that preserves turn boundaries (never splits a turn; a turn that
+    doesn't fit is dropped whole, unlike ``pack_sequences`` which
+    packs documents across boundaries).
+
+    Returns every input row tagged ``kept`` (boolean) plus
+    ``sys_tokens`` and ``suffix_tokens`` (the running suffix total
+    that decided the row, NULL on system rows) so downstream filters
+    and audits both read from one pass.
+
+    Scale shape: ONE hash exchange on the conversation key shared by
+    both window passes (a partition-wide system-token sum and a
+    reverse running sum over the non-system turns); partition sizes
+    are bounded by conversation length, never corpus size.  Pure
+    Catalyst — no Python, no explode."""
+    from pyspark.sql import Window
+
+    conv = F.col(conv_col)
+    is_sys = F.col(role_col) == "system"
+    wp = Window.partitionBy(conv_col)
+    wr = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(tokens_col).cast("long")
+    sys_tokens = F.sum(F.when(is_sys, toks).otherwise(0)).over(wp)
+    # reverse running total over NON-system turns only (system rows
+    # contribute 0 and take no suffix slot)
+    suffix = F.sum(F.when(is_sys, F.lit(0)).otherwise(toks)).over(wr)
+    left = F.greatest(F.lit(budget) - sys_tokens, F.lit(0))
+    return df.select(
+        conv_col,
+        turn_col,
+        role_col,
+        toks.alias(tokens_col),
+        sys_tokens.alias("sys_tokens"),
+        F.when(is_sys, F.lit(None).cast("long"))
+        .otherwise(suffix)
+        .alias("suffix_tokens"),
+        (is_sys | (suffix <= left)).alias("kept"),
+    )

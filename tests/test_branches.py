@@ -108,3 +108,67 @@ def test_preference_pairs_ignores_non_assistant(spark):
     ]
     # only ONE assistant candidate under parent 0 -> nothing
     assert preference_pairs(_tree(spark, rows)).count() == 0
+
+
+# ------------------------------------------------------- context_fit
+
+from pg_pb3_ld_spark.functions.textops import context_fit  # noqa: E402
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, n_tokens long"
+    )
+
+
+def test_context_fit_suffix_and_system(spark):
+    rows = [
+        (1, 0, "system", 10),
+        (1, 1, "user", 50),
+        (1, 2, "assistant", 40),
+        (1, 3, "user", 30),
+        (1, 4, "assistant", 20),
+    ]
+    # budget 100: system(10) leaves 90 -> suffix 20+30+40=90 fits,
+    # +50 would overflow
+    out = {r["turn_idx"]: r for r in
+           context_fit(_turns(spark, rows), budget=100).collect()}
+    assert [out[i]["kept"] for i in range(5)] == [
+        True, False, True, True, True
+    ]
+    assert out[0]["suffix_tokens"] is None       # system row
+    assert out[2]["suffix_tokens"] == 90
+    assert all(r["sys_tokens"] == 10 for r in out.values())
+
+
+def test_context_fit_system_exceeds_budget(spark):
+    rows = [(2, 0, "system", 500), (2, 1, "user", 1)]
+    out = {r["turn_idx"]: r for r in
+           context_fit(_turns(spark, rows), budget=100).collect()}
+    # system always kept; remaining budget floors at 0 -> no turns
+    assert out[0]["kept"] is True
+    assert out[1]["kept"] is False
+
+
+def test_context_fit_turn_boundary_preserved(spark):
+    # the newest turn alone exceeds the budget: dropped whole
+    rows = [(3, 0, "system", 0), (3, 1, "user", 10), (3, 2, "user", 99)]
+    out = {r["turn_idx"]: r for r in
+           context_fit(_turns(spark, rows), budget=50).collect()}
+    assert out[2]["kept"] is False
+    # and the older small turn does NOT sneak in past a dropped
+    # newer one (suffix is contiguous from the end by construction:
+    # its running sum already includes the dropped turn)
+    assert out[1]["kept"] is False
+
+
+def test_context_fit_partition_invariance(spark):
+    rows = [
+        (c, i, "system" if i == 0 else "user", (c * 3 + i * 7) % 40)
+        for c in range(8) for i in range(6)
+    ]
+    df = _turns(spark, rows)
+    a = sorted(map(tuple, context_fit(df, budget=60).collect()))
+    b = sorted(map(tuple,
+                   context_fit(df.repartition(7), budget=60).collect()))
+    assert a == b
