@@ -3235,6 +3235,20 @@ def q_transcript_pref_pairs(spark, sf_dir):
     return preference_pairs(_branch_turns(spark, sf_dir))
 
 
+def q_transcript_best_path(spark, sf_dir):
+    """Best-trajectory selection (round 5) — rejection sampling over
+    regenerated conversation trees: per conversation, keep the
+    root→leaf path with the maximum total turn score (ties → min
+    leaf).  The path score rides the pointer-doubling state itself
+    (one extra long folded per round — no explode-and-rejoin), and
+    the winner uses the SortAggregate-proof two-pass ranking.  The
+    DuckDB oracle walks every path with a score-accumulating
+    recursive CTE and ranks with row_number."""
+    from pg_pb3_ld_spark.functions.textops import best_paths
+
+    return best_paths(_branch_turns(spark, sf_dir))
+
+
 def q_transcript_context_fit(spark, sf_dir):
     """Context-window fitting (round 5): keep every system turn plus
     the longest turn-SUFFIX whose token total fits the remaining
@@ -3788,6 +3802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_bt_ratings": q_transcript_bt_ratings,
     "cdc_shard_refresh": q_cdc_shard_refresh,
     "transcript_context_fit": q_transcript_context_fit,
+    "transcript_best_path": q_transcript_best_path,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6914,6 +6929,75 @@ def _literal_oracles() -> dict[str, str]:
                    ch.chosen_score - c.score AS margin
             FROM c JOIN ch USING (conv_id, parent_id)
             WHERE c.node_id <> ch.chosen_id
+        """,
+        "transcript_best_path": """
+            -- walks every root→leaf path with a score-accumulating
+            -- recursive CTE, then ranks (total DESC, leaf ASC)
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS BIGINT) AS node_id,
+                       CAST(CASE CAST(doc_id % 8 AS BIGINT)
+                            WHEN 1 THEN 0
+                            WHEN 2 THEN 1 WHEN 3 THEN 1
+                            WHEN 4 THEN 2
+                            WHEN 5 THEN 4 WHEN 6 THEN 4
+                            WHEN 7 THEN (
+                                CASE CAST(doc_id // 8 AS BIGINT) % 3
+                                WHEN 0 THEN 1 WHEN 1 THEN 5
+                                ELSE 6 END)
+                            END AS BIGINT) AS parent_id,
+                       CAST((CAST(doc_id // 8 AS BIGINT) * 7
+                             + CAST(doc_id % 8 AS BIGINT) * 13) % 5
+                            AS BIGINT) AS score
+                FROM documents
+            ),
+            leaves AS (
+                SELECT conv_id, node_id FROM t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM t p
+                    WHERE p.conv_id = t.conv_id
+                      AND p.parent_id = t.node_id
+                )
+            ),
+            walk AS (
+                SELECT l.conv_id, l.node_id AS leaf_id,
+                       l.node_id AS cur,
+                       CAST(l.node_id AS VARCHAR) AS path,
+                       1 AS depth, t0.score AS total
+                FROM leaves l
+                JOIN t t0 ON t0.conv_id = l.conv_id
+                         AND t0.node_id = l.node_id
+                UNION ALL
+                SELECT w.conv_id, w.leaf_id, t.parent_id,
+                       CAST(t.parent_id AS VARCHAR) || '/' || w.path,
+                       w.depth + 1, w.total + tp.score
+                FROM walk w
+                JOIN t ON t.conv_id = w.conv_id
+                      AND t.node_id = w.cur
+                JOIN t tp ON tp.conv_id = w.conv_id
+                         AND tp.node_id = t.parent_id
+                WHERE t.parent_id IS NOT NULL
+            ),
+            fp AS (
+                SELECT w.conv_id, w.leaf_id,
+                       CAST(w.depth AS INT) AS depth, w.path, w.total
+                FROM walk w JOIN t ON t.conv_id = w.conv_id
+                                  AND t.node_id = w.cur
+                WHERE t.parent_id IS NULL
+            ),
+            rk AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY conv_id
+                           ORDER BY total DESC, leaf_id ASC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY conv_id) AS np
+                FROM fp
+            )
+            SELECT conv_id, leaf_id, depth, path,
+                   total AS total_score,
+                   CAST(np AS BIGINT) AS n_paths
+            FROM rk WHERE rn = 1
         """,
         "transcript_context_fit": """
             -- replays the turn synthesis and both window passes

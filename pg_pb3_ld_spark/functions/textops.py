@@ -637,7 +637,7 @@ def tool_flow(
 def branch_paths(
     df, conv_col: str = "conv_id", node_col: str = "node_id",
     parent_col: str = "parent_id", max_rounds: int = 32,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 4, score_col: str | None = None,
 ):
     """Root-to-leaf path reconstruction over BRANCHED conversations —
     regenerations/edits give a turn multiple children, so a stored
@@ -663,27 +663,39 @@ def branch_paths(
     ``(conv_id, leaf_id, depth, path)`` with ``path`` the root→leaf
     node ids joined by '/'.
 
+    When ``score_col`` is given, a per-path score total rides the
+    SAME doubling state (``score ∥ path``, one more long per node —
+    no extra pass, no explode-and-rejoin): the output gains
+    ``total_score`` = the exact integer sum of the scores along the
+    root→leaf path.
+
     Scale shape: ⌈log2 depth⌉ self-joins on the (conv, node) key +
     one anti-join for leaves; path arrays are bounded by conversation
     depth; lineage is truncated by ``localCheckpoint`` every
     ``checkpoint_every`` rounds exactly like the CC loop."""
-    state = df.select(
+    init = [
         F.col(conv_col).cast("long").alias("conv_id"),
         F.col(node_col).cast("long").alias("node_id"),
         F.col(parent_col).cast("long").alias("_jump"),
         F.array(F.col(node_col).cast("long")).alias("_path"),
-    )
+    ]
+    if score_col is not None:
+        init.append(F.col(score_col).cast("long").alias("_ps"))
+    state = df.select(*init)
     done = False
     for rnd in range(max_rounds):
         if state.where(F.col("_jump").isNotNull()).limit(1).count() == 0:
             done = True
             break
-        right = state.select(
+        rcols = [
             F.col("conv_id").alias("_rc"),
             F.col("node_id").alias("_rn"),
             F.col("_jump").alias("_rjump"),
             F.col("_path").alias("_rpath"),
-        )
+        ]
+        if score_col is not None:
+            rcols.append(F.col("_ps").alias("_rps"))
+        right = state.select(*rcols)
         joined = state.join(
             right,
             (F.col("conv_id") == F.col("_rc"))
@@ -691,7 +703,7 @@ def branch_paths(
             "left",
         )
         settled = F.col("_jump").isNull() | F.col("_rn").isNull()
-        state = joined.select(
+        fold = [
             "conv_id",
             "node_id",
             F.when(settled, F.lit(None).cast("long"))
@@ -700,7 +712,14 @@ def branch_paths(
             F.when(settled, F.col("_path"))
             .otherwise(F.concat(F.col("_path"), F.col("_rpath")))
             .alias("_path"),
-        )
+        ]
+        if score_col is not None:
+            fold.append(
+                F.when(settled, F.col("_ps"))
+                .otherwise(F.col("_ps") + F.col("_rps"))
+                .alias("_ps")
+            )
+        state = joined.select(*fold)
         if (rnd + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
     if not done and state.where(
@@ -716,7 +735,7 @@ def branch_paths(
         F.col(parent_col).cast("long").alias("node_id"),
     ).distinct()
     leaves = state.join(parents, ["conv_id", "node_id"], "left_anti")
-    return leaves.select(
+    out = [
         "conv_id",
         F.col("node_id").alias("leaf_id"),
         F.size("_path").cast("int").alias("depth"),
@@ -724,6 +743,53 @@ def branch_paths(
             F.transform(F.reverse("_path"), lambda x: x.cast("string")),
             "/",
         ).alias("path"),
+    ]
+    if score_col is not None:
+        out.append(F.col("_ps").alias("total_score"))
+    return leaves.select(*out)
+
+
+def best_paths(
+    df, conv_col: str = "conv_id", node_col: str = "node_id",
+    parent_col: str = "parent_id", score_col: str = "score",
+    max_rounds: int = 32,
+):
+    """Best-trajectory selection (rejection sampling over regenerated
+    conversation trees): of every root→leaf path, keep the one with
+    the MAXIMUM total turn score per conversation — the SFT/
+    process-reward staple downstream of :func:`branch_paths`.
+
+    The per-path score total rides the pointer-doubling state (no
+    explode-and-rejoin), and the winner is picked with the same
+    SortAggregate-proof two-pass ranking as ``preference_pairs``:
+    ``max(total)`` (pass 1), then ``min(leaf) FILTER (total = max)``
+    (pass 2) — deterministic under any partitioning, no window, no
+    packed-bigint range assumption on scores.
+
+    Output: one row per conversation —
+    ``(conv_id, leaf_id, depth, path, total_score, n_paths)``."""
+    paths = branch_paths(
+        df, conv_col, node_col, parent_col,
+        max_rounds=max_rounds, score_col=score_col,
+    )
+    paths = paths.localCheckpoint(eager=True)  # reused three times
+    best = paths.groupBy("conv_id").agg(
+        F.max("total_score").alias("_best"),
+        F.count(F.lit(1)).alias("n_paths"),
+    )
+    chosen = (
+        paths.join(best, "conv_id")
+        .where(F.col("total_score") == F.col("_best"))
+        .groupBy("conv_id")
+        .agg(F.min("leaf_id").alias("leaf_id"))
+    )
+    return (
+        paths.join(chosen, ["conv_id", "leaf_id"])
+        .join(best, "conv_id")
+        .select(
+            "conv_id", "leaf_id", "depth", "path",
+            "total_score", "n_paths",
+        )
     )
 
 

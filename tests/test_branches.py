@@ -172,3 +172,60 @@ def test_context_fit_partition_invariance(spark):
     b = sorted(map(tuple,
                    context_fit(df.repartition(7), budget=60).collect()))
     assert a == b
+
+
+# ------------------------------------------------- scored best paths
+
+from pg_pb3_ld_spark.functions.textops import best_paths  # noqa: E402
+
+
+def test_branch_paths_score_folding(spark):
+    rows = [
+        (1, 0, None, "system", 2),
+        (1, 1, 0, "user", 3),
+        (1, 2, 1, "assistant", 5),
+        (1, 3, 1, "assistant", 1),
+        (1, 4, 2, "user", 7),
+    ]
+    out = {r["leaf_id"]: r["total_score"] for r in branch_paths(
+        _tree(spark, rows), score_col="score"
+    ).collect()}
+    assert out == {3: 2 + 3 + 1, 4: 2 + 3 + 5 + 7}
+
+
+def test_branch_paths_score_deep_chain(spark):
+    rows = [(7, i, i - 1 if i else None, "user", i) for i in range(40)]
+    out = branch_paths(
+        _tree(spark, rows), max_rounds=6, score_col="score"
+    ).collect()
+    assert out[0]["total_score"] == sum(range(40))
+
+
+def test_best_paths_max_total_and_tiebreak(spark):
+    rows = [
+        (1, 0, None, "system", 0),
+        (1, 1, 0, "user", 0),
+        (1, 2, 1, "assistant", 5),   # leaf, total 5
+        (1, 3, 1, "assistant", 2),   # extended below
+        (1, 4, 3, "user", 3),        # leaf, total 5 -> TIE with leaf 2
+        (2, 0, None, "system", 1),
+        (2, 1, 0, "user", 9),        # single path
+    ]
+    out = {r["conv_id"]: r for r in
+           best_paths(_tree(spark, rows)).collect()}
+    # conv 1: totals tie at 5 -> min leaf_id 2 wins
+    assert out[1]["leaf_id"] == 2 and out[1]["total_score"] == 5
+    assert out[1]["n_paths"] == 2
+    assert out[2]["leaf_id"] == 1 and out[2]["total_score"] == 10
+    assert out[2]["n_paths"] == 1
+
+
+def test_best_paths_partition_invariance(spark):
+    rows = [
+        (c, i, i - 1 if i else None, "user", (c * 5 + i * 3) % 7)
+        for c in range(6) for i in range(c + 2)
+    ]
+    df = _tree(spark, rows)
+    a = sorted(map(tuple, best_paths(df).collect()))
+    b = sorted(map(tuple, best_paths(df.repartition(9)).collect()))
+    assert a == b
