@@ -3249,6 +3249,22 @@ def q_transcript_best_path(spark, sf_dir):
     return best_paths(_branch_turns(spark, sf_dir))
 
 
+def q_transcript_win_matrix(spark, sf_dir):
+    """Head-to-head win-rate matrix (round 5) — the eval report next
+    to the Bradley-Terry fit: per unordered policy pair, wins each
+    way + the floor-truncated win rate.  ONE map-side-combining hash
+    agg on the canonical (min, max) key; output ≤ k(k−1)/2 rows
+    regardless of corpus size."""
+    from pg_pb3_ld_spark.functions.preference import win_matrix
+    from pg_pb3_ld_spark.functions.textops import preference_pairs
+
+    pairs = preference_pairs(_branch_turns(spark, sf_dir)).select(
+        (F.col("chosen_id") % 3).cast("int").alias("winner_model"),
+        (F.col("rejected_id") % 3).cast("int").alias("loser_model"),
+    )
+    return win_matrix(pairs)
+
+
 def q_transcript_context_fit(spark, sf_dir):
     """Context-window fitting (round 5): keep every system turn plus
     the longest turn-SUFFIX whose token total fits the remaining
@@ -3803,6 +3819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_shard_refresh": q_cdc_shard_refresh,
     "transcript_context_fit": q_transcript_context_fit,
     "transcript_best_path": q_transcript_best_path,
+    "transcript_win_matrix": q_transcript_win_matrix,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6929,6 +6946,75 @@ def _literal_oracles() -> dict[str, str]:
                    ch.chosen_score - c.score AS margin
             FROM c JOIN ch USING (conv_id, parent_id)
             WHERE c.node_id <> ch.chosen_id
+        """,
+        "transcript_win_matrix": """
+            -- replays the pref-pair ranking, maps siblings to their
+            -- policies (id mod 3), canonicalizes each game to the
+            -- unordered (min, max) pair and aggregates
+            WITH t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS BIGINT) AS node_id,
+                       CAST(CASE CAST(doc_id % 8 AS BIGINT)
+                            WHEN 1 THEN 0
+                            WHEN 2 THEN 1 WHEN 3 THEN 1
+                            WHEN 4 THEN 2
+                            WHEN 5 THEN 4 WHEN 6 THEN 4
+                            WHEN 7 THEN (
+                                CASE CAST(doc_id // 8 AS BIGINT) % 3
+                                WHEN 0 THEN 1 WHEN 1 THEN 5
+                                ELSE 6 END)
+                            END AS BIGINT) AS parent_id,
+                       CASE
+                           WHEN doc_id % 8 = 0 THEN 'system'
+                           WHEN doc_id % 8 IN (1, 4) THEN 'user'
+                           WHEN doc_id % 8 = 7 THEN (
+                               CASE WHEN CAST(doc_id // 8 AS BIGINT)
+                                         % 3 = 0
+                                    THEN 'assistant' ELSE 'user' END)
+                           ELSE 'assistant' END AS role,
+                       CAST((CAST(doc_id // 8 AS BIGINT) * 7
+                             + CAST(doc_id % 8 AS BIGINT) * 13) % 5
+                            AS BIGINT) AS score
+                FROM documents
+            ),
+            c AS (
+                SELECT conv_id, parent_id, node_id, score FROM t
+                WHERE role = 'assistant' AND parent_id IS NOT NULL
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY conv_id, parent_id
+                           ORDER BY score DESC, node_id ASC
+                       ) AS rn,
+                       count(*) OVER (
+                           PARTITION BY conv_id, parent_id
+                       ) AS n
+                FROM c
+            ),
+            ch AS (
+                SELECT conv_id, parent_id, node_id AS chosen_id
+                FROM r WHERE rn = 1 AND n >= 2
+            ),
+            games AS (
+                SELECT CAST(ch.chosen_id % 3 AS INT) AS w,
+                       CAST(c.node_id % 3 AS INT) AS l
+                FROM c JOIN ch USING (conv_id, parent_id)
+                WHERE c.node_id <> ch.chosen_id
+            ),
+            canon AS (
+                SELECT least(w, l) AS model_a,
+                       greatest(w, l) AS model_b,
+                       CASE WHEN w < l THEN 1 ELSE 0 END AS a_won
+                FROM games WHERE w <> l
+            )
+            SELECT model_a, model_b,
+                   CAST(sum(a_won) AS BIGINT) AS a_wins,
+                   CAST(sum(1 - a_won) AS BIGINT) AS b_wins,
+                   CAST(count(*) AS BIGINT) AS n_games,
+                   floor(((CAST(sum(a_won) AS DOUBLE) / count(*))
+                          * 10000)) / 10000 AS a_winrate4
+            FROM canon GROUP BY model_a, model_b
         """,
         "transcript_best_path": """
             -- walks every root→leaf path with a score-accumulating

@@ -116,3 +116,40 @@ def bt_ratings(
             .alias("theta6"),
         )
     )
+
+
+def win_matrix(
+    pairs: DataFrame,
+    winner_col: str = "winner_model",
+    loser_col: str = "loser_model",
+) -> DataFrame:
+    """Pairwise win-rate matrix — the head-to-head eval report that
+    accompanies the Bradley-Terry fit: one row per unordered policy
+    pair ``(model_a < model_b)`` with ``a_wins``, ``b_wins``,
+    ``n_games`` and ``a_winrate4`` (floor-truncated to 4 decimals,
+    the cross-engine convention).  Self-pairs are excluded (they
+    carry no preference signal).
+
+    Scale shape: ONE map-side-combining hash agg on the canonical
+    (min, max) pair key — the matrix is at most k·(k−1)/2 rows
+    regardless of corpus size."""
+    w = F.col(winner_col).cast("int")
+    l = F.col(loser_col).cast("int")
+    canon = pairs.where(w != l).select(
+        F.least(w, l).alias("model_a"),
+        F.greatest(w, l).alias("model_b"),
+        (w < l).cast("int").alias("_a_won"),
+    )
+    return (
+        canon.groupBy("model_a", "model_b")
+        .agg(
+            F.sum("_a_won").alias("a_wins"),
+            F.sum(F.lit(1) - F.col("_a_won")).alias("b_wins"),
+            F.count(F.lit(1)).alias("n_games"),
+        )
+        .select(
+            "model_a", "model_b", "a_wins", "b_wins", "n_games",
+            (F.floor(F.col("a_wins") / F.col("n_games") * 10000)
+             / 10000).alias("a_winrate4"),
+        )
+    )

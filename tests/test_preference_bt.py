@@ -66,3 +66,19 @@ def test_bt_ratings_shape_and_tallies(spark):
     assert (out[3]["n_wins"], out[3]["n_losses"]) == (0, 0)
     assert out[3]["theta6"] == 0.0
     assert out[0]["theta6"] > out[1]["theta6"]
+
+
+def test_win_matrix_canonical_and_rates(spark):
+    from pg_pb3_ld_spark.functions.preference import win_matrix
+
+    p = _pairs(spark, [(0, 1), (0, 1), (1, 0), (2, 1), (1, 1)])
+    out = {(r["model_a"], r["model_b"]): r
+           for r in win_matrix(p).collect()}
+    # self-pair (1,1) excluded; (2,1) canonicalizes to (1,2) with b won
+    assert set(out) == {(0, 1), (1, 2)}
+    r01 = out[(0, 1)]
+    assert (r01["a_wins"], r01["b_wins"], r01["n_games"]) == (2, 1, 3)
+    assert r01["a_winrate4"] == 0.6666
+    r12 = out[(1, 2)]
+    assert (r12["a_wins"], r12["b_wins"]) == (0, 1)
+    assert r12["a_winrate4"] == 0.0
