@@ -3209,6 +3209,7 @@ def _branch_turns(spark, sf_dir):
         parent.alias("parent_id"),
         role.alias("role"),
         ((conv * 7 + slot * 13) % 5).cast("long").alias("score"),
+        F.substring(F.col("text"), 1, 30).alias("text"),
     )
 
 
@@ -3247,6 +3248,49 @@ def q_transcript_best_path(spark, sf_dir):
     from pg_pb3_ld_spark.functions.textops import best_paths
 
     return best_paths(_branch_turns(spark, sf_dir))
+
+
+def q_transcript_tree_sft(spark, sf_dir):
+    """Tree-to-SFT capstone (round 5) — the transcripts-axis
+    integration query: branched conversation trees → best-trajectory
+    selection (score-folded pointer doubling + two-pass ranking) →
+    the winning path linearized (posexplode of the path string,
+    turn join on (conv, node)) → chat-template rendering (exact
+    byte digest) → portable md5 train/val/test split.  Every stage
+    is an already-oracle-proven component; the composed DuckDB oracle
+    re-derives the rendered digest and split per conversation."""
+    from pg_pb3_ld_spark.functions.textops import best_paths, render_chat
+
+    turns = _branch_turns(spark, sf_dir)
+    best = best_paths(turns)
+    steps = best.select(
+        "conv_id", "leaf_id", "total_score",
+        F.posexplode(F.split("path", "/")).alias("pos", "_n"),
+    ).select(
+        "conv_id", "leaf_id", "total_score", "pos",
+        F.col("_n").cast("long").alias("node_id"),
+    )
+    lin = steps.join(turns.select("conv_id", "node_id", "role", "text"),
+                     ["conv_id", "node_id"])
+    rendered = render_chat(lin, turn_col="pos")
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("conv_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return (
+        rendered.join(
+            best.select("conv_id", "leaf_id", "total_score"), "conv_id"
+        )
+        .select(
+            "conv_id", "leaf_id", "total_score", "n_turns",
+            "rendered_chars", "digest",
+            F.when(b < 90, "train").when(b < 95, "val")
+            .otherwise("test").alias("split"),
+        )
+    )
 
 
 def q_transcript_win_matrix(spark, sf_dir):
@@ -3820,6 +3864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_context_fit": q_transcript_context_fit,
     "transcript_best_path": q_transcript_best_path,
     "transcript_win_matrix": q_transcript_win_matrix,
+    "transcript_tree_sft": q_transcript_tree_sft,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
@@ -6946,6 +6991,92 @@ def _literal_oracles() -> dict[str, str]:
                    ch.chosen_score - c.score AS margin
             FROM c JOIN ch USING (conv_id, parent_id)
             WHERE c.node_id <> ch.chosen_id
+        """,
+        "transcript_tree_sft": """
+            -- composes the already-proven stages: best-path walk
+            -- (render + score accumulated leaf→root, so the final
+            -- string is in root→leaf order), ranking, and the
+            -- portable md5 split
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS BIGINT) AS node_id,
+                       CAST(CASE CAST(doc_id % 8 AS BIGINT)
+                            WHEN 1 THEN 0
+                            WHEN 2 THEN 1 WHEN 3 THEN 1
+                            WHEN 4 THEN 2
+                            WHEN 5 THEN 4 WHEN 6 THEN 4
+                            WHEN 7 THEN (
+                                CASE CAST(doc_id // 8 AS BIGINT) % 3
+                                WHEN 0 THEN 1 WHEN 1 THEN 5
+                                ELSE 6 END)
+                            END AS BIGINT) AS parent_id,
+                       CASE
+                           WHEN doc_id % 8 = 0 THEN 'system'
+                           WHEN doc_id % 8 IN (1, 4) THEN 'user'
+                           WHEN doc_id % 8 = 7 THEN (
+                               CASE WHEN CAST(doc_id // 8 AS BIGINT)
+                                         % 3 = 0
+                                    THEN 'assistant' ELSE 'user' END)
+                           ELSE 'assistant' END AS role,
+                       CAST((CAST(doc_id // 8 AS BIGINT) * 7
+                             + CAST(doc_id % 8 AS BIGINT) * 13) % 5
+                            AS BIGINT) AS score,
+                       substr(text, 1, 30) AS text
+                FROM documents
+            ),
+            leaves AS (
+                SELECT conv_id, node_id FROM t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM t p
+                    WHERE p.conv_id = t.conv_id
+                      AND p.parent_id = t.node_id
+                )
+            ),
+            walk AS (
+                SELECT l.conv_id, l.node_id AS leaf_id,
+                       l.node_id AS cur, 1 AS depth,
+                       t0.score AS total,
+                       '<|' || t0.role || '|>' || t0.text AS rend
+                FROM leaves l
+                JOIN t t0 ON t0.conv_id = l.conv_id
+                         AND t0.node_id = l.node_id
+                UNION ALL
+                SELECT w.conv_id, w.leaf_id, t.parent_id,
+                       w.depth + 1, w.total + tp.score,
+                       '<|' || tp.role || '|>' || tp.text
+                           || chr(10) || w.rend
+                FROM walk w
+                JOIN t ON t.conv_id = w.conv_id
+                      AND t.node_id = w.cur
+                JOIN t tp ON tp.conv_id = w.conv_id
+                         AND tp.node_id = t.parent_id
+                WHERE t.parent_id IS NOT NULL
+            ),
+            fp AS (
+                SELECT w.conv_id, w.leaf_id, w.depth, w.total, w.rend
+                FROM walk w JOIN t ON t.conv_id = w.conv_id
+                                  AND t.node_id = w.cur
+                WHERE t.parent_id IS NULL
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id
+                    ORDER BY total DESC, leaf_id ASC
+                ) AS rn
+                FROM fp
+            )
+            SELECT conv_id, leaf_id, total AS total_score,
+                   CAST(depth AS BIGINT) AS n_turns,
+                   CAST(length(rend) AS INT) AS rendered_chars,
+                   md5(rend) AS digest,
+                   CASE WHEN CAST(CAST(concat('0x', substr(
+                            md5(CAST(conv_id AS VARCHAR)), 1, 15
+                        )) AS BIGINT) % 100 AS INT) < 90 THEN 'train'
+                        WHEN CAST(CAST(concat('0x', substr(
+                            md5(CAST(conv_id AS VARCHAR)), 1, 15
+                        )) AS BIGINT) % 100 AS INT) < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM rk WHERE rn = 1
         """,
         "transcript_win_matrix": """
             -- replays the pref-pair ranking, maps siblings to their
