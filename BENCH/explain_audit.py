@@ -412,7 +412,103 @@ def main():
                      "equi full-outer join, no Window, no Python)",
                      inval_plan))
 
+    # round 5 (final additions): preference analytics, best-trajectory
+    # selection, context-window fitting, incremental export refresh
+    from pg_pb3_ld_spark.functions.classifier import QUANT, hard_sigmoid
+    from pg_pb3_ld_spark.functions.layout import shard_refresh_plan
+    from pg_pb3_ld_spark.functions.preference import (
+        _theta_expr,
+        win_matrix,
+    )
+    from pg_pb3_ld_spark.functions.textops import best_paths, context_fit
+
+    pref = spark.createDataFrame(
+        [((i * 3) % 4, (i * 5 + 1) % 4) for i in range(40)],
+        "winner_model int, loser_model int",
+    ).where(F.col("winner_model") != F.col("loser_model"))
+    wm_plan = plan_of(win_matrix(pref))
+    sections.append(("win-rate matrix (expect ONE HashAggregate on the "
+                     "canonical pair key, no Window/Sort, no Python)",
+                     wm_plan))
+
+    # one Bradley-Terry GD iteration: the scan-agg that IS the fit's
+    # per-iteration cost (θ rides as literals; 2k conditional sums)
+    theta0 = [0.0] * 4
+    delta = _theta_expr("winner_model", theta0) - _theta_expr(
+        "loser_model", theta0)
+    qe = F.round((F.lit(1.0) - hard_sigmoid(delta)) * F.lit(QUANT)
+                 ).cast("long")
+    bt_aggs = [
+        (F.sum(F.when(F.col("winner_model") == m, qe).otherwise(0))
+         - F.sum(F.when(F.col("loser_model") == m, qe).otherwise(0))
+         ).alias(f"g{m}")
+        for m in range(4)
+    ] + [F.count(F.lit(1)).alias("n")]
+    bt_plan = plan_of(pref.agg(*bt_aggs))
+    sections.append(("Bradley-Terry GD iteration (expect ONE "
+                     "HashAggregate scan with map-side partials, no "
+                     "join, no Window, no Python)", bt_plan))
+
+    best_plan = plan_of(best_paths(tree, max_rounds=4))
+    sections.append(("best-trajectory selection (expect HashAggregate "
+                     "ranking + equi join-backs, no Window, no "
+                     "NestedLoop, no Python)", best_plan))
+
+    chat = spark.createDataFrame(
+        [(c, i,
+          "system" if i == 0 else ("user" if i % 2 else "assistant"),
+          40 + 13 * i)
+         for c in range(5) for i in range(7)],
+        "conv_id long, turn_idx int, role string, n_tokens int",
+    )
+    cf_plan = plan_of(context_fit(chat, budget=200))
+    sections.append(("context-window fitting (expect ONE conv_id "
+                     "exchange shared by both window passes, no "
+                     "Python)", cf_plan))
+
+    refresh_changes = spark.createDataFrame(
+        [(f"c{i}", ("INSERT", "UPDATE", "DELETE")[i % 3])
+         for i in range(30)],
+        "conv_id string, change_type string",
+    )
+    refresh_cur = spark.createDataFrame(
+        [(f"c{i}",) for i in range(40)], "conv_id string",
+    )
+    srp_plan = plan_of(shard_refresh_plan(
+        refresh_changes, refresh_cur, "conv_id", 8))
+    sections.append(("shard refresh plan (expect two HashAggregates + "
+                     "one equi join on shard, no Window, no Python)",
+                     srp_plan))
+
     checks = {
+        "win matrix: one hash agg, no window/sort-agg/python": (
+            "HashAggregate" in wm_plan
+            and "Window" not in wm_plan
+            and "SortAggregate" not in wm_plan
+            and not _has_python(wm_plan)
+        ),
+        "bt iteration: single scan hash agg w/ partials, no python": (
+            "HashAggregate" in bt_plan
+            and "partial_" in bt_plan
+            and "Join" not in bt_plan
+            and not _has_python(bt_plan)
+        ),
+        "best paths: hash-agg ranking, no window/NLJ/python": (
+            "HashAggregate" in best_plan
+            and "Window" not in best_plan
+            and "NestedLoop" not in best_plan
+            and not _has_python(best_plan)
+        ),
+        "context fit: ONE conv_id exchange, no python": (
+            cf_plan.count("hashpartitioning(conv_id") == 1
+            and not _has_python(cf_plan)
+        ),
+        "shard refresh: hash aggs + equi join, no window/NLJ/python": (
+            "HashAggregate" in srp_plan
+            and "Window" not in srp_plan
+            and "NestedLoop" not in srp_plan
+            and not _has_python(srp_plan)
+        ),
         "pseudonymize: pure projection (no exchange, no python)": (
             "Exchange" not in pseud_plan and not _has_python(pseud_plan)
         ),
