@@ -2236,6 +2236,25 @@ def q_ann_ivf_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (the contrastive-training data staple):
+    per anchor vector, the 5 most-cosine-similar vectors with a
+    DIFFERENT label.  Candidates are restricted to the anchor's IVF
+    list (every-50th-vector quantizer, same as ann_ivf_topk) with a
+    55-row list cap — three of sf0.01's ten lists exceed it, so the
+    fail-open drop path is exercised (surfaced via
+    ann.hard_negative_dropped_lists) — and the per-anchor ranking is
+    a cap-bounded ObjectHashAggregate (array_sort + slice), never a
+    window over an unbounded partition."""
+    from pg_pb3_ld_spark.functions import ann
+
+    vecs = _embeddings(spark, sf_dir)
+    centroids = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    return ann.hard_negatives(vecs, centroids, k=5, cap=55)
+
+
 def q_emb_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023): the seeded
     2-iteration k-means fit partitions the embedding space, candidate
@@ -3877,6 +3896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "emb_semdedup": q_emb_semdedup,
     "emb_semdedup_dropped": q_emb_semdedup_dropped,
     "doc_export_manifest": q_doc_export_manifest,
@@ -4080,6 +4100,53 @@ def _extra_oracles() -> dict[str, str]:
         WITH {ivf_ctes}
         SELECT query_id, rn, vec_id, round(cs, 4) AS cos_sim
         FROM ranked WHERE rn <= 10
+    """
+
+    # hard-negative mining: same every-50th quantizer + packed-argmax
+    # assignment as ivf_sql, then same-list different-label pairs,
+    # cap-55 list filter, per-anchor top-5 by (cosine DESC, neg_id)
+    hn_sql = f"""
+        WITH cents AS (
+            SELECT CAST(vec_id / 50 AS INT) AS list_id, embedding AS c
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        asg AS (
+            SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, cents.list_id, ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_asg_key(_cos2('e.embedding', 'cents.c'))}
+                             DESC
+                ) AS arn
+                FROM embeddings e, cents
+            ) WHERE arn = 1
+        ),
+        kept AS (
+            SELECT a.vec_id, a.list_id FROM asg a
+            JOIN (
+                SELECT list_id FROM asg
+                GROUP BY list_id HAVING count(*) <= 55
+            ) s USING (list_id)
+        ),
+        feat AS (
+            SELECT k.vec_id, k.list_id, e.embedding, e.label
+            FROM kept k JOIN embeddings e USING (vec_id)
+        ),
+        hn_pairs AS (
+            SELECT a.vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+                   {_cos2('a.embedding', 'b.embedding')} AS cs
+            FROM feat a JOIN feat b
+              ON a.list_id = b.list_id
+             AND a.vec_id != b.vec_id
+             AND a.label != b.label
+        ),
+        hn_ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cs DESC, neg_id
+            ) AS rn
+            FROM hn_pairs WHERE cs IS NOT NULL
+        )
+        SELECT vec_id, rn, neg_id, neg_label, round(cs, 4) AS cos_sim
+        FROM hn_ranked WHERE rn <= 5
     """
     # Unrolled fixed-iteration Lloyd's (mirrors ann.kmeans_centroids):
     # quantize → [assign → exact bigint-mean → rebuild list]×n_iters.
@@ -4595,6 +4662,7 @@ def _extra_oracles() -> dict[str, str]:
 
     return {
         "ann_ivf_topk": ivf_sql,
+        "emb_hard_negatives": hn_sql,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
         "emb_semdedup": semdedup_sql,

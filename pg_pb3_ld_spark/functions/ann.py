@@ -817,3 +817,121 @@ def pq_topk(
         )
     finally:
         books.unpersist()
+
+
+def hard_negatives(
+    base: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    cap: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model
+    training: for every anchor vector, the ``k`` most-cosine-similar
+    vectors with a DIFFERENT label — the negatives that actually move
+    a contrastive loss (random negatives are trivially separable once
+    the model is half-trained).
+
+    Candidate discipline mirrors the rest of the ANN/dedup family —
+    never all-pairs: candidates are same-IVF-list pairs (lists from
+    :func:`ivf_assign`'s broadcast hash-agg assignment, or pass a
+    prebuilt ``lists`` to amortize it across batches exactly like
+    ``ivf_topk``), so each anchor compares against ~n/n_lists
+    vectors.  ``cap`` drops lists larger than it BEFORE the self-join
+    (fail-open: a dropped list mines no negatives for its members;
+    surface them with :func:`hard_negative_dropped_lists` — never
+    silently at scale).
+
+    The per-anchor ranking is an ObjectHashAggregate collect +
+    ``array_sort`` + ``slice`` over the CAP-BOUNDED candidate set
+    (group size ≤ cap regardless of corpus size) rather than a window
+    over an unbounded partition; ties break to the lowest negative id
+    after the exact-IEEE cosine — deterministic on any engine.
+
+    Output: ``(id_col, rn, neg_id, neg_label, cos_sim)`` with
+    ``rn`` 1..k; anchors with no eligible candidate (dropped list, or
+    all in-list neighbors share their label) are absent.
+
+    No reference counterpart (johto/pg_pb3_ld is a CDC decoder); part
+    of the training-data toolkit beside ``ivf_topk`` / ``semdedup``.
+    """
+    if lists is None:
+        lists = ivf_assign(base, centroids, id_col, emb_col)
+    if cap:
+        keep = (
+            lists.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= cap)
+            .select("list_id")
+        )
+        lists = lists.join(keep, "list_id")
+    feat = base.select(id_col, emb_col, label_col).join(lists, id_col)
+    a = feat.select(
+        F.col(id_col).alias("_aid"),
+        F.col(emb_col).alias("_aemb"),
+        F.col(label_col).alias("_albl"),
+        "list_id",
+    )
+    b = feat.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(emb_col).alias("_bemb"),
+        F.col(label_col).alias("neg_label"),
+        "list_id",
+    )
+    scored = (
+        a.join(b, "list_id")
+        .where(
+            (F.col("_aid") != F.col("neg_id"))
+            & (F.col("_albl") != F.col("neg_label"))
+        )
+        .select(
+            "_aid",
+            "neg_id",
+            "neg_label",
+            cosine(F.col("_aemb"), F.col("_bemb")).alias("_cs"),
+        )
+        # cosine() is NULL for a zero-norm vector (try_divide): a
+        # NULL sort key would order differently across engines, so
+        # zero-norm candidates are excluded outright
+        .where(F.col("_cs").isNotNull())
+    )
+    return (
+        scored.select(
+            "_aid",
+            F.struct(
+                (-F.col("_cs")).alias("_ncs"), "neg_id", "neg_label"
+            ).alias("_c"),
+        )
+        .groupBy("_aid")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_c")), 1, k).alias("_top")
+        )
+        .select(
+            F.col("_aid").alias(id_col),
+            F.posexplode("_top").alias("_p", "_s"),
+        )
+        .select(
+            id_col,
+            (F.col("_p") + 1).alias("rn"),
+            F.col("_s.neg_id").alias("neg_id"),
+            F.col("_s.neg_label").alias("neg_label"),
+            F.round(-F.col("_s._ncs"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def hard_negative_dropped_lists(lists: DataFrame, cap: int) -> DataFrame:
+    """The surfaced-drop report beside :func:`hard_negatives` (same
+    contract as ``lsh_dropped_buckets`` / ``semdedup_dropped``):
+    ``(list_id, list_size)`` for every inverted list the cap excluded
+    from candidate generation — at 10^10 vectors a silent drop would
+    read as "mined everything" when the hottest lists mined nothing.
+    """
+    return (
+        lists.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("list_size"))
+        .where(F.col("list_size") > cap)
+    )

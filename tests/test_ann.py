@@ -118,3 +118,140 @@ def test_sq8_topk_recall_near_exact(spark):
         (r["query_id"], r["vec_id"]) for r in exact.collect()
     }
     assert len(a & e) / len(e) >= 0.9
+
+
+# ---------------------------------------------------------------- #
+# hard-negative mining                                             #
+# ---------------------------------------------------------------- #
+
+
+def _hn_centroids(spark):
+    """Two well-separated directions → two IVF lists."""
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "list_id int, embedding array<double>",
+    )
+
+
+def _hn_vectors(spark):
+    """Cluster 0 around e1, cluster 1 around e2; labels alternate
+    WITHIN each cluster so every anchor has same-list candidates of
+    both its own and the other label."""
+    rows = []
+    for i in range(12):
+        if i % 2 == 0:
+            v = [1.0, 0.02 * (i + 1), 0.0]
+        else:
+            v = [0.02 * (i + 1), 1.0, 0.0]
+        rows.append((i, v, i % 4 // 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_hard_negatives_labels_differ_and_ranked(spark):
+    emb = _hn_vectors(spark)
+    out = ann.hard_negatives(emb, _hn_centroids(spark), k=3).collect()
+    assert out, "expected mined negatives"
+    lbl = {r["vec_id"]: r for r in emb.collect()}
+    by_anchor: dict = {}
+    for r in out:
+        assert lbl[r["vec_id"]]["label"] != r["neg_label"]
+        assert r["neg_label"] == lbl[r["neg_id"]]["label"]
+        by_anchor.setdefault(r["vec_id"], []).append(r)
+    for rows in by_anchor.values():
+        rows.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negatives_matches_bruteforce(spark):
+    """With one list per cluster and no cap, in-list mining equals a
+    brute-force different-label top-k within the cluster."""
+    emb = _hn_vectors(spark)
+    out = ann.hard_negatives(emb, _hn_centroids(spark), k=2).collect()
+    rows = emb.collect()
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for anchor in rows:
+        same_list = [
+            r for r in rows
+            if r["vec_id"] % 2 == anchor["vec_id"] % 2
+            and r["vec_id"] != anchor["vec_id"]
+            and r["label"] != anchor["label"]
+        ]
+        want = sorted(
+            same_list,
+            key=lambda r: (-cos(anchor["embedding"], r["embedding"]),
+                           r["vec_id"]),
+        )[:2]
+        got = sorted(
+            [r for r in out if r["vec_id"] == anchor["vec_id"]],
+            key=lambda r: r["rn"],
+        )
+        assert [r["neg_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_hard_negatives_cap_drops_list_fail_open(spark):
+    """A list over the cap mines nothing for its members, and the
+    drop is surfaced by hard_negative_dropped_lists."""
+    emb = _hn_vectors(spark)
+    cents = _hn_centroids(spark)
+    # list 0 and list 1 each hold 6 vectors; cap=5 drops both, cap=6
+    # keeps both
+    none = ann.hard_negatives(emb, cents, k=3, cap=5).collect()
+    assert none == []
+    lists = ann.ivf_assign(emb, cents)
+    dropped = ann.hard_negative_dropped_lists(lists, cap=5).collect()
+    assert sorted((r["list_id"], r["list_size"]) for r in dropped) == [
+        (0, 6), (1, 6),
+    ]
+    assert ann.hard_negative_dropped_lists(lists, cap=6).collect() == []
+    full = ann.hard_negatives(emb, cents, k=3, cap=6).collect()
+    assert len(full) == len(
+        ann.hard_negatives(emb, cents, k=3).collect()
+    )
+
+
+def test_hard_negatives_partition_invariance_and_prebuilt_lists(spark):
+    emb = _hn_vectors(spark)
+    cents = _hn_centroids(spark)
+    base = sorted(
+        map(tuple, ann.hard_negatives(emb, cents, k=3).collect())
+    )
+    shuffled = sorted(
+        map(tuple,
+            ann.hard_negatives(
+                emb.repartition(7), cents, k=3
+            ).collect())
+    )
+    assert base == shuffled
+    lists = ann.ivf_assign(emb, cents)
+    reused = sorted(
+        map(tuple,
+            ann.hard_negatives(emb, cents, k=3, lists=lists).collect())
+    )
+    assert base == reused
+
+
+def test_hard_negatives_plan_no_window_no_nlj(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    emb = _hn_vectors(spark)
+    df = ann.hard_negatives(emb, _hn_centroids(spark), k=3, cap=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the only non-equi join must be ivf_assign's broadcast-centroid
+    # cross join (small side broadcast); the candidate self-join is
+    # equi on list_id (shuffle/SMJ is the correct plan at scale) and
+    # the ranking is an aggregate, not a window
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
