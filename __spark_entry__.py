@@ -3576,6 +3576,44 @@ def q_doc_pack_chunks(spark, sf_dir):
     return pack_sequences(base, budget=512)
 
 
+def q_corpus_train_shards(spark, sf_dir):
+    """Training-shard build capstone (the LAST mile of the pipeline,
+    beside corpus_build_funnel's curation and transcript_tree_sft's
+    rendering): train split → real BPE encode (trained merges, exact
+    per-doc token counts) → portable md5 shard assignment → GPT-style
+    concat-and-chunk packing into 512-token sequences per shard.
+    Every stage is an already-oracle-proven component
+    (doc_train_test_split, doc_bpe_tokenize, doc_export_manifest's
+    shard_key, doc_pack_chunks); the capstone pins their COMPOSITION:
+    each training document's shard, its exact BPE token count, and
+    the precise chunk span it occupies in its shard's token stream.
+    Scale shape: tokenizer training collapses to the vocab-sized
+    word table, encoding is a pure codegen projection, the split and
+    shard keys are stateless maps, and packing is one window per
+    md5-balanced shard partition — no global order anywhere."""
+    from pg_pb3_ld_spark.functions import bpe
+    from pg_pb3_ld_spark.functions.layout import shard_key
+    from pg_pb3_ld_spark.functions.textops import pack_sequences
+
+    docs = _documents(spark, sf_dir)
+    merges = bpe.train_from_corpus(docs, _BPE_MERGES)
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    train = docs.where(b < 90)
+    enc = bpe.encode_docs(train, merges)
+    base = enc.select(
+        "doc_id",
+        shard_key(F.col("doc_id"), 8).alias("shard"),
+        F.col("n_bpe_tokens").cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(base, budget=512)
+
+
 def q_gif_frame_sample(spark, sf_dir):
     """REAL animated-GIF path end-to-end (round 5): per doc,
     synthesize a 4-frame 16×8 GIF (two vertical halves with palette
@@ -3885,6 +3923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_win_matrix": q_transcript_win_matrix,
     "transcript_tree_sft": q_transcript_tree_sft,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "corpus_train_shards": q_corpus_train_shards,
     "doc_vocab_growth": q_doc_vocab_growth,
     "doc_train_test_split": q_doc_train_test_split,
     "doc_bpe_merges": q_doc_bpe_merges,
@@ -5394,6 +5433,57 @@ def _bpe_tokenize_oracle_sql(n: int = 10) -> str:
     )
 
 
+def _train_shards_oracle_sql(n: int = 10) -> str:
+    # split → BPE encode (same unrolled merge chain as
+    # _bpe_tokenize_oracle_sql) → md5 shard → per-shard cumulative
+    # packing, replayed exactly
+    expr = (
+        "array_to_string(list_transform("
+        "list_filter(string_split(text, ' '), w -> w <> ''),"
+        " w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' _'), ' ')"
+    )
+    for k in range(1, n + 1):
+        expr = (
+            f"trim(replace(' ' || {expr} || ' ',"
+            f" ' ' || coalesce((SELECT pr FROM m{k}), chr(1)) || ' ',"
+            f" ' ' || replace(coalesce((SELECT pr FROM m{k}), chr(1)),"
+            f" ' ', '') || ' '))"
+        )
+    return (
+        _bpe_oracle_ctes(n)
+        + f""",
+    ts_enc AS (
+        SELECT doc_id, {expr} AS e FROM documents
+        WHERE CAST(concat('0x', substr(
+                  md5(CAST(doc_id AS VARCHAR)), 1, 15
+              )) AS BIGINT) % 100 < 90
+    ),
+    ts_base AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 15
+               )) AS BIGINT) % 8 AS INT) AS shard,
+               CAST(len(string_split(e, ' ')) AS BIGINT) AS n_tokens
+        FROM ts_enc
+    ),
+    ts_pack AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS incl
+        FROM ts_base
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(incl - n_tokens AS BIGINT) AS start_tok,
+           CAST((incl - n_tokens) // 512 AS BIGINT) AS first_chunk,
+           CAST((incl - 1) // 512 AS BIGINT) AS last_chunk,
+           CAST((incl - 1) // 512 - (incl - n_tokens) // 512 + 1
+               AS BIGINT) AS n_chunks
+    FROM ts_pack"""
+    )
+
+
 def _pagerank_oracle_sql(n_iters: int = 3) -> str:
     # unrolled integer-flooring iterations mirroring graph.pagerank
     ctes = """e AS (
@@ -6424,6 +6514,7 @@ def _literal_oracles() -> dict[str, str]:
         "domain_pagerank": _pagerank_oracle_sql(),
         "doc_bpe_merges": _bpe_merges_oracle_sql(_BPE_MERGES),
         "doc_bpe_tokenize": _bpe_tokenize_oracle_sql(_BPE_MERGES),
+        "corpus_train_shards": _train_shards_oracle_sql(_BPE_MERGES),
         "doc_mixture_sample": _mixture_oracle_ctes() + """
             SELECT doc_id, source, n_copies, domain_quota, domain_docs
             FROM k WHERE n_copies >= 1
