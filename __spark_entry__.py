@@ -1737,6 +1737,42 @@ def q_doc_neardup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(docs, threshold=0.5)
 
 
+def q_doc_split_leakage(spark, sf_dir):
+    """Split-leakage audit (the eval-hygiene check INTERNAL to the
+    corpus, completing the dedup→decontaminate family): verified
+    near-dup pairs (the proven MinHash-LSH → exact-Jaccard path,
+    threshold 0.5) that straddle the portable md5 train/val/test
+    split — a test document whose near-dup lives in train leaks the
+    eval into training.  Three of sf0.01's 25 verified pairs straddle
+    the split on the natural corpus, so the leak path is live.  Per
+    eval doc: partner count, best train partner (max Jaccard, ties to
+    lowest id — two-pass hash-agg ranking, no window)."""
+    from pg_pb3_ld_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    bands = dedup.minhash_bands(docs, k=4, shingle_n=3)
+    pairs = dedup.lsh_candidate_pairs(bands)
+    sets = dedup.shingle_sets(docs)
+    ver = dedup.verify_candidates(pairs, sets).where(
+        F.col("jaccard") >= 0.5
+    )
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(b < 90, "train")
+        .when(b < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return dedup.split_leakage(ver, splits)
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash (16-bit) per document from md5-nibble votes."""
     from pg_pb3_ld_spark.functions import textops
@@ -3876,6 +3912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_lsh_capped": q_doc_minhash_lsh_capped,
     "lsh_dropped_buckets": q_lsh_dropped_buckets,
     "doc_neardup_clusters": q_doc_neardup_clusters,
+    "doc_split_leakage": q_doc_split_leakage,
     "doc_simhash": q_doc_simhash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_lang_id": q_doc_lang_id,
@@ -4900,6 +4937,82 @@ def _extra_oracles() -> dict[str, str]:
                                     coalesce(min(r.dst), d.doc_id)) AS keep
             FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
             GROUP BY d.doc_id
+        """,
+        "doc_split_leakage": f"""
+            WITH {_SHINGLE_CTE},
+            sig AS (
+                SELECT doc_id,
+                  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS mh0,
+                  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS mh1,
+                  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS mh2,
+                  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS mh3
+                FROM sh_lists
+            ),
+            bands AS (
+                SELECT 0 AS band_id, mh0 AS bk, doc_id FROM sig
+                UNION ALL SELECT 1, mh1, doc_id FROM sig
+                UNION ALL SELECT 2, mh2, doc_id FROM sig
+                UNION ALL SELECT 3, mh3, doc_id FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.bk = b.bk
+                 AND a.doc_id < b.doc_id
+            ),
+            sets AS (
+                SELECT doc_id, list_distinct(s) AS shs FROM sh_lists
+            ),
+            jac AS (
+                SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(sa.shs, sb.shs))
+                       / CAST(len(sa.shs) + len(sb.shs)
+                              - len(list_intersect(sa.shs, sb.shs))
+                              AS DOUBLE) AS j
+                FROM cand c
+                JOIN sets sa ON sa.doc_id = c.doc_a
+                JOIN sets sb ON sb.doc_id = c.doc_b
+            ),
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN b < 90 THEN 'train'
+                            WHEN b < 95 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id,
+                           CAST(concat('0x', substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 15
+                           )) AS BIGINT) % 100 AS b
+                    FROM documents
+                )
+            ),
+            oriented AS (
+                SELECT CASE WHEN sa.split = 'train'
+                            THEN jac.doc_b ELSE jac.doc_a END AS eval_doc,
+                       CASE WHEN sa.split = 'train'
+                            THEN sb.split ELSE sa.split END AS eval_split,
+                       CASE WHEN sa.split = 'train'
+                            THEN jac.doc_a ELSE jac.doc_b END AS train_doc,
+                       j
+                FROM jac
+                JOIN sp sa ON sa.doc_id = jac.doc_a
+                JOIN sp sb ON sb.doc_id = jac.doc_b
+                WHERE j >= 0.5
+                  AND ((sa.split = 'train') != (sb.split = 'train'))
+            ),
+            lk_ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY eval_doc
+                           ORDER BY j DESC, train_doc
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY eval_doc) AS n
+                FROM oriented
+            )
+            SELECT eval_doc, eval_split,
+                   CAST(n AS BIGINT) AS n_train_neardups, train_doc,
+                   floor(j * 1000000) / 1000000 AS best_jaccard6
+            FROM lk_ranked WHERE rn = 1
         """,
         "doc_simhash": f"""
             WITH tk AS (

@@ -848,3 +848,76 @@ def semdedup_clusters(
         qv.unpersist()
         if asg is not None:
             asg.unpersist()
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_label: str = "train",
+) -> DataFrame:
+    """Split-leakage audit — the eval-hygiene check *internal* to a
+    corpus that :func:`decontaminate` (external eval set) cannot do:
+    verified near-duplicate pairs that STRADDLE the train/eval split.
+    A test document whose near-dup lives in train silently leaks the
+    eval into training; at 10^10 documents a handful of leaked pairs
+    is invisible unless audited explicitly.
+
+    ``pairs``: verified near-dup pairs ``(doc_a, doc_b, jaccard)``
+    (from :func:`lsh_candidate_pairs` → :func:`verify_candidates`,
+    already thresholded — same capped-LSH discipline, never
+    all-pairs).  ``splits``: ``(id_col, split_col)`` assignment (the
+    portable md5 split keeps it engine-replayable).
+
+    Output: one row per eval-side document with at least one verified
+    near-dup in train — ``(eval_doc, eval_split, n_train_neardups,
+    train_doc, best_jaccard6)`` where ``train_doc`` is the best
+    leaking partner (max Jaccard, ties to the lowest train doc id —
+    the SortAggregate-proof two-pass hash-agg ranking, no window) and
+    ``best_jaccard6`` floors to 1e-6 for stable cross-engine hashing.
+    Train↔train pairs are ordinary dedup work, eval↔eval pairs leak
+    nothing into training; both are excluded.
+    """
+    sa = splits.select(
+        F.col(id_col).alias("doc_a"), F.col(split_col).alias("_sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("doc_b"), F.col(split_col).alias("_sb")
+    )
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    a_is_train = F.col("_sa") == train_label
+    b_is_train = F.col("_sb") == train_label
+    oriented = j.where(a_is_train != b_is_train).select(
+        F.when(a_is_train, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("eval_doc"),
+        F.when(a_is_train, F.col("_sb"))
+        .otherwise(F.col("_sa"))
+        .alias("eval_split"),
+        F.when(a_is_train, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_doc"),
+        "jaccard",
+    )
+    best = oriented.groupBy("eval_doc", "eval_split").agg(
+        F.count(F.lit(1)).alias("n_train_neardups"),
+        F.max("jaccard").alias("_mj"),
+    )
+    partner = (
+        oriented.join(
+            best.select("eval_doc", "_mj"), "eval_doc"
+        )
+        .where(F.col("jaccard") == F.col("_mj"))
+        .groupBy("eval_doc")
+        .agg(F.min("train_doc").alias("train_doc"))
+    )
+    return best.join(partner, "eval_doc").select(
+        "eval_doc",
+        "eval_split",
+        "n_train_neardups",
+        "train_doc",
+        (F.floor(F.col("_mj") * 1000000) / 1000000).alias(
+            "best_jaccard6"
+        ),
+    )

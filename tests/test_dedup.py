@@ -337,3 +337,74 @@ def test_span_dedup_coverage_semantics(spark):
     assert out[3].n_dup_grams == 0 and out[3].dup_token_cov == 0
     assert out[3].cov_frac == 0.0
     assert out[4].n_tokens == 2 and out[4].dup_token_cov == 0
+
+
+# ---------------------------------------------------------------- #
+# split-leakage audit                                              #
+# ---------------------------------------------------------------- #
+
+
+def _leak_fixture(spark):
+    """Verified pairs + split assignment with every leakage class:
+    train↔test leak, train↔val leak, train↔train (dedup work, not
+    leakage), test↔val (no train side), and a tie between two train
+    partners of one test doc."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, 0.9),   # train 1  ↔ test 10   → leak
+            (2, 11, 0.7),   # train 2  ↔ val 11    → leak
+            (1, 2, 0.95),   # train    ↔ train     → excluded
+            (10, 11, 0.8),  # test     ↔ val       → excluded
+            (3, 10, 0.9),   # train 3  ↔ test 10   → ties with pair 1
+            (4, 10, 0.6),   # train 4  ↔ test 10   → third partner
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train"), (4, "train"),
+         (10, "test"), (11, "val")],
+        "doc_id long, split string",
+    )
+    return pairs, splits
+
+
+def test_split_leakage_orients_counts_and_ranks(spark):
+    pairs, splits = _leak_fixture(spark)
+    out = {r["eval_doc"]: r
+           for r in dedup.split_leakage(pairs, splits).collect()}
+    assert set(out) == {10, 11}
+    t = out[10]
+    assert t["eval_split"] == "test"
+    assert t["n_train_neardups"] == 3
+    # 0.9 tie between train partners 1 and 3 → lowest id wins
+    assert t["train_doc"] == 1
+    assert abs(t["best_jaccard6"] - 0.9) < 1e-9
+    v = out[11]
+    assert (v["eval_split"], v["n_train_neardups"], v["train_doc"]) == (
+        "val", 1, 2)
+
+
+def test_split_leakage_no_train_side_no_rows(spark):
+    pairs = spark.createDataFrame(
+        [(10, 11, 0.9)], "doc_a long, doc_b long, jaccard double")
+    splits = spark.createDataFrame(
+        [(10, "test"), (11, "val")], "doc_id long, split string")
+    assert dedup.split_leakage(pairs, splits).collect() == []
+
+
+def test_split_leakage_partition_invariance_and_plan(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    pairs, splits = _leak_fixture(spark)
+    base = sorted(map(tuple,
+                      dedup.split_leakage(pairs, splits).collect()))
+    shuf = sorted(map(tuple, dedup.split_leakage(
+        pairs.repartition(5), splits.repartition(3)).collect()))
+    assert base == shuf
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dedup.split_leakage(pairs, splits).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
