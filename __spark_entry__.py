@@ -3100,6 +3100,18 @@ def q_doc_overlap_chunks(spark, sf_dir):
     return textops.overlap_chunks(docs, size=16, stride=12)
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Cross-document novelty scoring (inter-document duplication —
+    the Gopher-style filter for boilerplate phrasing that whole-doc
+    exact and near-dup dedup both miss): per document, the fraction
+    of its distinct 3-shingles that occur in ≥2 documents.  One
+    shingle explode → doc-frequency hash agg (map-side combine) →
+    join-back → per-doc agg; no window, no all-pairs."""
+    from pg_pb3_ld_spark.functions import textops
+
+    return textops.cross_doc_novelty(_documents(spark, sf_dir))
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals (round 5): most-common-2-gram
     fraction + duplicated 2-/3-gram occurrence fractions per doc —
@@ -3941,6 +3953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fingerprint": q_audio_fingerprint,
     "audio_neardup": q_audio_neardup,
     "video_mp4_frame_sample": q_video_mp4_frame_sample,
+    "doc_novelty": q_doc_novelty,
     "doc_repetition": q_doc_repetition,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_domain_stats": q_doc_domain_stats,
@@ -7872,6 +7885,25 @@ def _literal_oracles() -> dict[str, str]:
             SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM d GROUP BY domain
+        """,
+        "doc_novelty": f"""
+            WITH {_SHINGLE_CTE},
+            nv AS (
+                SELECT doc_id, unnest(list_distinct(s)) AS sh
+                FROM sh_lists
+            ),
+            nv_df AS (
+                SELECT sh, count(*) AS df FROM nv GROUP BY sh
+            )
+            SELECT nv.doc_id,
+                   count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN nv_df.df >= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_shared,
+                   floor(sum(CASE WHEN nv_df.df >= 2 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE) * 1000000) / 1000000
+                       AS shared_ratio6
+            FROM nv JOIN nv_df USING (sh)
+            GROUP BY nv.doc_id
         """,
         "doc_repetition": """
             WITH toks AS (

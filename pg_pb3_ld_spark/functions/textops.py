@@ -911,3 +911,60 @@ def context_fit(
         .alias("suffix_tokens"),
         (is_sys | (suffix <= left)).alias("kept"),
     )
+
+
+def cross_doc_novelty(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, min_docs: int = 2,
+):
+    """Cross-document novelty / inter-document duplication scoring
+    (the Gopher-style "repetition ACROSS documents" filter, distinct
+    from :func:`repetition_signals`' within-document measures): per
+    document, the fraction of its distinct n-gram shingles that also
+    occur in at least ``min_docs − 1`` OTHER documents.  A high
+    shared ratio marks boilerplate/templated text that exact and
+    near-dup dedup both miss (the doc as a whole is unique, its
+    phrasing is not) — a memorization-risk and quality signal.
+
+    Scale shape: one explode of per-doc DISTINCT shingles → one
+    map-side-combining hash agg keyed on the shingle (each shingle's
+    doc-frequency; repeats collapse per task before the shuffle,
+    exactly the CDC fold's skew story) → one join back on the shingle
+    key → one per-doc hash agg.  No window, no Python, no all-pairs;
+    at 100 TB the shingle keys ride as md5 prefixes if the raw
+    strings are too wide for the exchange.
+
+    Output: ``(id_col, n_shingles, n_shared, shared_ratio6)`` —
+    ratio floored to 1e-6 for stable cross-engine hashing; documents
+    too short to shingle are absent.
+    """
+    sh = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("_sh"),
+    )
+    df_counts = sh.groupBy("_sh").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    return (
+        sh.join(df_counts, "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df") >= min_docs, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared") / F.col("n_shingles") * 1000000
+                )
+                / 1000000
+            ).alias("shared_ratio6"),
+        )
+    )

@@ -408,3 +408,54 @@ def test_split_leakage_partition_invariance_and_plan(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cross_doc_novelty_hand_computed(spark):
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"
+            (2, "a b c x"),        # shingles: "a b c", "b c x"
+            (3, "p q r s"),        # unique shingles
+            (4, "a b"),            # too short → absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in textops.cross_doc_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    # "a b c" occurs in docs 1 and 2 → shared; the others are unique
+    assert (out[1]["n_shingles"], out[1]["n_shared"]) == (2, 1)
+    assert abs(out[1]["shared_ratio6"] - 0.5) < 1e-9
+    assert (out[2]["n_shingles"], out[2]["n_shared"]) == (2, 1)
+    assert (out[3]["n_shingles"], out[3]["n_shared"]) == (2, 0)
+    assert out[3]["shared_ratio6"] == 0.0
+
+
+def test_cross_doc_novelty_within_doc_repeat_not_shared(spark):
+    """A shingle repeated WITHIN one document only is not
+    cross-document sharing (distinct shingles per doc)."""
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z x y z"), (2, "m n o p")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in textops.cross_doc_novelty(docs).collect()}
+    assert out[1]["n_shared"] == 0
+    assert out[2]["n_shared"] == 0
+
+
+def test_cross_doc_novelty_partition_invariance(spark):
+    from pg_pb3_ld_spark.functions import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common trigram here w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, textops.cross_doc_novelty(docs).collect()))
+    b = sorted(map(tuple, textops.cross_doc_novelty(
+        docs.repartition(7)).collect()))
+    assert a == b
