@@ -3200,6 +3200,43 @@ def q_transcript_qa(spark, sf_dir):
     return transcript_qa(turns)
 
 
+def q_transcript_boilerplate(spark, sf_dir):
+    """Templated-reply detection (round 5): canned assistant replies
+    recurring VERBATIM across conversations — the turn-level cleaning
+    signal whole-conversation dedup misses (each conversation is
+    unique; one of its turns is not).  Turns derive deterministically
+    from documents (conv = doc_id//6, seq = doc_id%6); two template
+    families are planted arithmetically — conv%4==1 conversations get
+    a canned refusal at seq 2, conv%5==2 a canned confirmation at
+    seq 4 (some convs carry both) — while every other assistant turn
+    keeps its unique document text, so exactly two clusters exist and
+    canonical-exemplar selection is exercised.  DuckDB replays the
+    planting, the md5 clustering, the distinct-conv counts, and the
+    two-pass canonical ranking."""
+    from pg_pb3_ld_spark.functions.textops import boilerplate_replies
+
+    d = F.col("doc_id")
+    conv = (d / 6).cast("long")
+    seq = (d % 6).cast("int")
+    turns = _documents(spark, sf_dir).select(
+        conv.alias("conv_id"),
+        seq.alias("turn_idx"),
+        F.when(seq == 0, "system")
+        .when(seq % 2 == 1, "user")
+        .otherwise("assistant").alias("role"),
+        F.when(
+            (conv % 4 == 1) & (seq == 2),
+            F.lit("I cannot help with that request."),
+        )
+        .when(
+            (conv % 5 == 2) & (seq == 4),
+            F.lit("Sure! Here is the result."),
+        )
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return boilerplate_replies(turns)
+
+
 def q_transcript_tool_flow(spark, sf_dir):
     """Behavioral dedup of agent transcripts (round 5): fingerprint
     every conversation by its ORDERED ``role:tool`` action sequence
@@ -3961,6 +3998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_frame_sample": q_gif_frame_sample,
     "transcript_render": q_transcript_render,
     "transcript_qa": q_transcript_qa,
+    "transcript_boilerplate": q_transcript_boilerplate,
     "transcript_tool_flow": q_transcript_tool_flow,
     "transcript_branch_paths": q_transcript_branch_paths,
     "transcript_pref_pairs": q_transcript_pref_pairs,
@@ -7132,6 +7170,47 @@ def _literal_oracles() -> dict[str, str]:
                    md5(string_agg('<|' || role || '|>' || text,
                         chr(10) ORDER BY turn_idx)) AS digest
             FROM turns GROUP BY conv_id
+        """,
+        "transcript_boilerplate": """
+            WITH bp_turns AS (
+                SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 6 AS INT) AS turn_idx,
+                       CASE WHEN doc_id % 6 = 0 THEN 'system'
+                            WHEN doc_id % 6 % 2 = 1 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       CASE WHEN (doc_id // 6) % 4 = 1
+                                 AND doc_id % 6 = 2
+                            THEN 'I cannot help with that request.'
+                            WHEN (doc_id // 6) % 5 = 2
+                                 AND doc_id % 6 = 4
+                            THEN 'Sure! Here is the result.'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            bp_base AS (
+                SELECT md5(text) AS reply_md5, conv_id, turn_idx
+                FROM bp_turns
+                WHERE role = 'assistant'
+                  AND text IS NOT NULL AND text != ''
+            ),
+            bp_stats AS (
+                SELECT reply_md5,
+                       count(DISTINCT conv_id) AS n_convs,
+                       count(*) AS n_turns,
+                       min(conv_id) AS canon_conv
+                FROM bp_base GROUP BY reply_md5
+            ),
+            bp_canon AS (
+                SELECT b.reply_md5, min(b.turn_idx) AS canon_turn
+                FROM bp_base b JOIN bp_stats s
+                  ON s.reply_md5 = b.reply_md5
+                 AND b.conv_id = s.canon_conv
+                GROUP BY b.reply_md5
+            )
+            SELECT s.reply_md5, s.n_convs, s.n_turns,
+                   s.canon_conv, c.canon_turn
+            FROM bp_stats s JOIN bp_canon c USING (reply_md5)
+            WHERE s.n_convs >= 2
         """,
         "transcript_tool_flow": """
             WITH turns AS (

@@ -968,3 +968,65 @@ def cross_doc_novelty(
             ).alias("shared_ratio6"),
         )
     )
+
+
+def boilerplate_replies(
+    turns, role: str = "assistant", min_convs: int = 2,
+    conv_col: str = "conv_id", turn_col: str = "turn_idx",
+    role_col: str = "role", text_col: str = "text",
+):
+    """Templated-reply detection over conversation transcripts: the
+    canned/boilerplate assistant replies that recur VERBATIM across
+    conversations (canned refusals, template greetings, error
+    apologies) — a cleaning signal whole-conversation dedup misses
+    (each conversation is unique; one of its turns is not) and the
+    turn-level sibling of :func:`tool_flow`'s trajectory dedup.
+
+    Clusters exact ``text_col`` bytes of ``role`` turns via md5 and
+    reports every reply appearing in at least ``min_convs`` DISTINCT
+    conversations, with a deterministic canonical exemplar (lowest
+    conversation, then lowest turn within it — two scalar hash aggs
+    joined on the md5 key, the SortAggregate-proof two-pass ranking;
+    min(struct) would fall to SortAggregate).  Empty texts are
+    excluded (they are :func:`transcript_qa`'s defect class, not
+    boilerplate).
+
+    Output: ``(reply_md5, n_convs, n_turns, canon_conv, canon_turn)``.
+    Scale shape: hash aggs keyed on the md5 (map-side combine
+    collapses the hot templated keys per task — the CDC fold's skew
+    story) + one join back on the same key; no window, no Python.
+    """
+    base = (
+        turns.where(
+            (F.col(role_col) == role)
+            & F.col(text_col).isNotNull()
+            & (F.col(text_col) != "")
+        )
+        .select(
+            F.md5(F.col(text_col)).alias("reply_md5"),
+            F.col(conv_col).alias("_conv"),
+            F.col(turn_col).alias("_turn"),
+        )
+    )
+    stats = base.groupBy("reply_md5").agg(
+        F.countDistinct("_conv").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("_conv").alias("canon_conv"),
+    )
+    canon = (
+        base.join(
+            stats.select("reply_md5", "canon_conv"),
+            "reply_md5",
+        )
+        .where(F.col("_conv") == F.col("canon_conv"))
+        .groupBy("reply_md5")
+        .agg(F.min("_turn").alias("canon_turn"))
+    )
+    return (
+        stats.where(F.col("n_convs") >= min_convs)
+        .join(canon, "reply_md5")
+        .select(
+            "reply_md5", "n_convs", "n_turns",
+            "canon_conv", "canon_turn",
+        )
+    )

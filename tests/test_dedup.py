@@ -459,3 +459,74 @@ def test_cross_doc_novelty_partition_invariance(spark):
     b = sorted(map(tuple, textops.cross_doc_novelty(
         docs.repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- #
+# templated-reply (boilerplate) detection                          #
+# ---------------------------------------------------------------- #
+
+
+def _reply_turns(spark):
+    return spark.createDataFrame(
+        [
+            # canned reply in convs 1, 2, 3 (twice in conv 2)
+            (1, 2, "assistant", "Sorry, no."),
+            (2, 2, "assistant", "Sorry, no."),
+            (2, 4, "assistant", "Sorry, no."),
+            (3, 4, "assistant", "Sorry, no."),
+            # unique assistant replies
+            (1, 4, "assistant", "unique a"),
+            (3, 2, "assistant", "unique b"),
+            # same text on a USER turn must not join the cluster
+            (4, 1, "user", "Sorry, no."),
+            # within-ONE-conv repeat only → below min_convs
+            (5, 2, "assistant", "twice here"),
+            (5, 4, "assistant", "twice here"),
+            # empty text excluded
+            (6, 2, "assistant", ""),
+            (7, 2, "assistant", ""),
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+
+
+def test_boilerplate_replies_cluster_counts_and_canon(spark):
+    from pg_pb3_ld_spark.functions.textops import boilerplate_replies
+
+    out = boilerplate_replies(_reply_turns(spark)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_convs"], r["n_turns"]) == (3, 4)
+    # canonical exemplar: lowest conv (1), lowest turn there (2)
+    assert (r["canon_conv"], r["canon_turn"]) == (1, 2)
+
+
+def test_boilerplate_replies_min_convs_threshold(spark):
+    from pg_pb3_ld_spark.functions.textops import boilerplate_replies
+
+    # min_convs=1 also surfaces unique replies and the within-conv
+    # repeat, never the empty texts or the user turn
+    out = boilerplate_replies(_reply_turns(spark), min_convs=1)
+    rows = out.collect()
+    assert len(rows) == 4  # canned, unique a, unique b, twice-here
+    twice = [r for r in rows if r["n_turns"] == 2 and r["n_convs"] == 1]
+    assert len(twice) == 1 and twice[0]["canon_conv"] == 5
+
+
+def test_boilerplate_replies_partition_invariance_plan(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from pg_pb3_ld_spark.functions.textops import boilerplate_replies
+
+    turns = _reply_turns(spark)
+    a = sorted(map(tuple, boilerplate_replies(turns).collect()))
+    b = sorted(map(tuple, boilerplate_replies(
+        turns.repartition(5)).collect()))
+    assert a == b
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        boilerplate_replies(turns).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
