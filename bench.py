@@ -115,6 +115,48 @@ FOREIGN_CORES_MAX = float(os.environ.get("SPARK_GRAFT_FOREIGN_MAX", "1.0"))
 MAX_SESSIONS = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
 
 
+def probe_host_capacity() -> dict:
+    """Stamp the host's CURRENT per-core speed into the artifact.
+
+    The sandbox VM's effective per-core throughput swings ~2.5×
+    between phases (measured 2026-08-18: a fixed 20M-iteration
+    CPython spin ran 1.3 s in one phase and 2.7-3.2 s in another,
+    single-threaded AND under parallelism — frequency/quota
+    throttling, invisible to loadavg and to the foreign-core
+    accounting because no foreign process is running).  Recording
+    the probe beside every headline lets a reader NORMALIZE
+    cross-session numbers instead of misreading a slow host phase as
+    a code regression — the round-4 artifact-trust lesson extended
+    to the failure mode the quiet gate cannot see."""
+    import subprocess
+
+    def spin() -> float:
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        return round(time.time() - t0, 2)
+
+    single = spin()
+    code = (
+        "import time\nt0=time.time()\nx=0\n"
+        "for i in range(20_000_000): x+=i*i\n"
+        "print(time.time()-t0)"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.PIPE
+        )
+        for _ in range(2)
+    ]
+    two = [round(float(p.communicate()[0]), 2) for p in procs]
+    return {
+        "spin20m_single_sec": single,
+        "spin20m_two_proc_sec": two,
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+    }
+
+
 def bench_cdc_apply(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -477,7 +519,9 @@ def main():
         shuffle_partitions=CPUS,
     )
     try:
+        probe0 = probe_host_capacity()
         cdc = bench_cdc_apply(spark)
+        probe1 = probe_host_capacity()
         skew = bench_skew(spark)
         mor = bench_mor(spark)
         queries = {"cdc_apply": cdc["elapsed_sec"]}
@@ -493,7 +537,13 @@ def main():
             "queries": queries,
             "sf": SF_DIR,
             "cpus": CPUS,
-            "detail": {**cdc, "skew": skew, "mor": mor},
+            "detail": {
+                **cdc, "skew": skew, "mor": mor,
+                "host_capacity_probe": {
+                    "before_headline": probe0,
+                    "after_headline": probe1,
+                },
+            },
         }
         print(json.dumps(result))
     finally:
