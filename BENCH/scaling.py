@@ -113,6 +113,55 @@ def run_level(cores: int, frames_path: str) -> float:
     return json.loads(lines[-1][7:])["elapsed"]
 
 
+_CEILING_CODE = '''
+import time, sys
+from pyspark.sql import SparkSession
+cores = int(sys.argv[1])
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .config("spark.sql.shuffle.partitions", str(cores))
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+expr = "sum((id % 1000007) * (id % 97) % 1000000007)"
+spark.range(0, 10**8, 1, cores).selectExpr(expr).collect()  # warmup
+best = None
+for _ in range(2):
+    t0 = time.time()
+    spark.range(0, 2 * 10**9, 1, cores).selectExpr(expr).collect()
+    el = time.time() - t0
+    best = el if best is None or el < best else best
+print("RESULT", best)
+spark.stop()
+'''
+
+
+def host_ceiling_control(low: int, high: int) -> dict:
+    """The HARDWARE's own parallel ceiling, measured beside every
+    session: a pure-JVM, zero-shuffle, zero-disk embarrassingly-
+    parallel codegen loop (spark.range → sum) at the same two
+    parallelism levels.  No data pipeline can out-scale this number;
+    when it sits below the 0.8 target (measured 0.608 in the
+    2026-08-19 throttled host phase), a sub-target ENGINE session in
+    the same window measures the host phase, not the engine."""
+    best = {}
+    for cores in (low, high):
+        out = subprocess.run(
+            [sys.executable, "-c", _CEILING_CODE, str(cores)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("RESULT")]
+        best[cores] = round(float(lines[-1].split()[1]), 2) if lines \
+            else None
+    if best[low] and best[high]:
+        eff = round((best[low] / best[high]) / (high / low), 3)
+    else:
+        eff = None
+    return {
+        "elapsed_low_sec": best[low],
+        "elapsed_high_sec": best[high],
+        "ceiling_efficiency": eff,
+    }
+
+
 def main():
     frames_path, info = cached_frames()
     n_changes = info["n_changes"]
@@ -146,6 +195,10 @@ def main():
         "pass": eff >= 0.8,
         "all_runs_low_sec": [round(v, 2) for v in seen[LOW]],
         "all_runs_high_sec": [round(v, 2) for v in seen[HIGH]],
+        # the hardware's own parallel ceiling, measured in the same
+        # window — read the engine efficiency AGAINST this, never in
+        # isolation (a host phase with a 0.6 ceiling caps any job)
+        "host_ceiling_control": host_ceiling_control(LOW, HIGH),
     }
     md = f"""# BENCH/BASELINE.md — measured engine numbers
 
