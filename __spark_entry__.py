@@ -2291,6 +2291,22 @@ def q_emb_hard_negatives(spark, sf_dir):
     return ann.hard_negatives(vecs, centroids, k=5, cap=55)
 
 
+def q_emb_hard_negatives_dropped(spark, sf_dir):
+    """The surfaced-drop report beside emb_hard_negatives (same
+    contract as emb_semdedup_dropped / lsh_dropped_buckets): the
+    inverted lists the cap-55 excluded from candidate generation —
+    three of sf0.01's ten lists.  Never silent: at 10^10 vectors a
+    dropped hot list would otherwise read as 'mined everything'."""
+    from pg_pb3_ld_spark.functions import ann
+
+    vecs = _embeddings(spark, sf_dir)
+    centroids = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("list_id"), "embedding"
+    )
+    lists = ann.ivf_assign(vecs, centroids)
+    return ann.hard_negative_dropped_lists(lists, cap=55)
+
+
 def q_emb_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023): the seeded
     2-iteration k-means fit partitions the embedding space, candidate
@@ -4024,6 +4040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall10": q_ann_ivf_recall10,
     "ann_ivf_kmeans_centroids": q_ann_ivf_kmeans_centroids,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_hard_negatives_dropped": q_emb_hard_negatives_dropped,
     "emb_semdedup": q_emb_semdedup,
     "emb_semdedup_dropped": q_emb_semdedup_dropped,
     "doc_export_manifest": q_doc_export_manifest,
@@ -4790,6 +4807,25 @@ def _extra_oracles() -> dict[str, str]:
     return {
         "ann_ivf_topk": ivf_sql,
         "emb_hard_negatives": hn_sql,
+        "emb_hard_negatives_dropped": f"""
+            WITH cents AS (
+                SELECT CAST(vec_id / 50 AS INT) AS list_id,
+                       embedding AS c
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            asg AS (
+                SELECT vec_id, list_id FROM (
+                    SELECT e.vec_id, cents.list_id, ROW_NUMBER() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY {_asg_key(_cos2('e.embedding',
+                                                 'cents.c'))} DESC
+                    ) AS arn
+                    FROM embeddings e, cents
+                ) WHERE arn = 1
+            )
+            SELECT list_id, count(*) AS list_size
+            FROM asg GROUP BY list_id HAVING count(*) > 55
+        """,
         "ann_ivf_recall10": ivf_recall_sql,
         "ann_ivf_kmeans_centroids": kmeans_sql,
         "emb_semdedup": semdedup_sql,
