@@ -2660,9 +2660,12 @@ def q_image_neardup_clusters(spark, sf_dir):
         neardup_image_pairs,
     )
 
+    # persist the fingerprints: connected_components materializes its
+    # edge and node inputs in SEPARATE actions, which re-ran the whole
+    # PNG decode + dHash Python stage twice without the cache
     hashes = image_dhash(_image_fixture_blobs(spark, sf_dir)).where(
         F.col("error").isNull()
-    )
+    ).persist()
     pairs = neardup_image_pairs(hashes, max_hamming=3, max_bucket_size=64)
     comp = dedup.connected_components(
         pairs.select("doc_a", "doc_b"),

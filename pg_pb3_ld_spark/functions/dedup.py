@@ -310,11 +310,24 @@ def embedding_neardup_clusters(
         )
         .distinct()
     )
-    ea = vecs.select(F.col(id_col).alias("doc_a"), F.col(emb_col).alias("_ea"))
-    eb = vecs.select(F.col(id_col).alias("doc_b"), F.col(emb_col).alias("_eb"))
+    nv = vecs.select(
+        id_col, emb_col, ann.norm(F.col(emb_col)).alias("_nrm")
+    )
+    ea = nv.select(
+        F.col(id_col).alias("doc_a"), F.col(emb_col).alias("_ea"),
+        F.col("_nrm").alias("_na"),
+    )
+    eb = nv.select(
+        F.col(id_col).alias("doc_b"), F.col(emb_col).alias("_eb"),
+        F.col("_nrm").alias("_nb"),
+    )
     edges = (
         pairs.join(ea, "doc_a").join(eb, "doc_b")
-        .where(ann.cosine(F.col("_ea"), F.col("_eb")) >= threshold)
+        .where(
+            ann.cosine_pre(
+                F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb")
+            ) >= threshold
+        )
         .select("doc_a", "doc_b")
     )
     comp = connected_components(edges, vecs.select(id_col), id_col)
@@ -730,18 +743,30 @@ def semdedup_edges(
     Exposed separately so the plan audit pins the join shape."""
     from pg_pb3_ld_spark.functions import ann
 
-    a = members.select(
+    # per-member norms below the pair join (ann.norm: the cosine's
+    # dominant interpreted folds run once per member, not per pair)
+    keyed = members.select(
+        F.col("list_id"), F.col(id_col), F.col(emb_col),
+        ann.norm(F.col(emb_col)).alias("_nrm"),
+    )
+    a = keyed.select(
         F.col("list_id"),
         F.col(id_col).alias("_ia"), F.col(emb_col).alias("_qa"),
+        F.col("_nrm").alias("_na"),
     )
-    b = members.select(
+    b = keyed.select(
         F.col("list_id"),
         F.col(id_col).alias("_ib"), F.col(emb_col).alias("_qb"),
+        F.col("_nrm").alias("_nb"),
     )
     return (
         a.join(b, ["list_id"])
         .where(F.col("_ia") < F.col("_ib"))
-        .where(ann.cosine(F.col("_qa"), F.col("_qb")) >= threshold)
+        .where(
+            ann.cosine_pre(
+                F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb")
+            ) >= threshold
+        )
         .select(
             F.col("_ia").alias("doc_a"), F.col("_ib").alias("doc_b")
         )
@@ -808,9 +833,15 @@ def semdedup_clusters(
         # capped-out vectors are singleton components and keep
         # themselves).
         cbr = F.broadcast(
-            cents.select("list_id", F.col(emb_col).alias("_c"))
+            cents.select(
+                "list_id", F.col(emb_col).alias("_c"),
+                ann.norm(F.col(emb_col)).alias("_cnm"),
+            )
         )
-        cs = ann.cosine(F.col(emb_col), F.col("_c"))
+        cs = ann.cosine_pre(
+            F.col(emb_col), F.col("_c"),
+            ann.norm(F.col(emb_col)), F.col("_cnm"),
+        )
         ck = (
             F.round(
                 F.coalesce(F.nanvl(cs, F.lit(-2.0)), F.lit(-2.0))

@@ -42,6 +42,53 @@ def _theta_expr(col: str, theta: list[float]):
     return e
 
 
+def _pair_counts(
+    pairs: DataFrame, winner_col: str, loser_col: str
+) -> DataFrame:
+    """(winner, loser, _n) tallies — ≤ k² rows regardless of corpus
+    size.  ``qe`` depends only on the (winner, loser) pair of model
+    ids, so every GD gradient sum over 10^9 pairs equals the same sum
+    over these tallies with each term scaled by ``_n`` (exact bigint
+    × bigint; n·qe ≤ 2^63 for any real corpus).  ONE scan of the
+    pairs replaces the per-iteration full scan."""
+    return pairs.groupBy(
+        F.col(winner_col).cast("int").alias(winner_col),
+        F.col(loser_col).cast("int").alias(loser_col),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+
+
+def _bt_fit_counts(
+    counts: DataFrame,
+    n_models: int,
+    winner_col: str,
+    loser_col: str,
+    n_iters: int,
+    lr: float,
+) -> list[float]:
+    theta = [0.0] * n_models
+    for _ in range(n_iters):
+        delta = _theta_expr(winner_col, theta) - _theta_expr(
+            loser_col, theta
+        )
+        qe = F.round((F.lit(1.0) - hard_sigmoid(delta)) * F.lit(QUANT)
+                     ).cast("long")
+        nqe = F.col("_n") * qe
+        aggs = [
+            (
+                F.sum(F.when(F.col(winner_col) == m, nqe).otherwise(0))
+                - F.sum(F.when(F.col(loser_col) == m, nqe).otherwise(0))
+            ).alias(f"g{m}")
+            for m in range(n_models)
+        ] + [F.sum("_n").alias("n")]
+        row = counts.agg(*aggs).collect()[0]
+        n = float(row["n"])
+        theta = [
+            theta[m] + lr * ((row[f"g{m}"] / QUANT) / n)
+            for m in range(n_models)
+        ]
+    return theta
+
+
 def bt_fit(
     pairs: DataFrame,
     n_models: int,
@@ -52,32 +99,19 @@ def bt_fit(
 ) -> list[float]:
     """Full-batch GD from θ=0; returns the strength per policy id
     (ids must be 0..n_models−1).  Self-pairs (winner == loser) are
-    exact no-ops (+qe and −qe cancel in the same sum)."""
-    pairs = pairs.persist()
+    exact no-ops (+qe and −qe cancel in the same sum).
+
+    The pair scan runs ONCE (the (winner, loser) tally pre-
+    aggregation — see :func:`_pair_counts`); each GD iteration is a
+    driver-side Spark agg over ≤ k² tally rows with bit-identical
+    gradients (n identical exact-integer terms sum to n·qe)."""
+    counts = _pair_counts(pairs, winner_col, loser_col).persist()
     try:
-        theta = [0.0] * n_models
-        for _ in range(n_iters):
-            delta = _theta_expr(winner_col, theta) - _theta_expr(
-                loser_col, theta
-            )
-            qe = F.round((F.lit(1.0) - hard_sigmoid(delta)) * F.lit(QUANT)
-                         ).cast("long")
-            aggs = [
-                (
-                    F.sum(F.when(F.col(winner_col) == m, qe).otherwise(0))
-                    - F.sum(F.when(F.col(loser_col) == m, qe).otherwise(0))
-                ).alias(f"g{m}")
-                for m in range(n_models)
-            ] + [F.count(F.lit(1)).alias("n")]
-            row = pairs.agg(*aggs).collect()[0]
-            n = float(row["n"])
-            theta = [
-                theta[m] + lr * ((row[f"g{m}"] / QUANT) / n)
-                for m in range(n_models)
-            ]
-        return theta
+        return _bt_fit_counts(
+            counts, n_models, winner_col, loser_col, n_iters, lr
+        )
     finally:
-        pairs.unpersist()
+        counts.unpersist()
 
 
 def bt_ratings(
@@ -93,18 +127,23 @@ def bt_ratings(
     strength floored to 1e-6 (stable cross-engine hashing, same
     convention as the classifier margins).  Every model 0..n−1 gets a
     row even when it never appears in a pair (θ stays 0)."""
-    theta = bt_fit(pairs, n_models, winner_col, loser_col, n_iters, lr)
+    # ONE pair scan serves the fit and both tallies (the per-pair
+    # values depend only on (winner, loser) — see _pair_counts)
+    counts = _pair_counts(pairs, winner_col, loser_col).persist()
+    theta = _bt_fit_counts(
+        counts, n_models, winner_col, loser_col, n_iters, lr
+    )
     spark = pairs.sparkSession
     base = spark.createDataFrame(
         [(m, float(t)) for m, t in enumerate(theta)],
         "model_id int, _theta double",
     )
-    wins = pairs.groupBy(
-        F.col(winner_col).cast("int").alias("model_id")
-    ).agg(F.count(F.lit(1)).alias("n_wins"))
-    losses = pairs.groupBy(
-        F.col(loser_col).cast("int").alias("model_id")
-    ).agg(F.count(F.lit(1)).alias("n_losses"))
+    wins = counts.groupBy(
+        F.col(winner_col).alias("model_id")
+    ).agg(F.sum("_n").alias("n_wins"))
+    losses = counts.groupBy(
+        F.col(loser_col).alias("model_id")
+    ).agg(F.sum("_n").alias("n_losses"))
     return (
         base.join(wins, "model_id", "left")
         .join(losses, "model_id", "left")
