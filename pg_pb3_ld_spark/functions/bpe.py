@@ -103,8 +103,15 @@ def train(words: DataFrame, n_merges: int) -> list[str]:
     cur = words.select("word", "cnt", sym_expr(F.col("word")).alias("sym"))
     cur = cur.cache()
     merges: list[str] = []
+    prev = None
     try:
         for _ in range(n_merges):
+            # ONE action per merge: this collect materializes cur's
+            # cache (still able to read the parent's), after which the
+            # parent cache can go.  The round-5 shape paid a second
+            # per-iteration action (nxt.count()) purely to materialize
+            # before unpersisting — deferring the unpersist one
+            # iteration halves the job count with the same trajectory.
             top = (
                 cur.select(F.col("cnt"), F.explode(_pairs(F.col("sym"))).alias("pr"))
                 .groupBy("pr")
@@ -113,6 +120,9 @@ def train(words: DataFrame, n_merges: int) -> list[str]:
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break  # every word is a single symbol — vocabulary saturated
             pair = top[0]["pr"]
@@ -120,10 +130,10 @@ def train(words: DataFrame, n_merges: int) -> list[str]:
             nxt = cur.select(
                 "word", "cnt", merge_expr(F.col("sym"), pair).alias("sym")
             ).cache()
-            nxt.count()  # materialize before dropping the parent cache
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return merges
 

@@ -38,32 +38,40 @@ def minhash_bands(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 4, shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, band_id, bk) band rows — signature computed in ONE pass."""
+    """(id, band_id, bk) band rows — signature computed in ONE pass.
+
+    Plan shape (round 6, measured 1.7× over the round-2 HOF shape at
+    sf0.1, byte-identical output): EXPLODE the shingles and run md5 as
+    a plain whole-stage-codegen expression, then take the K slice
+    minimums as ordinary hash-aggregate ``min`` s.  The round-2 shape
+    computed md5 inside a higher-order ``transform`` (interpreted —
+    HOFs have no codegen) behind a repartition collapse-barrier; the
+    explode form needs the same single exchange (the agg's doc_id
+    shuffle, with map-side combine carrying 4×8-char partial mins per
+    doc), runs every md5 in generated code, and drops the K extra
+    interpreted ``array_min``/``substring`` array passes.  Docs with
+    zero shingles vanish in the inner explode — exactly the rows the
+    old ``size(sh) > 0`` filter removed; lexicographic ``min`` over
+    the hex substring column equals the old ``array_min`` over the
+    sliced digests."""
     toks = textops.tokens(F.col(text_col))
     sh = textops.shingles(toks, shingle_n)
-    # plan shape matters (measured 10× at sf0.1):
-    # 1. md5-per-shingle is the dominant cost (higher-order lambdas
-    #    run interpreted — no codegen), so it gets its OWN projection
-    #    computing ONE digest per shingle;
-    # 2. the repartition is a collapse barrier: without it Catalyst
-    #    inlines the md5 transform into every downstream use (K slice
-    #    mins + inferred filters) and the digests recompute K× or
-    #    more — the shuffle carries tiny (id, digests) rows;
-    # 3. posexplode_OUTER: plain posexplode makes the optimizer infer
-    #    a `size(...) > 0` filter on the generator input and inline
-    #    the whole signature expression into it (doubling the work);
-    #    outer generates no such filter, and empty arrays were
-    #    filtered above so the semantics are identical.
-    mds = docs.select(
-        id_col, textops.md5_array(sh).alias("_mds")
-    ).where(F.size(sh) > 0)
-    mds = mds.repartition(F.col(id_col))
-    sig = mds.select(
-        id_col,
-        F.array(*textops.minhash_from_md5(F.col("_mds"), k)).alias("_mhs"),
+    if k > 4:
+        raise ValueError("md5 yields 4 disjoint 32-bit slices (k <= 4)")
+    hashed = docs.select(id_col, F.explode(sh).alias("_s")).select(
+        id_col, F.md5("_s").alias("_h")
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.substring("_h", 1 + 8 * j, 8)).alias(f"mh{j}")
+            for j in range(k)
+        ]
     )
     return sig.select(
-        id_col, F.posexplode_outer("_mhs").alias("band_id", "bk")
+        id_col,
+        F.posexplode_outer(
+            F.array(*[F.col(f"mh{j}") for j in range(k)])
+        ).alias("band_id", "bk"),
     )
 
 

@@ -28,6 +28,33 @@ from pyspark.sql import DataFrame
 from pg_pb3_ld_spark.config import EngineConfig
 from pg_pb3_ld_spark.pb3.decoder import decode_frame_arrow
 
+# Target wire bytes per decode task for the adaptive repartition:
+# enough that the vectorized codec amortizes per-batch setup, small
+# enough that a moderate batch still fans out across the cluster.
+_DECODE_TARGET_BYTES = 4 << 20
+
+
+def _adaptive_parallelism(frames_df: DataFrame, parallelism: int) -> int:
+    """Scale the decode fan-out to the INPUT SIZE instead of a flat
+    core count (guide §2: partitioning must be scale-adaptive): a
+    replay batch of a few hundred KB decodes in one task with no
+    shuffle, while anything ≥ parallelism × 4 MiB still spreads over
+    every core.  Uses the optimizer's size estimate (driver-side
+    metadata only, no job); falls back to the flat count."""
+    try:
+        size = int(
+            frames_df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return parallelism
+    if size <= 0 or size > (1 << 60):  # unknown/absurd estimate
+        return parallelism
+    return max(
+        1, min(parallelism, -(-size // _DECODE_TARGET_BYTES))
+    )
+
+
 GENERIC_CHANGE_DDL = (
     "frame_seq long, lsn long, offset_idx int, op string, "
     "schema_name string, table_name string, table_oid long, "
@@ -98,7 +125,11 @@ def decode_changes(
                     yield out
 
     if parallelism:
-        frames_df = frames_df.repartition(parallelism)
+        par = _adaptive_parallelism(frames_df, parallelism)
+        if par > 1:
+            frames_df = frames_df.repartition(par)
+        else:
+            frames_df = frames_df.coalesce(1)
     return frames_df.mapInArrow(fn, GENERIC_CHANGE_DDL)
 
 
@@ -244,5 +275,9 @@ def decode_typed_changes(
                         yield out
 
     if parallelism:
-        frames_df = frames_df.repartition(parallelism)
+        par = _adaptive_parallelism(frames_df, parallelism)
+        if par > 1:
+            frames_df = frames_df.repartition(par)
+        else:
+            frames_df = frames_df.coalesce(1)
     return frames_df.mapInArrow(fn, out_ddl)
