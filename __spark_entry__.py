@@ -2376,29 +2376,40 @@ def q_corpus_build_funnel(spark, sf_dir):
     the funnel (stage, n_docs) — what a pipeline report shows.  The
     DuckDB oracle composes the same stages' CTEs and re-derives every
     count."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pg_pb3_ld_spark.functions import classifier, dedup
 
     docs = _documents(spark, sf_dir)
-    n_raw = docs.count()
-
-    clusters = dedup.near_dup_clusters(docs, threshold=0.5)
-    keep = clusters.where("keep").select("doc_id")
-    n_dedup = keep.count()
-
-    is_eval = (F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)
-    dec = dedup.decontaminate_bloom(
-        docs.where(~is_eval), docs.where(is_eval), threshold=0.5
-    ).select("doc_id", "flagged")
-    clean = (
-        keep.where(~is_eval)
-        .join(dec, "doc_id", "left")
-        .where(~F.coalesce(F.col("flagged"), F.lit(False)))
-        .select("doc_id")
-    )
-    n_clean = clean.count()
-
     feat = classifier.doc_features(docs)
-    w = classifier.logreg_fit(feat, n_iters=8, lr=2.0)
+
+    # the classifier fit (8 sequential tiny aggs) is independent of
+    # the dedup/decontamination chain until the quality join — run it
+    # from a second driver thread so its jobs back-fill the CC loop's
+    # scheduling gaps (guide §2.6); results are unchanged (disjoint
+    # lineages until both sides are materialized)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fit_fut = pool.submit(classifier.logreg_fit, feat, 8, 2.0)
+
+        n_raw = docs.count()
+
+        clusters = dedup.near_dup_clusters(docs, threshold=0.5)
+        keep = clusters.where("keep").select("doc_id")
+        n_dedup = keep.count()
+
+        is_eval = (F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)
+        dec = dedup.decontaminate_bloom(
+            docs.where(~is_eval), docs.where(is_eval), threshold=0.5
+        ).select("doc_id", "flagged")
+        clean = (
+            keep.where(~is_eval)
+            .join(dec, "doc_id", "left")
+            .where(~F.coalesce(F.col("flagged"), F.lit(False)))
+            .select("doc_id")
+        )
+        n_clean = clean.count()
+
+        w = fit_fut.result()
     pred = classifier.logreg_score(feat, w).select("doc_id", "pred")
     qual = clean.join(pred, "doc_id").where("pred = 1").select("doc_id")
     n_qual = qual.count()

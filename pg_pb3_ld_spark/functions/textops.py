@@ -683,8 +683,20 @@ def branch_paths(
         init.append(F.col(score_col).cast("long").alias("_ps"))
     state = df.select(*init)
     done = False
+    prev = None
     for rnd in range(max_rounds):
-        if state.where(F.col("_jump").isNotNull()).limit(1).count() == 0:
+        # persist each round and run the termination scan over the
+        # cache (full count, not limit(1) — a short-circuited limit
+        # would leave partitions unmaterialized and the parent
+        # unpersist below would force the whole join chain to
+        # recompute, the O(rounds²) shape this loop had before r6);
+        # per-round work is then one cached join, like the CC loop
+        state = state.persist()
+        n_unsettled = state.where(F.col("_jump").isNotNull()).count()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if n_unsettled == 0:
             done = True
             break
         rcols = [
@@ -719,9 +731,10 @@ def branch_paths(
                 .otherwise(F.col("_ps") + F.col("_rps"))
                 .alias("_ps")
             )
-        state = joined.select(*fold)
+        new_state = joined.select(*fold)
         if (rnd + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+            new_state = new_state.localCheckpoint(eager=False)
+        prev, state = state, new_state
     if not done and state.where(
         F.col("_jump").isNotNull()
     ).limit(1).count() > 0:

@@ -476,7 +476,8 @@ class MultiTablePipeline:
                         "skipped": True,
                     }
             else:
-                for t, store in self.stores.items():
+                def _merge_one(item):
+                    t, store = item
                     schema_t = evolved[t]
                     data = typed_all.where(F.col("table_name") == t)
                     if hwms[t] > (lo_lsn, lo_frame):
@@ -502,10 +503,28 @@ class MultiTablePipeline:
                         has_commits=self.config.commit_messages,
                     )
                     folded = fold_changes(gated, schema_t, salt=self.salt)
-                    metrics["tables"][t] = store.merge(
+                    return t, store.merge(
                         folded, schema=schema_t, batch_id=batch_id,
                         hwm_override=batch_hwm,
                     )
+
+                # Per-table merges are INDEPENDENT Spark actions over
+                # the shared typed cache (separate stores, separate
+                # watermarks), so run them from a small thread pool:
+                # the scheduler back-fills one table's job tail with
+                # the next table's tasks (guide §2.6) instead of
+                # serializing N stores' scheduling gaps.  Results are
+                # deterministic — each merge touches only its own
+                # store; the dict is rebuilt in table order below.
+                from concurrent.futures import ThreadPoolExecutor
+
+                items = list(self.stores.items())
+                with ThreadPoolExecutor(
+                    max_workers=min(3, len(items))
+                ) as pool:
+                    done = dict(pool.map(_merge_one, items))
+                for t in self.stores:
+                    metrics["tables"][t] = done[t]
         finally:
             typed_all.unpersist()
 
