@@ -701,8 +701,8 @@ def pq_codebooks(
     # (oracle-replayable); default derives it from the corpus size
     step = init_step or max(1, base.count() // ksub)
     sub_len = d // m
-    books = []
-    for j in range(m):
+
+    def _fit_one(j: int) -> DataFrame:
         sub = base.select(
             id_col,
             F.slice(F.col(emb_col), j * sub_len + 1, sub_len).alias(
@@ -720,13 +720,21 @@ def pq_codebooks(
             sub, init, n_iters, id_col=id_col, emb_col=emb_col,
             quant=quant,
         )
-        books.append(
-            cb.select(
-                F.lit(j).alias("subspace"),
-                F.col("list_id").alias("code"),
-                F.col(emb_col).alias("centroid"),
-            )
+        return cb.select(
+            F.lit(j).alias("subspace"),
+            F.col("list_id").alias("code"),
+            F.col(emb_col).alias("centroid"),
         )
+
+    # the m per-subspace Lloyd fits are INDEPENDENT (disjoint slices,
+    # own quantized cache, own eager checkpoints) — run them from a
+    # small thread pool so their sequential per-iteration actions
+    # interleave on the cluster (guide §2.6) instead of serializing
+    # m × n_iters tiny jobs; each fit is deterministic on its own.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+        books = list(pool.map(_fit_one, range(m)))
     out = books[0]
     for b in books[1:]:
         out = out.unionByName(b)
