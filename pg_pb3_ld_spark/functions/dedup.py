@@ -217,13 +217,17 @@ def connected_components(
                 .select(F.col("dst").alias("node"), "label")
             )
             cand = labels.unionByName(prop)
-            if it >= 2:
+            if it >= 3:
                 # pointer doubling: node's label jumps to its label's
-                # label.  Deferred to round 3+ — typical dedup graphs
-                # (star-shaped duplicate clusters) reach the fixpoint
-                # in ≤3 plain rounds, where the extra (label→label)
-                # join is pure overhead; a deep chain still converges
-                # in O(log d) rounds once doubling engages.
+                # label.  Deferred to round 4+ (round 3+ until r6):
+                # typical dedup graphs (star-shaped duplicate
+                # clusters) reach the fixpoint in ≤2 label-changing
+                # rounds and spend one more round DETECTING it via
+                # the sum test — measured: the old `it >= 2` made
+                # that detection round ~2.5× dearer for nothing, on
+                # every CC query.  A deep chain still converges in
+                # O(log d) rounds once doubling engages, one round
+                # later.
                 lab2 = (
                     labels.alias("l1")
                     .join(

@@ -28,17 +28,19 @@ from pyspark.sql import DataFrame
 from pg_pb3_ld_spark.config import EngineConfig
 from pg_pb3_ld_spark.pb3.decoder import decode_frame_arrow
 
-# Target wire bytes per decode task for the adaptive repartition:
-# enough that the vectorized codec amortizes per-batch setup, small
-# enough that a moderate batch still fans out across the cluster.
-_DECODE_TARGET_BYTES = 4 << 20
+# Target SOURCE bytes per decode task for the adaptive repartition
+# (the size estimate sees compressed parquet, ~3-4x smaller than the
+# wire bytes): enough that the vectorized codec amortizes per-batch
+# setup (~3-4 MB of wire per task), small enough that a bench-scale
+# stream still fans out across every core.
+_DECODE_TARGET_BYTES = 1 << 20
 
 
 def _adaptive_parallelism(frames_df: DataFrame, parallelism: int) -> int:
     """Scale the decode fan-out to the INPUT SIZE instead of a flat
     core count (guide §2: partitioning must be scale-adaptive): a
     replay batch of a few hundred KB decodes in one task with no
-    shuffle, while anything ≥ parallelism × 4 MiB still spreads over
+    shuffle, while anything ≥ parallelism × 1 MiB still spreads over
     every core.  Uses the optimizer's size estimate (driver-side
     metadata only, no job); falls back to the flat count."""
     try:
