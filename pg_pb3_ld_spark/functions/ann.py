@@ -434,7 +434,10 @@ def _recall_vs_exact(
     approx: DataFrame, base: DataFrame, queries: DataFrame, k: int,
     id_col: str, emb_col: str,
 ) -> DataFrame:
-    exact = exact_topk(base, queries, k, id_col, emb_col)
+    # consumed twice (hit join + query-id spine); without the cache
+    # the brute-force scoring scan runs twice.  Bounded: k rows per
+    # query.
+    exact = exact_topk(base, queries, k, id_col, emb_col).persist()
     hits = approx.join(exact, ["query_id", id_col]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -599,7 +602,9 @@ def sq8_topk(
     compute side (quantize the candidate set instead of the base).
 
     Output: (query_id, vec_id, rank, cos_q)."""
-    params = sq8_params(base, emb_col)
+    # the 1-row params feed both sides' encodes; cached so the
+    # per-dim min/max scan of the base runs once, not twice
+    params = sq8_params(base, emb_col).persist()
 
     # dequantize + norm ONCE per side, below the pair join (the
     # factored-norm discipline of norm()/cosine_pre): sq8_cosine
@@ -953,6 +958,12 @@ def hard_negatives(
     """
     if lists is None:
         lists = ivf_assign(base, centroids, id_col, emb_col)
+        if cap:
+            # the cap consumes the lists twice (size agg + filter
+            # join); cache the inline assignment so the broadcast
+            # argmax scan runs once — callers with a PREBUILT lists
+            # table (the documented 100-TB shape) already amortize it
+            lists = lists.persist()
     if cap:
         keep = (
             lists.groupBy("list_id")

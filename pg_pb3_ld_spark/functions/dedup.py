@@ -942,7 +942,9 @@ def split_leakage(
         .otherwise(F.col("doc_b"))
         .alias("train_doc"),
         "jaccard",
-    )
+    ).persist()  # consumed twice (tally agg + partner pick); without
+    # the cache the whole candidate+verify chain evaluates twice.
+    # Bounded: only verified pairs that STRADDLE the split survive.
     best = oriented.groupBy("eval_doc", "eval_split").agg(
         F.count(F.lit(1)).alias("n_train_neardups"),
         F.max("jaccard").alias("_mj"),
