@@ -925,7 +925,10 @@ def q_event_cms_counts(spark, sf_dir):
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("exact_n")
     )
+    # 20 rows consumed twice (sketch probe + final join): cached so
+    # the exact-count scan + TakeOrdered runs once
     top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(20)
+    top = top.persist()
     cells = cms_cells(ev, "user_id", depth=4, width=256)
     est = cms_estimate(cells, top, "user_id", depth=4, width=256)
     return top.join(est, "user_id").select(
