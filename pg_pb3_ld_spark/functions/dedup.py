@@ -832,11 +832,14 @@ def semdedup_clusters(
     )
     qv = ann.quantize_vectors(vecs, id_col, emb_col, quant).persist()
     asg = None
+    joined = None
     try:
         asg = ann.ivf_assign(qv, cents, id_col, emb_col).persist()
-        members = cap_buckets(
-            asg.join(qv, id_col), ["list_id"], max_cluster_size
-        )
+        # (id, list, qv) consumed by BOTH the capped pair join and the
+        # survivor key below — cache the join instead of running it
+        # twice over the two parent caches
+        joined = asg.join(qv, id_col).persist()
+        members = cap_buckets(joined, ["list_id"], max_cluster_size)
         edges = semdedup_edges(members, threshold, id_col, emb_col)
         comp = connected_components(edges, vecs.select(id_col), id_col)
 
@@ -868,7 +871,7 @@ def semdedup_clusters(
         # ~6 s at sf0.1.  localCheckpoint truncates the lineage, so
         # the result no longer references the persisted parents.
         keyed = (
-            asg.join(qv, id_col).join(cbr, "list_id")
+            joined.join(cbr, "list_id")
             .select(id_col, "list_id", ck.alias("_ck"))
             .join(comp, id_col)
             .localCheckpoint(eager=True)
@@ -891,6 +894,8 @@ def semdedup_clusters(
         qv.unpersist()
         if asg is not None:
             asg.unpersist()
+        if joined is not None:
+            joined.unpersist()
 
 
 def split_leakage(
