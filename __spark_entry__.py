@@ -2404,17 +2404,28 @@ def q_corpus_build_funnel(spark, sf_dir):
         dec = dedup.decontaminate_bloom(
             docs.where(~is_eval), docs.where(is_eval), threshold=0.5
         ).select("doc_id", "flagged")
+        # clean feeds three consumers (its count, the quality join,
+        # and through qual the split agg) and qual two — uncached,
+        # the decontaminate-Bloom chain re-executed 3× and the
+        # classifier scoring 2× per funnel run.  Both frames are
+        # id-only (8 B/row), the same bounded-width criterion as the
+        # round-6 §9 caches; each count right after the persist
+        # materializes it, and both are dropped before returning.
         clean = (
             keep.where(~is_eval)
             .join(dec, "doc_id", "left")
             .where(~F.coalesce(F.col("flagged"), F.lit(False)))
             .select("doc_id")
+            .persist()
         )
         n_clean = clean.count()
 
         w = fit_fut.result()
     pred = classifier.logreg_score(feat, w).select("doc_id", "pred")
-    qual = clean.join(pred, "doc_id").where("pred = 1").select("doc_id")
+    qual = (
+        clean.join(pred, "doc_id").where("pred = 1").select("doc_id")
+        .persist()
+    )
     n_qual = qual.count()
 
     b = F.pmod(
@@ -2431,6 +2442,8 @@ def q_corpus_build_funnel(spark, sf_dir):
             .otherwise("test").alias("s")
         ).groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    clean.unpersist()
+    qual.unpersist()
     rows = [
         ("1_raw", n_raw),
         ("2_dedup_survivors", n_dedup),

@@ -40,20 +40,22 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band_id, bk) band rows — signature computed in ONE pass.
 
-    Plan shape (round 6, measured 1.7× over the round-2 HOF shape at
-    sf0.1, byte-identical output): EXPLODE the shingles and run md5 as
-    a plain whole-stage-codegen expression, then take the K slice
-    minimums as ordinary hash-aggregate ``min`` s.  The round-2 shape
-    computed md5 inside a higher-order ``transform`` (interpreted —
-    HOFs have no codegen) behind a repartition collapse-barrier; the
-    explode form needs the same single exchange (the agg's doc_id
-    shuffle, with map-side combine carrying 4×8-char partial mins per
-    doc), runs every md5 in generated code, and drops the K extra
-    interpreted ``array_min``/``substring`` array passes.  Docs with
+    Plan shape (round 6, byte-identical output at every step): EXPLODE
+    the shingles and run md5 as a plain whole-stage-codegen expression
+    (the round-2 shape computed md5 inside an interpreted higher-order
+    ``transform`` behind a repartition collapse-barrier), then take
+    the K slice minimums in the LONG domain: each slice is 8 chars of
+    fixed-width lowercase hex, so lexicographic ``min`` over the text
+    equals numeric ``min`` over its value — and ``min(long)`` buffers
+    are mutable in UnsafeRow's hash map, giving a true HashAggregate
+    with map-side combine, where ``min(string)`` buffers forced a
+    Sort + SortAggregate pair on BOTH sides of the doc_id exchange
+    (two full sorts of the exploded shingle rows per bands build).
+    The hex text is rebuilt bit-identically on the way out
+    (``lower(lpad(hex(v), 8, '0'))``), so ``bk`` — which declared
+    queries and the DuckDB oracles consume — is unchanged.  Docs with
     zero shingles vanish in the inner explode — exactly the rows the
-    old ``size(sh) > 0`` filter removed; lexicographic ``min`` over
-    the hex substring column equals the old ``array_min`` over the
-    sliced digests."""
+    old ``size(sh) > 0`` filter removed."""
     toks = textops.tokens(F.col(text_col))
     sh = textops.shingles(toks, shingle_n)
     if k > 4:
@@ -61,16 +63,28 @@ def minhash_bands(
     hashed = docs.select(id_col, F.explode(sh).alias("_s")).select(
         id_col, F.md5("_s").alias("_h")
     )
-    sig = hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.substring("_h", 1 + 8 * j, 8)).alias(f"mh{j}")
-            for j in range(k)
-        ]
+    sig = (
+        hashed.select(
+            id_col,
+            *[
+                F.conv(F.substring("_h", 1 + 8 * j, 8), 16, 10)
+                .cast("long")
+                .alias(f"_v{j}")
+                for j in range(k)
+            ],
+        )
+        .groupBy(id_col)
+        .agg(*[F.min(f"_v{j}").alias(f"_m{j}") for j in range(k)])
     )
     return sig.select(
         id_col,
         F.posexplode_outer(
-            F.array(*[F.col(f"mh{j}") for j in range(k)])
+            F.array(
+                *[
+                    F.lower(F.lpad(F.hex(F.col(f"_m{j}")), 8, "0"))
+                    for j in range(k)
+                ]
+            )
         ).alias("band_id", "bk"),
     )
 
@@ -432,10 +446,18 @@ def incremental_neardup(
         )
         .distinct()
     )
-    sets = corpus_sets.unionByName(
-        shingle_sets(new_docs, text_col, id_col, shingle_n)
+    batch_sets = shingle_sets(new_docs, text_col, id_col, shingle_n)
+    # the sa side joins on doc_new, and every doc_new is a BATCH doc
+    # (the candidate join's a-side is filtered to _new) — so sa needs
+    # only the batch's sets, not corpus ∪ batch: one corpus-wide
+    # shingle pass instead of two, and a batch-sized build side for
+    # the verify join.  Ids are unique across corpus ∪ batch (the
+    # store/index contract the tests and the declared query satisfy),
+    # so the restriction drops no rows and changes no multiplicity.
+    sets = corpus_sets.unionByName(batch_sets)
+    sa = batch_sets.select(
+        F.col(id_col).alias("doc_new"), F.col("shs").alias("sa")
     )
-    sa = sets.select(F.col(id_col).alias("doc_new"), F.col("shs").alias("sa"))
     sb = sets.select(
         F.col(id_col).alias("doc_match"), F.col("shs").alias("sb")
     )
