@@ -2386,13 +2386,26 @@ def q_corpus_build_funnel(spark, sf_dir):
     docs = _documents(spark, sf_dir)
     feat = classifier.doc_features(docs)
 
-    # the classifier fit (8 sequential tiny aggs) is independent of
-    # the dedup/decontamination chain until the quality join — run it
-    # from a second driver thread so its jobs back-fill the CC loop's
-    # scheduling gaps (guide §2.6); results are unchanged (disjoint
-    # lineages until both sides are materialized)
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    is_eval = (F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)
+
+    # the classifier fit (8 sequential tiny aggs) AND the
+    # decontaminate-Bloom pass are each independent of the dedup/CC
+    # chain until the join below — run both from driver threads so
+    # their jobs back-fill the CC loop's scheduling gaps (guide §2.6);
+    # results are unchanged (disjoint lineages until both sides are
+    # materialized).  dec is (doc_id, flagged) — the same bounded-
+    # width criterion as the clean/qual caches; its count
+    # materializes the persist inside the overlap window.
+    def _dec():
+        d = dedup.decontaminate_bloom(
+            docs.where(~is_eval), docs.where(is_eval), threshold=0.5
+        ).select("doc_id", "flagged").persist()
+        d.count()
+        return d
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
         fit_fut = pool.submit(classifier.logreg_fit, feat, 8, 2.0)
+        dec_fut = pool.submit(_dec)
 
         n_raw = docs.count()
 
@@ -2400,10 +2413,7 @@ def q_corpus_build_funnel(spark, sf_dir):
         keep = clusters.where("keep").select("doc_id")
         n_dedup = keep.count()
 
-        is_eval = (F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)
-        dec = dedup.decontaminate_bloom(
-            docs.where(~is_eval), docs.where(is_eval), threshold=0.5
-        ).select("doc_id", "flagged")
+        dec = dec_fut.result()
         # clean feeds three consumers (its count, the quality join,
         # and through qual the split agg) and qual two — uncached,
         # the decontaminate-Bloom chain re-executed 3× and the
@@ -2444,6 +2454,7 @@ def q_corpus_build_funnel(spark, sf_dir):
     }
     clean.unpersist()
     qual.unpersist()
+    dec.unpersist()
     rows = [
         ("1_raw", n_raw),
         ("2_dedup_survivors", n_dedup),

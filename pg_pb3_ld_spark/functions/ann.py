@@ -348,6 +348,7 @@ def kmeans_centroids(
     base: DataFrame, init_centroids: DataFrame, n_iters: int = 2,
     id_col: str = "vec_id", emb_col: str = "embedding",
     quant: int = 1000,
+    quantized_base: DataFrame | None = None,
 ) -> DataFrame:
     """Seeded fixed-iteration Lloyd's k-means in pure DataFrame ops →
     (list_id, emb_col as array<double>) trained centroids.
@@ -374,8 +375,20 @@ def kmeans_centroids(
 
     ``init_centroids``: (list_id, emb_col) seed — pass a deterministic
     sample (e.g. every Nth vector); it is quantized internally so the
-    whole fit is integer-derived."""
-    qbase = quantize_vectors(base, id_col, emb_col, quant).persist()
+    whole fit is integer-derived.
+
+    ``quantized_base``: the caller's OWN ``quantize_vectors(base, …,
+    quant)`` copy (typically already persisted because the caller
+    also assigns/scores against it, as SemDeDup does) — passing it
+    skips the fit's internal duplicate quantization pass over the
+    corpus; the caller manages its persistence.  Must be exactly the
+    same (id, quantized emb) frame the internal path would build, or
+    the fit diverges from its oracle."""
+    if quantized_base is not None:
+        qbase, own_cache = quantized_base, False
+    else:
+        qbase = quantize_vectors(base, id_col, emb_col, quant).persist()
+        own_cache = True
     cents = quantize_vectors(
         init_centroids, "list_id", emb_col, quant
     ).select(
@@ -427,7 +440,8 @@ def kmeans_centroids(
             )
         return cents
     finally:
-        qbase.unpersist()
+        if own_cache:
+            qbase.unpersist()
 
 
 def _recall_vs_exact(

@@ -759,12 +759,23 @@ def semdedup_dropped(
     SemDeDup face of :func:`dropped_buckets`)."""
     from pg_pb3_ld_spark.functions import ann
 
-    cents = ann.kmeans_centroids(
-        vecs, init_centroids, n_iters, id_col, emb_col, quant
-    )
-    qv = ann.quantize_vectors(vecs, id_col, emb_col, quant)
-    asg = ann.ivf_assign(qv, cents, id_col, emb_col)
-    return dropped_buckets(asg, ["list_id"], max_cluster_size)
+    # share ONE persisted quantized copy between the fit and the
+    # assignment (the fit used to quantize the corpus again
+    # internally), then materialize the tiny (≤ n_lists rows) report
+    # eagerly so the cache never outlives the call — the lazy shape
+    # re-ran quantize + assign from scratch in the consumer anyway
+    qv = ann.quantize_vectors(vecs, id_col, emb_col, quant).persist()
+    try:
+        cents = ann.kmeans_centroids(
+            vecs, init_centroids, n_iters, id_col, emb_col, quant,
+            quantized_base=qv,
+        )
+        asg = ann.ivf_assign(qv, cents, id_col, emb_col)
+        return dropped_buckets(
+            asg, ["list_id"], max_cluster_size
+        ).localCheckpoint(eager=True)
+    finally:
+        qv.unpersist()
 
 
 def semdedup_edges(
@@ -849,13 +860,18 @@ def semdedup_clusters(
     """
     from pg_pb3_ld_spark.functions import ann
 
-    cents = ann.kmeans_centroids(
-        vecs, init_centroids, n_iters, id_col, emb_col, quant
-    )
+    # ONE quantized copy serves the fit, the assignment, the pair
+    # join and the survivor key: the fit used to build (and cache) its
+    # own identical quantize_vectors frame internally — a duplicate
+    # corpus pass plus a duplicate cache of the same bigint arrays
     qv = ann.quantize_vectors(vecs, id_col, emb_col, quant).persist()
     asg = None
     joined = None
     try:
+        cents = ann.kmeans_centroids(
+            vecs, init_centroids, n_iters, id_col, emb_col, quant,
+            quantized_base=qv,
+        )
         asg = ann.ivf_assign(qv, cents, id_col, emb_col).persist()
         # (id, list, qv) consumed by BOTH the capped pair join and the
         # survivor key below — cache the join instead of running it
