@@ -64,7 +64,11 @@ def fold_changes(
     vals = [c.name for c in schema.value_columns]
 
     partial_aggs = [
-        F.max(F.struct(_ord().alias("o"), F.col("op").alias("op"))).alias("_last"),
+        # plain long max, not max(struct(ord, op)): ord is unique per
+        # change so the max row is the same, and only the ord itself
+        # is ever consumed (last_frame_seq) — the op field was dead
+        # weight widening the hottest agg's buffers
+        F.max(_ord()).alias("_last_ord"),
         F.max(
             F.when(
                 F.col("op").isin("INSERT", "DELETE"),
@@ -90,7 +94,7 @@ def fold_changes(
         )
         partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
         recombine = [
-            F.max("_last").alias("_last"),
+            F.max("_last_ord").alias("_last_ord"),
             F.max("_barrier").alias("_barrier"),
             F.max("_last_lsn").alias("_last_lsn"),
             F.sum("n_changes").alias("n_changes"),
@@ -121,9 +125,9 @@ def fold_changes(
         )
     out_cols += [
         F.col("_last_lsn").getField("lsn").alias("last_lsn"),
-        F.shiftright(
-            F.col("_last").getField("o"), ORD_SHIFT
-        ).alias("last_frame_seq"),
+        F.shiftright(F.col("_last_ord"), ORD_SHIFT).alias(
+            "last_frame_seq"
+        ),
         F.col("n_changes"),
     ]
     return agg.select(*out_cols)
