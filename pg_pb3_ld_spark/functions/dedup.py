@@ -223,6 +223,19 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).persist()
     try:
+        # Edgeless graph: every node is trivially its own component —
+        # skip the propagation loop outright (2+ rounds of join + agg
+        # + fixpoint probe that provably change nothing).  The probe
+        # is one cheap scan of the persisted sym cache (isEmpty stops
+        # at the first row for non-empty graphs; partitions it leaves
+        # unmaterialized are filled by round 0's join as before).  A
+        # high-threshold dedup pass over a clean corpus hits this at
+        # any scale.
+        if sym.isEmpty():
+            return labels.select(
+                F.col("node").alias(id_col),
+                F.col("label").alias("cluster_id"),
+            )
         prev_sum = None
         converged = False
         for it in range(max_iters):
